@@ -1,0 +1,123 @@
+"""Round benchmark: rays/s/chip forward+backward, bonsai 256^3 at 256x256.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+value        = rays/s of the production differentiable path (fixed-step
+               march with the custom replay VJP): one fused
+               value_and_grad step returning dL/dvoxel + dL/dTF.
+vs_baseline  = value / rays/s of the naive baseline implementation
+               (plain JAX autodiff through the golden lax.scan renderer,
+               measured on the same chip at reduced resolution and compared
+               per-ray) — i.e. the speedup of the optimised production path
+               over the reference-style implementation.
+
+Config (BASELINE.json config 1 + 4): bonsai-class 256^3 uint8 volume
+(synthetic stand-in — the reference's raw blobs are stripped from the
+mount), 256x256 rays, fixed step 0.005, trilinear sampling, default TF,
+Blinn-Phong shading on, benchmark camera preset (threshold 0.15, smoothing
+off — reference src/main.rs:180-190) at the reference's effective orbit
+distance 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def fetch_scalar(out):
+    """Force completion by materialising one scalar on the host.
+
+    ``block_until_ready`` is not a reliable fence on the experimental axon
+    TPU platform (it returns before execution finishes, yielding absurd
+    timings); a device->host fetch is."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def timeit(fn, *, iters: int, warmup: int = 2) -> float:
+    for _ in range(warmup):
+        fetch_scalar(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fetch_scalar(fn())
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from volym_tpu import Camera, RenderParams, Scene
+    from volym_tpu.render import diff, golden
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    on_tpu = dev.platform == "tpu"
+
+    height = width = 256 if on_tpu else 64
+    base_h = base_w = 128 if on_tpu else 32
+    iters = 10 if on_tpu else 2
+    base_iters = 3 if on_tpu else 1
+
+    params = RenderParams(
+        density_threshold=0.15,
+        raymarching_step_size=0.005 if on_tpu else 0.02,
+        use_gaussian_smoothing=False,
+        interpolation="trilinear",
+        adaptive_stepping=False,
+        use_shading=True,
+    )
+    scene = Scene.synthetic("bonsai", side=256 if on_tpu else 64)
+    cam = Camera(aspect=1.0, distance=1.0).orbit(30.0, 20.0, 0.0)
+    m = cam.matrices()
+
+    # --- production path: custom replay-VJP fwd+bwd --------------------
+    def loss_prod(s):
+        img = diff.render(s, m, params, height, width)
+        return jnp.sum(img)
+
+    prod_step = jax.jit(jax.value_and_grad(loss_prod))
+
+    def prod():
+        return prod_step(scene)
+
+    t_prod = timeit(prod, iters=iters)
+    rays_prod = height * width / t_prod
+    log(f"production fwd+bwd: {t_prod*1e3:.1f} ms/frame -> {rays_prod:,.0f} rays/s")
+
+    # --- baseline: plain autodiff through the golden scan --------------
+    def loss_base(s):
+        img = golden.render(s, m, params, base_h, base_w)
+        return jnp.sum(img)
+
+    base_step = jax.jit(jax.value_and_grad(loss_base))
+
+    def base():
+        return base_step(scene)
+
+    t_base = timeit(base, iters=base_iters, warmup=1)
+    rays_base = base_h * base_w / t_base
+    log(f"baseline  fwd+bwd: {t_base*1e3:.1f} ms/frame -> {rays_base:,.0f} rays/s")
+
+    result = {
+        "metric": "rays_per_s_chip_fwd_bwd_bonsai256_256x256",
+        "value": round(rays_prod, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_prod / rays_base, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""Sharding tests on the 8-virtual-device CPU mesh (SURVEY.md section 4 item 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volym_tpu import Camera, RenderParams, Scene
+from volym_tpu.parallel import mesh as pmesh
+from volym_tpu.render import diff, golden
+
+PARAMS = RenderParams(
+    use_gaussian_smoothing=False,
+    raymarching_step_size=0.1,
+    max_steps=40,
+    use_shading=False,
+)
+RES = 16
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return Scene.synthetic("sphere", side=16)
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return Camera(aspect=1.0, distance=1.1).orbit(25.0, 10.0, 0.0)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single(scene, cam):
+    m = cam.matrices()
+    mesh = pmesh.make_mesh()
+    img_sharded = np.asarray(pmesh.render_sharded(scene, m, PARAMS, RES, RES, mesh))
+    img_single = np.asarray(golden.render(scene, m, PARAMS, RES, RES))
+    assert (img_single[..., :3].max(-1) > 0.01).mean() > 0.2
+    np.testing.assert_allclose(img_sharded, img_single, atol=1e-6)
+
+
+def test_sharded_render_rejects_uneven():
+    mesh = pmesh.make_mesh()
+    with pytest.raises(ValueError):
+        pmesh.render_sharded(Scene.synthetic("sphere", 8), Camera().matrices(), PARAMS, 3, 3, mesh)
+
+
+def test_sharded_diff_render_matches(scene, cam):
+    m = cam.matrices()
+    mesh = pmesh.make_mesh()
+    a = np.asarray(
+        pmesh.render_sharded(scene, m, PARAMS, RES, RES, mesh, differentiable=True)
+    )
+    b = np.asarray(diff.render(scene, m, PARAMS.replace(adaptive_stepping=False), RES, RES))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_train_step_grads_match_psum_of_local(scene, cam):
+    """Sharded (loss, grads) must equal the unsharded differentiable step."""
+    m = cam.matrices()
+    mesh = pmesh.make_mesh()
+    fixed = PARAMS.replace(adaptive_stepping=False)
+    target = jnp.asarray(golden.render(scene, m, fixed, RES, RES)) * 0.8
+
+    step = pmesh.make_train_step(PARAMS, RES, RES, mesh)
+    loss_sharded, grads_sharded = step(scene, m, target)
+
+    def loss_single(s):
+        img = diff.render(s, m, fixed, RES, RES)
+        return jnp.mean((img - target) ** 2)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_single)(scene)
+
+    np.testing.assert_allclose(float(loss_sharded), float(loss_ref), rtol=1e-5)
+    assert float(loss_ref) > 0
+    for name in ("volume", "importance", "tf_lut"):
+        a = np.asarray(getattr(grads_ref, name))
+        b = np.asarray(getattr(grads_sharded, name))
+        scale = max(np.abs(a).max(), 1e-9)
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4, err_msg=name)
+    assert np.abs(np.asarray(grads_ref.volume)).max() > 0
+
+
+def test_host_mesh_shape():
+    mesh = pmesh.make_host_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("host", pmesh.RAY_AXIS)

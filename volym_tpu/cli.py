@@ -1,0 +1,248 @@
+"""Command-line entry point.
+
+The reference CLI (``src/cli.rs:35-56``): ``volym [run {simple} | benchmark]
+[--debug]``.  TPU-native equivalents — plus the offline subcommands the
+interactive event loop becomes in a renderer without a window:
+
+    python -m volym_tpu run [simple]     render a frame sweep, save PNG
+    python -m volym_tpu benchmark        full reference sweep -> CSV
+    python -m volym_tpu screenshot       single frame -> PNG
+    python -m volym_tpu fit              inverse-rendering demo
+    python -m volym_tpu devtools ...     NRRD -> segments.json + raw
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+log = logging.getLogger("volym_tpu")
+
+
+def _setup_logging(debug: bool) -> None:
+    # analog of setup_tracing (src/main.rs:451-463): --debug -> DEBUG level
+    logging.basicConfig(
+        level=logging.DEBUG if debug else logging.INFO,
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
+        stream=sys.stderr,
+    )
+
+
+def _default_scene(args):
+    from volym_tpu.scene import Scene
+
+    if args.volume:
+        return Scene.load(
+            args.volume, args.segments_raw, args.segments_json, side=args.side
+        )
+    log.info("no --volume given; using the synthetic %s scene", args.scene)
+    return Scene.synthetic(args.scene, side=args.side)
+
+
+def _camera(args):
+    from volym_tpu.camera import Camera
+
+    return Camera(aspect=args.width / args.height, distance=args.distance).orbit(
+        args.orbit_h, args.orbit_v, 0.0
+    )
+
+
+def _params(args):
+    from volym_tpu.config import RenderParams
+
+    return RenderParams(
+        density_threshold=args.threshold,
+        raymarching_step_size=args.step_size,
+        use_gaussian_smoothing=args.gaussian,
+        use_importance_rendering=args.importance,
+        use_cone_importance_check=args.cone,
+        use_importance_coloring=args.coloring,
+        importance_check_ahead_steps=args.ahead_steps,
+        interpolation=args.interpolation,
+    )
+
+
+def cmd_run(args) -> int:
+    """Offline analog of the interactive loop (``src/event_loop.rs:94-157``):
+    render N frames along an orbit sweep, log FPS once per second
+    (``src/event_loop.rs:138-144``), save the last frame."""
+    import jax
+
+    from volym_tpu import io as vio
+    from volym_tpu.render.renderer import make_renderer
+
+    scene = _default_scene(args)
+    params = _params(args)
+    render = make_renderer(scene, params, args.height, args.width)
+
+    cam = _camera(args)
+    frames, t_last, n_last = 0, time.perf_counter(), 0
+    img = None
+    for i in range(args.frames):
+        cam = cam.orbit(2.0, 0.0, 0.0)  # orbit sweep stands in for mouse input
+        img = render(cam.matrices())
+        from volym_tpu.bench.harness import force_sync
+
+        force_sync(img)
+        frames += 1
+        now = time.perf_counter()
+        if now - t_last >= 1.0:
+            log.info("FPS: %.1f", (frames - n_last) / (now - t_last))
+            t_last, n_last = now, frames
+    path = vio.save_screenshot(img, ".")
+    log.info("saved %s", path)
+    return 0
+
+
+def cmd_screenshot(args) -> int:
+    from volym_tpu import io as vio
+    from volym_tpu.render.renderer import make_renderer
+
+    scene = _default_scene(args)
+    render = make_renderer(scene, _params(args), args.height, args.width)
+    img = render(_camera(args).matrices())
+    out = args.output or f"screenshot_{int(time.time())}.png"
+    vio.write_png(out, __import__("numpy").asarray(img))
+    log.info("saved %s", out)
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    import jax
+
+    from volym_tpu.bench import harness
+    from volym_tpu.render.renderer import make_renderer
+
+    scene = _default_scene(args)
+    cam = _camera(args)
+    m = cam.matrices()
+
+    def render_factory(params):
+        r = make_renderer(scene, params, args.height, args.width)
+
+        def frame():
+            harness.force_sync(r(m))
+
+        return frame
+
+    rows = harness.benchmark_all(
+        render_factory,
+        num_trials=args.trials,
+        seconds=args.seconds,
+        height=args.height,
+        width=args.width,
+        step_sizes=tuple(args.sweep_steps) if args.sweep_steps else harness.STEP_SIZES,
+        log=log.info,
+    )
+    harness.write_csv(rows, args.output or "benchmark_results.csv")
+    log.info("wrote %s (%d rows)", args.output or "benchmark_results.csv", len(rows))
+    return 0
+
+
+def cmd_fit(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from volym_tpu import io as vio
+    from volym_tpu.optim import fit_scene
+    from volym_tpu.render import golden
+    from volym_tpu.scene import Scene
+
+    target_scene = _default_scene(args)
+    cam = _camera(args)
+    params = _params(args).replace(adaptive_stepping=False)
+    target = golden.render(target_scene, cam.matrices(), params, args.height, args.width)
+
+    init = Scene(
+        volume=jnp.full_like(target_scene.volume, 0.1),
+        importance=target_scene.importance,
+        tf_lut=target_scene.tf_lut,
+    )
+    res = fit_scene(
+        init,
+        cam.matrices(),
+        target,
+        params,
+        steps=args.frames,
+        callback=lambda i, l: log.info("fit step %d loss %.6f", i, l) if i % 10 == 0 else None,
+    )
+    log.info("loss: %.6f -> %.6f", res.losses[0], res.losses[-1])
+    vio.save_checkpoint(args.output or "fitted_scene.npz", {
+        "volume": res.scene.volume,
+        "tf_lut": res.scene.tf_lut,
+    })
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="volym_tpu")
+    ap.add_argument("--debug", action="store_true", help="enable debug logging")
+    sub = ap.add_subparsers(dest="command")
+
+    def common(p):
+        p.add_argument("--debug", action="store_true", help="enable debug logging")
+        p.add_argument("--volume", help="raw uint8 volume path")
+        p.add_argument("--segments-raw", help="segments.raw path")
+        p.add_argument("--segments-json", help="segments.json path")
+        p.add_argument("--scene", default="bonsai", choices=["bonsai", "sphere", "teapot"])
+        p.add_argument("--side", type=int, default=256)
+        p.add_argument("--width", type=int, default=1024)
+        p.add_argument("--height", type=int, default=768)
+        p.add_argument("--distance", type=float, default=1.0)
+        p.add_argument("--orbit-h", type=float, default=0.0)
+        p.add_argument("--orbit-v", type=float, default=0.0)
+        p.add_argument("--threshold", type=float, default=0.12)
+        p.add_argument("--step-size", type=float, default=0.01)
+        p.add_argument("--gaussian", action="store_true")
+        p.add_argument("--importance", action="store_true")
+        p.add_argument("--cone", action="store_true")
+        p.add_argument("--coloring", action="store_true")
+        p.add_argument("--ahead-steps", type=int, default=12)
+        p.add_argument("--interpolation", default="nearest", choices=["nearest", "trilinear"])
+        p.add_argument("--frames", type=int, default=100)
+        p.add_argument("--output")
+
+    p_run = sub.add_parser("run", help="orbit-sweep render loop")
+    p_run.add_argument("demo", nargs="?", default="simple", choices=["simple"])
+    common(p_run)
+    p_bench = sub.add_parser("benchmark", help="full reference sweep -> CSV")
+    common(p_bench)
+    p_bench.add_argument("--trials", type=int, default=3)
+    p_bench.add_argument("--seconds", type=float, default=2.0)
+    p_bench.add_argument("--sweep-steps", type=float, nargs="*")
+    p_shot = sub.add_parser("screenshot", help="single frame -> PNG")
+    common(p_shot)
+    p_fit = sub.add_parser("fit", help="inverse-rendering demo")
+    common(p_fit)
+    p_dev = sub.add_parser("devtools", help="NRRD -> segments.json + raw")
+    p_dev.add_argument("input")
+    p_dev.add_argument("json_out")
+    p_dev.add_argument("raw_out")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _setup_logging(args.debug)
+    if args.command == "devtools":
+        from volym_tpu import devtools
+
+        devtools.convert(args.input, args.json_out, args.raw_out)
+        return 0
+    cmd = {
+        "run": cmd_run,
+        "benchmark": cmd_benchmark,
+        "screenshot": cmd_screenshot,
+        "fit": cmd_fit,
+        None: cmd_run,
+    }[args.command]
+    if args.command is None:
+        # reference default: `volym` == `volym run simple` (src/cli.rs:47-50)
+        args = build_parser().parse_args(["run", *(argv or [])])
+    return cmd(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

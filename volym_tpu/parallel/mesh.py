@@ -1,0 +1,185 @@
+"""Multi-chip ray sharding and distributed training step.
+
+The reference's only parallelism is SIMT over pixels inside one GPU
+(16x16 workgroups, ``src/demos/pipeline.rs:83-87``).  The TPU-native
+generalisation (SURVEY.md section 2, "Parallelism & distributed
+communication"): shard the pixel/ray axis over a ``jax.sharding.Mesh`` with
+``shard_map``, replicate the voxel grid / TF / importance (256^3 uint8 is
+16 MiB — trivial in HBM), and ``psum`` the parameter gradients across the
+ray axis.  XLA lowers the psum to all-reduce over ICI within a slice and DCN
+across hosts, and its latency-hiding scheduler overlaps the reduction with
+the backward march (BASELINE.json config 5).
+
+Mesh axes: a single ``"rays"`` axis is the default (pure DP over rays).  A
+2D ``("host", "rays")`` layout is provided for multi-host runs so that the
+gradient reduction rides ICI first, DCN last.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from volym_tpu.config import RenderParams
+from volym_tpu.render import diff, golden
+from volym_tpu.render import rays as rays_mod
+from volym_tpu.scene import Scene
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(devices=None, axis_name: str = RAY_AXIS) -> Mesh:
+    """1D device mesh over the ray axis."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_host_mesh(devices=None) -> Mesh:
+    """(host, rays) mesh for multi-host pods: outer axis = process boundary
+    (DCN), inner = chips within a host (ICI)."""
+    devices = jax.devices() if devices is None else list(devices)
+    n_hosts = max(jax.process_count(), 1)
+    per_host = len(devices) // n_hosts
+    arr = np.asarray(devices).reshape(n_hosts, per_host)
+    return Mesh(arr, ("host", RAY_AXIS))
+
+
+def _ray_count(height: int, width: int, mesh: Mesh) -> int:
+    n = int(np.prod(mesh.devices.shape))
+    if (height * width) % n:
+        raise ValueError(
+            f"{height}x{width} rays do not divide evenly over {n} devices; "
+            "pad the image height to a multiple of the mesh size"
+        )
+    return n
+
+
+def _mesh_axes(mesh: Mesh) -> tuple[str, ...]:
+    return tuple(mesh.axis_names)
+
+
+@partial(
+    jax.jit, static_argnames=("params", "height", "width", "mesh", "differentiable")
+)
+def render_sharded(
+    scene: Scene,
+    camera_matrices,
+    params: RenderParams,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    differentiable: bool = False,
+):
+    """Tile-sharded render: rays split across every mesh device, scene
+    replicated, no communication in the forward pass.
+
+    Ray generation is tiny (a 4x4 matmul per pixel) and runs sharded too —
+    each device builds only its own rays.
+    """
+    _ray_count(height, width, mesh)
+    axes = _mesh_axes(mesh)
+    spec_r = P(axes)  # rays axis sharded over all mesh axes, flattened
+    march = diff.march_fixed if differentiable else golden.march
+    render_params = params.replace(adaptive_stepping=False) if differentiable else params
+
+    def shard_fn(ndc):
+        origin, dirs = _rays_from_ndc(camera_matrices, ndc)
+        entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+        miss = exit_ <= entry
+        if differentiable:
+            img = march(
+                render_params,
+                scene.volume,
+                scene.importance,
+                scene.tf_lut,
+                origin,
+                dirs,
+                entry,
+                jax.lax.stop_gradient(exit_),
+                camera_matrices.position,
+            )
+        else:
+            img = march(
+                scene, origin, dirs, entry, exit_, camera_matrices.position, render_params
+            )
+        miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+        return jnp.where(miss[:, None], miss_color[None, :], img)
+
+    ndc = rays_mod.pixel_ndc(height, width)
+    img = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(spec_r,), out_specs=spec_r, check_vma=False
+    )(ndc)
+    return img.reshape(height, width, 4)
+
+
+def _rays_from_ndc(camera_matrices, ndc):
+    """Per-shard ray generation from precomputed NDC coords."""
+    pos = rays_mod.unproject_ndc(camera_matrices, ndc)
+    d = pos - camera_matrices.position[None, :]
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return camera_matrices.position, d
+
+
+def make_train_step(params: RenderParams, height: int, width: int, mesh: Mesh):
+    """Distributed inverse-rendering step (BASELINE.json config 5).
+
+    Returns ``step(scene, camera_matrices, target) -> (loss, grads)`` with
+    rays sharded over the mesh and scene gradients psum'd across it.  The
+    psum sits *inside* the shard_mapped backward, so XLA's scheduler can
+    overlap the all-reduce with the remaining backward march of later tiles.
+    """
+    fixed = params.replace(adaptive_stepping=False)
+    _ray_count(height, width, mesh)
+    axes = _mesh_axes(mesh)
+    spec_r = P(axes)
+
+    def per_shard_loss(scene, camera_matrices, ndc, target_rows):
+        origin, dirs = _rays_from_ndc(camera_matrices, ndc)
+        entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+        miss = exit_ <= entry
+        img = diff.march_fixed(
+            fixed,
+            scene.volume,
+            scene.importance,
+            scene.tf_lut,
+            origin,
+            dirs,
+            entry,
+            jax.lax.stop_gradient(exit_),
+            camera_matrices.position,
+        )
+        miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+        img = jnp.where(miss[:, None], miss_color[None, :], img)
+        # mean over the *global* pixel count: sum local, divide by global
+        return jnp.sum((img - target_rows) ** 2)
+
+    n_pixels = height * width * 4
+
+    def shard_fn(scene, camera_matrices, ndc, target_rows):
+        local_sq, grads = jax.value_and_grad(per_shard_loss)(
+            scene, camera_matrices, ndc, target_rows
+        )
+        loss = jax.lax.psum(local_sq, axes) / n_pixels
+        grads = jax.tree_util.tree_map(
+            lambda gr: jax.lax.psum(gr, axes) / n_pixels, grads
+        )
+        return loss, grads
+
+    @jax.jit
+    def step(scene, camera_matrices, target):
+        ndc = rays_mod.pixel_ndc(height, width)
+        target_rows = target.reshape(-1, 4)
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), spec_r, spec_r),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(scene, camera_matrices, ndc, target_rows)
+
+    return step

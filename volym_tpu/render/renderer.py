@@ -1,0 +1,55 @@
+"""Top-level renderer factory — the "demo" layer.
+
+The analog of the reference's ``ComputeDemo`` trait + ``BaseDemo`` plumbing
+(``src/demos/mod.rs:9-17``, ``src/demos/pipeline.rs:113-226``): wire a scene
+(bind groups -> pytree) and parameters (uniforms -> static config) into a
+callable that renders frames for successive cameras.  "Updating GPU state"
+per frame is just calling the jitted function with new camera matrices.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from volym_tpu.config import RenderParams
+from volym_tpu.scene import Scene
+
+
+def make_renderer(
+    scene: Scene,
+    params: RenderParams,
+    height: int,
+    width: int,
+    mesh=None,
+    differentiable: bool = False,
+) -> Callable:
+    """Returns ``render(camera_matrices) -> (H, W, 4) image``.
+
+    ``mesh``: shard rays over a ``jax.sharding.Mesh`` (multi-chip);
+    ``differentiable``: use the fixed-step custom-VJP march.
+    """
+    if mesh is not None:
+        from volym_tpu.parallel.mesh import render_sharded
+
+        def render(camera_matrices):
+            return render_sharded(
+                scene, camera_matrices, params, height, width, mesh,
+                differentiable=differentiable,
+            )
+
+        return render
+
+    if differentiable:
+        from volym_tpu.render import diff
+
+        def render(camera_matrices):
+            return diff.render(scene, camera_matrices, params, height, width)
+
+        return render
+
+    from volym_tpu.render import fast
+
+    def render(camera_matrices):
+        return fast.render(scene, camera_matrices, params, height, width)
+
+    return render
