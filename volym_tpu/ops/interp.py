@@ -96,19 +96,22 @@ def make_sampler(interpolation):
 # ----------------------------------------------------------------------
 
 
-def scatter_nearest(grid_shape, pos, g):
-    """Transpose of :func:`sample_nearest` w.r.t. the grid: accumulate ``g``
-    into the selected voxels.  Returns a (D, H, W) gradient grid."""
-    d, h, w = grid_shape
+def scatter_nearest_into(acc, pos, g):
+    """Accumulate ``g`` into an existing (D, H, W) gradient grid at the
+    nearest-sample voxels (transpose of :func:`sample_nearest` w.r.t. the
+    grid).  Accumulating into a carried grid instead of materialising a
+    fresh zeros-grid per call is what makes the replay backward O(rays)
+    in *bandwidth*, not just memory."""
+    d, h, w = acc.shape
     n = jnp.array([w, h, d], dtype=jnp.float32)
     idx = jnp.clip(jnp.floor(pos * n), 0.0, n - 1.0).astype(jnp.int32)
-    out = jnp.zeros(grid_shape, dtype=g.dtype)
-    return out.at[idx[..., 2], idx[..., 1], idx[..., 0]].add(g)
+    return acc.at[idx[..., 2], idx[..., 1], idx[..., 0]].add(g)
 
 
-def scatter_trilinear(grid_shape, pos, g):
-    """Transpose of :func:`sample_trilinear` w.r.t. the grid."""
-    d, h, w = grid_shape
+def scatter_trilinear_into(acc, pos, g):
+    """Accumulate ``g`` with trilinear corner weights (transpose of
+    :func:`sample_trilinear` w.r.t. the grid)."""
+    d, h, w = acc.shape
     n = jnp.array([w, h, d], dtype=jnp.float32)
     c = pos * n - 0.5
     i0f = jnp.floor(c)
@@ -118,9 +121,30 @@ def scatter_trilinear(grid_shape, pos, g):
     x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
     x1, y1, z1 = i1[..., 0], i1[..., 1], i1[..., 2]
     tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
-    out = jnp.zeros(grid_shape, dtype=g.dtype)
     for zi, wz in ((z0, 1 - tz), (z1, tz)):
         for yi, wy in ((y0, 1 - ty), (y1, ty)):
             for xi, wx in ((x0, 1 - tx), (x1, tx)):
-                out = out.at[zi, yi, xi].add(g * wz * wy * wx)
-    return out
+                acc = acc.at[zi, yi, xi].add(g * wz * wy * wx)
+    return acc
+
+
+def scatter_nearest(grid_shape, pos, g):
+    """Fresh-grid variant of :func:`scatter_nearest_into`."""
+    return scatter_nearest_into(jnp.zeros(grid_shape, dtype=g.dtype), pos, g)
+
+
+def scatter_trilinear(grid_shape, pos, g):
+    """Fresh-grid variant of :func:`scatter_trilinear_into`."""
+    return scatter_trilinear_into(jnp.zeros(grid_shape, dtype=g.dtype), pos, g)
+
+
+def make_scatter_into(interpolation):
+    """'nearest' | 'trilinear' -> accumulate-into-grid scatter function."""
+    from volym_tpu.config import Interpolation
+
+    interp_ = Interpolation(interpolation)
+    return (
+        scatter_nearest_into
+        if interp_ == Interpolation.NEAREST
+        else scatter_trilinear_into
+    )

@@ -16,10 +16,19 @@ sums it needs from the (saved) final image:
                  - (g_c . S_c^{>k} + g_a S_a^{>k}) / (1 - beta_k)
 
 with ``S^{>k} = final - prefix_{<=k}`` — O(rays) memory total, one extra
-forward-cost sweep.  Per-step local derivatives (through Gaussian smoothing,
-TF lookup, Blinn-Phong shading and trilinear sampling) are obtained with a
-per-step ``jax.vjp``, so the chain rule stays machine-derived; only the
-compositing transpose is hand-written.
+forward-cost sweep.
+
+Bandwidth structure of the backward (the production concern): the volume
+only enters each step through its *tap samples* — the march samples at a
+static set of tap positions per step (density taps, optionally Gaussian
+offsets along the ray and central-difference shading offsets).  The step
+computation is therefore factored as ``taps -> samples -> quantities``;
+``jax.vjp`` machine-derives the (samples, lut, imp, pos) cotangents of the
+small ``quantities`` function, and the sample cotangents are hand-scattered
+into a gradient grid *carried through the scan* —
+``interp.scatter_*_into`` — so no step ever materialises or adds a full
+(D, H, W) array.  Tap-position cotangents are chained to (origin, dirs,
+entry) analytically (the taps are affine in them).
 
 Discrete decisions (density threshold, early termination, importance
 look-ahead skip) are treated as constants of the backward pass — the
@@ -34,6 +43,7 @@ what makes camera gradients well-defined (SURVEY.md section 7 hard part (a)).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -44,53 +54,108 @@ from volym_tpu.ops import interp
 from volym_tpu.render import rays as rays_mod
 from volym_tpu.render import shading
 from volym_tpu.render.golden import (
+    GAUSSIAN_KERNEL_SIZE,
+    GAUSSIAN_SIGMA,
+    GAUSSIAN_STEP,
     IMPORTANCE_OPAQUE,
     has_important_ahead_cone,
     has_important_ahead_straight,
     importance_to_color,
-    sample_density,
 )
 from volym_tpu.transfer_function import lut_sample
 
 _EPS_ONE_MINUS_BETA = 1e-7
 
 
-def _sample_and_shade(params: RenderParams, volume, importance, lut, origin, dirs, entry, cam_pos, k):
-    """Differentiable per-step quantities (``wgsl:251-314`` minus control flow).
+# ----------------------------------------------------------------------
+# Tap structure: every volume access of one march step, as a static list.
+# ----------------------------------------------------------------------
 
-    Returns (shaded_rgb (R,3), alpha (R,), density (R,), imp (R,)).
+
+def _tap_spec(params: RenderParams):
+    """Static tap description.
+
+    Returns (ray_offsets, axis_offsets) where taps are
+      ``pos + dirs * ray_offsets[i]``                      (density taps)
+      followed by ``pos + axis_offsets[j]``                (shading taps).
     """
-    sample_fn = interp.make_sampler(params.interpolation)
-    step = params.raymarching_step_size
-    t = entry + k * jnp.float32(step)
-    pos = origin[None, :] + dirs * t[:, None]
-    density = sample_density(volume, pos, dirs, params, sample_fn)
-    imp = interp.sample_nearest(importance, pos)
-    if params.use_importance_coloring:
-        ca = importance_to_color(imp)
+    if params.use_gaussian_smoothing:
+        ray_offsets = [i * GAUSSIAN_STEP for i in range(-GAUSSIAN_KERNEL_SIZE, GAUSSIAN_KERNEL_SIZE + 1)]
     else:
-        ca = lut_sample(lut, density)
+        ray_offsets = [0.0]
+    axis_offsets = []
     if params.use_shading:
-        shaded = shading.blinn_phong(
-            lambda p: sample_fn(volume, p), pos, ca[..., :3], cam_pos
-        )
+        eps = shading.GRADIENT_OFFSET
+        for axis in range(3):
+            for sign in (1.0, -1.0):
+                off = [0.0, 0.0, 0.0]
+                off[axis] = sign * eps
+                axis_offsets.append(off)
+    return ray_offsets, axis_offsets
+
+
+def _tap_positions(params: RenderParams, pos, dirs):
+    """(R, T, 3) tap positions for a step at ray positions ``pos``."""
+    ray_offsets, axis_offsets = _tap_spec(params)
+    taps = [pos + dirs * off for off in ray_offsets]
+    taps += [pos + jnp.asarray(off, jnp.float32)[None, :] for off in axis_offsets]
+    return jnp.stack(taps, axis=1)
+
+
+def _quantities_from_samples(params: RenderParams, samples, imp, lut, pos, dirs, cam_pos):
+    """Per-step march quantities from tap samples (``wgsl:251-314`` minus
+    control flow and texture fetches).
+
+    Args:
+      samples: (R, T) tap samples in tap-spec order.
+    Returns:
+      (shaded (R,3), alpha (R,), density (R,)).
+    """
+    ray_offsets, axis_offsets = _tap_spec(params)
+    n_density = len(ray_offsets)
+
+    if params.use_gaussian_smoothing:
+        total = jnp.zeros(samples.shape[:1], jnp.float32)
+        weight_sum = jnp.zeros(samples.shape[:1], jnp.float32)
+        for i, off in enumerate(ray_offsets):
+            p = pos + dirs * off
+            in_bounds = jnp.all((p >= 0.0) & (p <= 1.0), axis=-1)
+            wgt = math.exp(-(off * off) / (2.0 * GAUSSIAN_SIGMA * GAUSSIAN_SIGMA))
+            total = total + jnp.where(in_bounds, samples[:, i] * wgt, 0.0)
+            weight_sum = weight_sum + jnp.where(in_bounds, wgt, 0.0)
+        density = total / jnp.where(weight_sum > 0.0, weight_sum, 1.0)
     else:
-        shaded = ca[..., :3]
-    alpha = 1.0 - jnp.power(1.0 - ca[..., 3], jnp.float32(step * 100.0))
-    return shaded, alpha, density, imp
+        density = samples[:, 0]
+
+    if params.use_importance_coloring:
+        color_alpha = importance_to_color(imp)
+    else:
+        color_alpha = lut_sample(lut, density)
+
+    if params.use_shading:
+        eps = shading.GRADIENT_OFFSET
+        grads = []
+        for axis in range(3):
+            hi = samples[:, n_density + 2 * axis]
+            lo = samples[:, n_density + 2 * axis + 1]
+            grads.append((hi - lo) / (2.0 * eps))
+        g = jnp.stack(grads, axis=-1)
+        shaded = shading.blinn_phong_from_gradient(g, pos, color_alpha[..., :3], cam_pos)
+    else:
+        shaded = color_alpha[..., :3]
+
+    step = params.raymarching_step_size
+    alpha = 1.0 - jnp.power(1.0 - color_alpha[..., 3], jnp.float32(step * 100.0))
+    return shaded, alpha, density
 
 
-def _contribute_mask(params: RenderParams, importance_grid, density, imp, origin, dirs, entry, exit_, acc_a, k):
+def _contribute_mask(params: RenderParams, importance_grid, density, imp, pos, dirs, t, exit_, acc_a):
     """The non-differentiable march decisions, recomputed identically in the
-    forward and replay sweeps (all inputs stop-gradiented by construction of
-    where this is used)."""
-    step = jnp.float32(params.raymarching_step_size)
-    t = entry + k * step
+    forward and replay sweeps."""
     active = (t < exit_) & (acc_a < params.early_termination_alpha)
     dense = density >= params.density_threshold
     skip = ~dense
     if params.use_importance_rendering and not params.use_importance_coloring:
-        pos = origin[None, :] + dirs * t[:, None]
         if params.use_cone_importance_check:
             ahead = has_important_ahead_cone(
                 importance_grid, pos, dirs, exit_, params.importance_check_ahead_steps
@@ -103,17 +168,30 @@ def _contribute_mask(params: RenderParams, importance_grid, density, imp, origin
     return active & ~skip
 
 
+def _step_inputs(params, volume, importance, origin, dirs, entry, k):
+    sample_fn = interp.make_sampler(params.interpolation)
+    t = entry + k * jnp.float32(params.raymarching_step_size)
+    pos = origin[None, :] + dirs * t[:, None]
+    taps = _tap_positions(params, pos, dirs)
+    samples = sample_fn(volume, taps)
+    imp = interp.sample_nearest(importance, pos)
+    return t, pos, taps, samples, imp
+
+
 def _march_scan(params: RenderParams, volume, importance, lut, origin, dirs, entry, exit_, cam_pos):
     """Forward fixed-step march (primal)."""
     num_steps = params.resolved_max_steps()
 
     def body(carry, k):
         acc_c, acc_a = carry
-        shaded, alpha, density, imp = _sample_and_shade(
-            params, volume, importance, lut, origin, dirs, entry, cam_pos, k
+        t, pos, _taps, samples, imp = _step_inputs(
+            params, volume, importance, origin, dirs, entry, k
+        )
+        shaded, alpha, density = _quantities_from_samples(
+            params, samples, imp, lut, pos, dirs, cam_pos
         )
         m = _contribute_mask(
-            params, importance, density, imp, origin, dirs, entry, exit_, acc_a, k
+            params, importance, density, imp, pos, dirs, t, exit_, acc_a
         )
         beta = alpha * m
         w = (1.0 - acc_a) * beta
@@ -145,23 +223,33 @@ def _march_bwd(params: RenderParams, res, g):
     g_c, g_a = g[:, :3], g[:, 3]
     fin_c, fin_a = img[:, :3], img[:, 3]
     num_steps = params.resolved_max_steps()
-
-    zeros_like = jax.tree_util.tree_map(jnp.zeros_like, (volume, importance, lut, origin, dirs, entry, cam_pos))
+    sample_fn = interp.make_sampler(params.interpolation)
+    scatter_into = interp.make_scatter_into(params.interpolation)
+    trilinear = params.interpolation == Interpolation.TRILINEAR
+    ray_offsets, axis_offsets = _tap_spec(params)
+    tap_ray_off = jnp.asarray(
+        ray_offsets + [0.0] * len(axis_offsets), jnp.float32
+    )  # per-tap d(tap)/d(dirs) scale
 
     def body(carry, k):
-        acc_c, acc_a, grads = carry
-
-        def f(volume_, importance_, lut_, origin_, dirs_, entry_, cam_pos_):
-            shaded, alpha, density, imp = _sample_and_shade(
-                params, volume_, importance_, lut_, origin_, dirs_, entry_, cam_pos_, k
-            )
-            return (shaded, alpha), (density, imp)
-
-        (shaded, alpha), f_vjp, (density, imp) = jax.vjp(
-            f, volume, importance, lut, origin, dirs, entry, cam_pos, has_aux=True
+        acc_c, acc_a, dvol, dimp, dlut, dorigin, ddirs, dentry, dcam = carry
+        t, pos, taps, samples, imp = _step_inputs(
+            params, volume, importance, origin, dirs, entry, k
         )
+
+        def f(samples_, imp_, lut_, pos_, dirs_, cam_pos_):
+            shaded, alpha, density = _quantities_from_samples(
+                params, samples_, imp_, lut_, pos_, dirs_, cam_pos_
+            )
+            return (shaded, alpha), density
+
+        ((shaded, alpha), density), fvjp = jax.vjp(
+            f, samples, imp, lut, pos, dirs, cam_pos, has_aux=False
+        )
+        # jax.vjp without has_aux: f returns ((shaded, alpha), density); we
+        # need cotangents for all outputs — density cotangent is zero.
         m = _contribute_mask(
-            params, importance, density, imp, origin, dirs, entry, exit_, acc_a, k
+            params, importance, density, imp, pos, dirs, t, exit_, acc_a
         )
         beta = alpha * m
         t_k = 1.0 - acc_a  # prefix transmittance, reconstructed
@@ -180,16 +268,56 @@ def _march_bwd(params: RenderParams, res, g):
         )
         d_alpha = jnp.where(m, d_beta, 0.0)
 
-        step_grads = f_vjp((d_c, d_alpha))
-        grads = jax.tree_util.tree_map(jnp.add, grads, step_grads)
-        return (new_acc_c, new_acc_a, grads), None
+        dsamples, dimp_s, dlut_g, dpos_h, ddirs_h, dcam_g = fvjp(
+            ((d_c, d_alpha), jnp.zeros_like(density))
+        )
+
+        # volume / importance grads: scatter into the carried grids
+        dvol = scatter_into(dvol, taps, dsamples)
+        dimp = scatter_nearest(dimp, pos, dimp_s)
+        dlut = dlut + dlut_g
+
+        # position grads through the sampling itself (trilinear only;
+        # nearest sampling is piecewise constant in position)
+        if trilinear:
+            _, svjp = jax.vjp(lambda taps_: sample_fn(volume, taps_), taps)
+            (dtaps,) = svjp(dsamples)
+        else:
+            dtaps = jnp.zeros_like(taps)
+
+        # chain tap cotangents to (pos, dirs): tap = pos + dirs*off_ray + const
+        dpos = dpos_h + jnp.sum(dtaps, axis=1)
+        ddirs_step = ddirs_h + jnp.sum(dtaps * tap_ray_off[None, :, None], axis=1)
+
+        # pos = origin + dirs * t, t = entry + k*step
+        dorigin = dorigin + jnp.sum(dpos, axis=0)
+        ddirs = ddirs + dpos * t[:, None] + ddirs_step
+        dentry = dentry + jnp.sum(dpos * dirs, axis=-1)
+        dcam = dcam + dcam_g
+
+        return (new_acc_c, new_acc_a, dvol, dimp, dlut, dorigin, ddirs, dentry, dcam), None
 
     r = dirs.shape[0]
-    init = (jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.float32), zeros_like)
-    (_, _, grads), _ = jax.lax.scan(body, init, jnp.arange(num_steps, dtype=jnp.float32))
-    d_volume, d_importance, d_lut, d_origin, d_dirs, d_entry, d_cam = grads
+    init = (
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros_like(volume),
+        jnp.zeros_like(importance),
+        jnp.zeros_like(lut),
+        jnp.zeros_like(origin),
+        jnp.zeros_like(dirs),
+        jnp.zeros_like(entry),
+        jnp.zeros_like(cam_pos),
+    )
+    (_, _, dvol, dimp, dlut, dorigin, ddirs, dentry, dcam), _ = jax.lax.scan(
+        body, init, jnp.arange(num_steps, dtype=jnp.float32)
+    )
     d_exit = jnp.zeros_like(exit_)  # enters through masks only
-    return (d_volume, d_importance, d_lut, d_origin, d_dirs, d_entry, d_exit, d_cam)
+    return (dvol, dimp, dlut, dorigin, ddirs, dentry, d_exit, dcam)
+
+
+def scatter_nearest(acc, pos, g):
+    return interp.scatter_nearest_into(acc, pos, g)
 
 
 march_fixed.defvjp(_march_fwd, _march_bwd)

@@ -55,6 +55,13 @@ def blinn_phong(sample_fn, pos, color, camera_position):
     white specular; unshaded colour where the gradient vanishes.
     """
     g = compute_gradient(sample_fn, pos)
+    return blinn_phong_from_gradient(g, pos, color, camera_position)
+
+
+def blinn_phong_from_gradient(g, pos, color, camera_position):
+    """Blinn-Phong given a precomputed (unnormalised) gradient — used by the
+    replay backward, which obtains the gradient from the step's tap samples
+    rather than fresh texture fetches."""
     n, nonzero = safe_normalize(g)
 
     light = jnp.asarray(LIGHT_DIR, jnp.float32)
