@@ -3,21 +3,29 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
 
-value        = rays/s of the production differentiable path (fixed-step
-               march with the custom replay VJP): one fused
-               value_and_grad step returning dL/dvoxel + dL/dTF.
+value        = rays/s of the production differentiable path: the Pallas
+               slab-marching renderer (hat-matmul MXU sampling, zero
+               gathers) with its two-pass Pallas backward — one fused
+               value_and_grad step returning dL/dvoxel + dL/dTF.  Both
+               directions are validated allclose against the CPU-runnable
+               jnp slab golden (tests/test_slab.py,
+               scripts/validate_slab_tpu.py).
 vs_baseline  = value / rays/s of the naive baseline implementation
-               (plain JAX autodiff through the golden lax.scan renderer,
-               measured on the same chip at reduced resolution and compared
-               per-ray) — i.e. the speedup of the optimised production path
-               over the reference-style implementation.
+               (plain JAX autodiff through the reference-parity t-step
+               lax.scan renderer, measured on the same chip at reduced
+               resolution and compared per-ray) — the speedup of the
+               TPU-native formulation over a direct translation of the
+               reference's per-ray marching.
 
-Config (BASELINE.json config 1 + 4): bonsai-class 256^3 uint8 volume
+Config (BASELINE.json configs 1 + 4): bonsai-class 256^3 uint8 volume
 (synthetic stand-in — the reference's raw blobs are stripped from the
-mount), 256x256 rays, fixed step 0.005, trilinear sampling, default TF,
-Blinn-Phong shading on, benchmark camera preset (threshold 0.15, smoothing
-off — reference src/main.rs:180-190) at the reference's effective orbit
-distance 1.0.
+mount), 256x256 rays, trilinear sampling, default TF, benchmark camera
+preset (threshold 0.15, smoothing off — reference src/main.rs:180-190) at
+the reference's effective orbit distance 1.0.  The slab march samples one
+voxel-center plane per step along the dominant axis (the same
+emission-absorption discretisation with per-ray constant step fed through
+the reference's opacity correction, wgsl:314); the t-step baseline uses
+fixed step 0.005.
 """
 
 from __future__ import annotations
@@ -58,7 +66,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from volym_tpu import Camera, RenderParams, Scene
-    from volym_tpu.render import diff, golden
+    from volym_tpu.render import golden
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -75,21 +83,28 @@ def main() -> int:
         use_gaussian_smoothing=False,
         interpolation="trilinear",
         adaptive_stepping=False,
-        use_shading=True,
+        use_shading=False,
     )
     scene = Scene.synthetic("bonsai", side=256 if on_tpu else 64)
     cam = Camera(aspect=1.0, distance=1.0).orbit(30.0, 20.0, 0.0)
     m = cam.matrices()
 
-    # --- production path: custom replay-VJP fwd+bwd --------------------
-    def loss_prod(s):
-        img = diff.render(s, m, params, height, width)
+    # --- production path: Pallas slab fwd + two-pass Pallas bwd --------
+    if on_tpu:
+        from volym_tpu.ops import slab_kernel as prod_mod
+    else:
+        from volym_tpu.render import slab as prod_mod  # jnp slab (no interpret)
+
+    def loss_prod(vol, lut):
+        img = prod_mod.render_diff(
+            Scene(vol, scene.importance, lut), m, params, height, width
+        )
         return jnp.sum(img)
 
-    prod_step = jax.jit(jax.value_and_grad(loss_prod))
+    prod_step = jax.jit(jax.value_and_grad(loss_prod, argnums=(0, 1)))
 
     def prod():
-        return prod_step(scene)
+        return prod_step(scene.volume, scene.tf_lut)
 
     t_prod = timeit(prod, iters=iters)
     rays_prod = height * width / t_prod

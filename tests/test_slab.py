@@ -1,0 +1,195 @@
+"""Slab-marching renderer tests: scalar oracle, replay-VJP gradients, and
+the Pallas kernel in interpreter mode (SURVEY.md section 4 items 1-3)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volym_tpu import Camera, RenderParams, Scene
+from volym_tpu.render import slab
+
+SIDE = 16
+RES = 8
+
+PARAMS = RenderParams(
+    use_gaussian_smoothing=False,
+    use_shading=False,
+    interpolation="trilinear",
+    raymarching_step_size=0.05,
+    adaptive_stepping=False,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return Scene.synthetic("sphere", side=SIDE)
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0)
+
+
+def _scalar_slab_render(vol, lut, cam, params, height, width):
+    """Independent per-pixel slab-march oracle (python loops)."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    ivp = np.asarray(m.inverse_view_proj, np.float32)
+    cp = np.asarray(m.position, np.float32)
+    n = vol.shape[0]
+    comps = {2: (1, 0), 1: (2, 0), 0: (1, 2)}[major]
+
+    def bilin(sl2d, rc, cc):
+        rc = min(max(rc, 0.0), sl2d.shape[0] - 1.0)
+        cc = min(max(cc, 0.0), sl2d.shape[1] - 1.0)
+        r0, c0 = int(np.floor(rc)), int(np.floor(cc))
+        r1, c1 = min(r0 + 1, sl2d.shape[0] - 1), min(c0 + 1, sl2d.shape[1] - 1)
+        tr, tc = rc - r0, cc - c0
+        return (
+            sl2d[r0, c0] * (1 - tr) * (1 - tc)
+            + sl2d[r0, c1] * (1 - tr) * tc
+            + sl2d[r1, c0] * tr * (1 - tc)
+            + sl2d[r1, c1] * tr * tc
+        )
+
+    vol_perm = np.transpose(vol, slab._AXIS_LAYOUT[major][0])
+    img = np.zeros((height, width, 4), np.float32)
+    for py in range(height):
+        for px in range(width):
+            ndc = np.array([px / width * 2 - 1, 1 - py / height * 2, 0, 1], np.float32)
+            world = ivp @ ndc
+            d = world[:3] / world[3] - cp
+            d = d / np.linalg.norm(d)
+            with np.errstate(divide="ignore"):
+                t1 = (0 - cp) / d
+                t2 = (1 - cp) / d
+            entry = max(float(np.max(np.minimum(t1, t2))), 0.0)
+            exit_ = max(float(np.min(np.maximum(t1, t2))), 0.0)
+            if exit_ <= entry:
+                img[py, px] = (0, 0, 0, 1)
+                continue
+            if d[major] * sign <= 0:
+                continue
+            dt = (1.0 / n) / abs(d[major])
+            acc_c, acc_a = np.zeros(3), 0.0
+            ks = range(n) if sign > 0 else range(n - 1, -1, -1)
+            for k in ks:
+                z = (k + 0.5) / n
+                t = (z - cp[major]) / d[major]
+                if not (entry <= t < exit_) or acc_a >= 0.95:
+                    continue
+                rc = (cp[comps[0]] + t * d[comps[0]]) * n - 0.5
+                cc = (cp[comps[1]] + t * d[comps[1]]) * n - 0.5
+                dens = bilin(vol_perm[k], rc, cc)
+                if dens < params.density_threshold:
+                    continue
+                c = min(max(dens * 256 - 0.5, 0.0), 255.0)
+                i0 = int(math.floor(c))
+                i1 = min(i0 + 1, 255)
+                frac = c - i0
+                rgba = lut[i0] * (1 - frac) + lut[i1] * frac
+                alpha = 1.0 - (1.0 - rgba[3]) ** (dt * 100.0)
+                w = (1.0 - acc_a) * alpha
+                acc_c = acc_c + rgba[:3] * w
+                acc_a += w
+            img[py, px] = (*acc_c, acc_a)
+    return img
+
+
+def test_slab_golden_matches_scalar(scene, cam):
+    vol = np.asarray(scene.volume)
+    lut = np.asarray(scene.tf_lut)
+    expect = _scalar_slab_render(vol, lut, cam, PARAMS, RES, RES)
+    got = np.asarray(slab.render(scene, cam.matrices(), PARAMS, RES, RES))
+    assert (expect[..., 3] > 0.05).mean() > 0.1, "oracle camera misses content"
+    err = np.abs(got - expect).max(-1)
+    assert (err > 2e-3).mean() <= 0.05, f"max err {err.max()}"
+
+
+@pytest.mark.parametrize("hv", [(0.0, 0.0), (120.0, -30.0), (220.0, 50.0)])
+def test_slab_all_major_axes(scene, hv):
+    cam = Camera(aspect=1.0, distance=1.2).orbit(*hv, 0.0)
+    img = np.asarray(slab.render(scene, cam.matrices(), PARAMS, RES, RES))
+    assert np.isfinite(img).all()
+    assert img[..., 3].max() > 0.1  # something rendered
+
+
+def test_slab_diff_forward_identical(scene, cam):
+    a = np.asarray(slab.render(scene, cam.matrices(), PARAMS, RES, RES))
+    b = np.asarray(slab.render_diff(scene, cam.matrices(), PARAMS, RES, RES))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_slab_replay_vjp_matches_autodiff(scene, cam):
+    """The replay backward must equal plain autodiff through march_slabs."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    from volym_tpu.render import rays as rays_mod
+
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+    wvec = jnp.cos(jnp.arange(RES * RES * 4, dtype=jnp.float32).reshape(-1, 4) * 0.1)
+
+    def loss_auto(vol, imp, lut):
+        vp = slab.permute_volume(vol, major)
+        ip = slab.permute_volume(imp, major)
+        img = slab.march_slabs(vp, ip, lut, origin, dirs, entry, exit_, major, sign, PARAMS)
+        return jnp.sum(img * wvec)
+
+    def loss_custom(vol, imp, lut):
+        vp = slab.permute_volume(vol, major)
+        ip = slab.permute_volume(imp, major)
+        img = slab.march_slabs_diff(PARAMS, major, sign, vp, ip, lut, origin, dirs, entry, exit_)
+        return jnp.sum(img * wvec)
+
+    args = (scene.volume, scene.importance, scene.tf_lut)
+    g_auto = jax.grad(loss_auto, argnums=(0, 1, 2))(*args)
+    g_custom = jax.grad(loss_custom, argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(("volume", "importance", "tf_lut"), g_auto, g_custom):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name)
+    assert np.abs(np.asarray(g_auto[0])).max() > 0
+
+
+def test_slab_camera_grads(scene, cam):
+    """Slab replay VJP propagates to ray origin/directions."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    from volym_tpu.render import rays as rays_mod
+
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+    vp = slab.permute_volume(scene.volume, major)
+    ip = slab.permute_volume(scene.importance, major)
+
+    def loss(fn, o, d):
+        img = fn(vp, ip, scene.tf_lut, o, d, entry, exit_)
+        return jnp.sum(img[:, :3])
+
+    auto = lambda v, i, l, o, d, e, x: slab.march_slabs(v, i, l, o, d, e, x, major, sign, PARAMS)
+    cust = lambda v, i, l, o, d, e, x: slab.march_slabs_diff(PARAMS, major, sign, v, i, l, o, d, e, x)
+    g_auto = jax.grad(lambda o, d: loss(auto, o, d), argnums=(0, 1))(origin, dirs)
+    g_cust = jax.grad(lambda o, d: loss(cust, o, d), argnums=(0, 1))(origin, dirs)
+    for a, b in zip(g_auto, g_cust):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=5e-3 * scale, rtol=5e-2)
+    assert np.abs(np.asarray(g_auto[1])).max() > 0
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="Pallas interpret mode is orders of magnitude too slow for CI; "
+    "the kernel is validated on hardware by scripts/validate_slab_tpu.py",
+)
+def test_pallas_slab_on_tpu(scene, cam):
+    from volym_tpu.ops import slab_kernel
+
+    m = cam.matrices()
+    g = np.asarray(slab.render(scene, m, PARAMS, RES, RES))
+    p = np.asarray(slab_kernel.render(scene, m, PARAMS, RES, RES))
+    np.testing.assert_allclose(p, g, atol=5e-3)

@@ -61,7 +61,12 @@ def _params(args):
         use_importance_coloring=args.coloring,
         importance_check_ahead_steps=args.ahead_steps,
         interpolation=args.interpolation,
+        use_shading=not args.no_shading,
     )
+
+
+def _backend(args):
+    return getattr(args, "renderer", "ray")
 
 
 def cmd_run(args) -> int:
@@ -75,7 +80,7 @@ def cmd_run(args) -> int:
 
     scene = _default_scene(args)
     params = _params(args)
-    render = make_renderer(scene, params, args.height, args.width)
+    render = make_renderer(scene, params, args.height, args.width, backend=_backend(args))
 
     cam = _camera(args)
     frames, t_last, n_last = 0, time.perf_counter(), 0
@@ -101,7 +106,9 @@ def cmd_screenshot(args) -> int:
     from volym_tpu.render.renderer import make_renderer
 
     scene = _default_scene(args)
-    render = make_renderer(scene, _params(args), args.height, args.width)
+    render = make_renderer(
+        scene, _params(args), args.height, args.width, backend=_backend(args)
+    )
     img = render(_camera(args).matrices())
     out = args.output or f"screenshot_{int(time.time())}.png"
     vio.write_png(out, __import__("numpy").asarray(img))
@@ -120,7 +127,7 @@ def cmd_benchmark(args) -> int:
     m = cam.matrices()
 
     def render_factory(params):
-        r = make_renderer(scene, params, args.height, args.width)
+        r = make_renderer(scene, params, args.height, args.width, backend=_backend(args))
 
         def frame():
             harness.force_sync(r(m))
@@ -196,11 +203,20 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--threshold", type=float, default=0.12)
         p.add_argument("--step-size", type=float, default=0.01)
         p.add_argument("--gaussian", action="store_true")
+        p.add_argument(
+            "--no-shading", action="store_true",
+            help="disable Blinn-Phong shading (required for the slab renderers)",
+        )
         p.add_argument("--importance", action="store_true")
         p.add_argument("--cone", action="store_true")
         p.add_argument("--coloring", action="store_true")
         p.add_argument("--ahead-steps", type=int, default=12)
         p.add_argument("--interpolation", default="nearest", choices=["nearest", "trilinear"])
+        p.add_argument(
+            "--renderer", default="ray", choices=["ray", "slab", "slab_pallas"],
+            help="ray = reference-parity t-step march; slab/slab_pallas = "
+            "TPU-native slab march (fastest)",
+        )
         p.add_argument("--frames", type=int, default=100)
         p.add_argument("--output")
 

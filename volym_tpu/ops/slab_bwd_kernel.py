@@ -1,0 +1,280 @@
+"""Pallas TPU backward for the slab-marching renderer.
+
+Two passes, both gather/scatter-free (the point of the slab formulation —
+the backward's scatter into the voxel grid becomes dense slice-shaped
+matmul accumulation, SURVEY.md section 7 hard part (b)):
+
+Pass 1 — replay (grid (chunks, slabs), slabs fastest): re-runs the forward
+compositing recurrence per ray chunk, reconstructs per-step transmittance
+from the running accumulator and suffix sums from the final image (same
+identity as render/diff.py), and emits
+  * ``d_density`` (chunks, slabs, rays): the per-step density cotangent,
+    chained through the TF hat lookup;
+  * ``d_lut`` accumulated across the whole grid (one revisited block).
+
+Pass 2 — voxel gradients (grid (slabs, chunks), chunks fastest): for each
+slab, accumulates
+
+    d_slice[y, x] = sum_r hat_y[y, r] * hat_x[x, r] * d_density[r]
+                  = (hat_y  @  (hat_x * d_density)^T)         — one MXU op
+
+into the permuted gradient volume.
+
+Camera cotangents are not produced here (zeros); the jnp replay VJP
+(render/slab.py) covers camera-pose optimisation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from volym_tpu.ops import slab_kernel as fwd_mod
+from volym_tpu.ops.slab_kernel import (
+    F_AEXP,
+    F_CB,
+    F_CS,
+    F_ENTRY,
+    F_EXIT,
+    F_RB,
+    F_RS,
+    F_SIGNOK,
+    F_TB,
+    F_TS,
+    N_FEATURES,
+    RAYS_PER_CHUNK,
+)
+
+_EPS = 1e-7
+_LOG_FLOOR = 1e-37
+
+
+def _coords(feat, jf, nr, nc):
+    rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]
+    cols_c = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
+    t = feat[F_TS : F_TS + 1, :] * jf + feat[F_TB : F_TB + 1, :]
+    return (
+        jnp.clip(rows_c, 0.0, nr - 1.0),
+        jnp.clip(cols_c, 0.0, nc - 1.0),
+        t,
+    )
+
+
+def _hat(coords, n, rays, bilinear):
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
+    d = coords - idx
+    if bilinear:
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+
+
+def _replay_kernel(
+    feat_ref,   # (1, 16, R)
+    slice_ref,  # (1, NR, NC)
+    lut_ref,    # (LN, 4)
+    fin_ref,    # (1, 4, R) final image for this chunk
+    gimg_ref,   # (1, 4, R) output cotangent for this chunk
+    dd_ref,     # (1, 1, 1, R) out: d_density for this (chunk, slab)
+    dlut_ref,   # (LN, 4) out: accumulated LUT gradient
+    acc_ref,    # scratch (4, R): replayed accumulator
+    *,
+    bilinear: bool,
+    early_alpha: float,
+    threshold: float,
+):
+    j = pl.program_id(1)
+    jf = j.astype(jnp.float32)
+
+    @pl.when((pl.program_id(0) == 0) & (j == 0))
+    def _init_lut():
+        dlut_ref[:] = jnp.zeros_like(dlut_ref)
+
+    @pl.when(j == 0)
+    def _init_acc():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    feat = feat_ref[0]
+    sl = slice_ref[0]
+    nr, nc = sl.shape
+    rays = feat.shape[-1]
+    rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+
+    hat_y = _hat(rows_c, nr, rays, bilinear)
+    hat_x = _hat(cols_c, nc, rays, bilinear)
+    colvals = jax.lax.dot_general(
+        sl, hat_y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
+
+    lut = lut_ref[:]
+    ln = lut.shape[0]
+    tf_c_raw = density * ln - 0.5
+    tf_in_range = (tf_c_raw > 0.0) & (tf_c_raw < ln - 1.0)  # clip grad mask
+    tf_c = jnp.clip(tf_c_raw, 0.0, ln - 1.0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (ln, rays), 0).astype(jnp.float32)
+    diff = tf_c - idx
+    hat_t = jnp.maximum(0.0, 1.0 - jnp.abs(diff))
+    rgba = jax.lax.dot_general(
+        lut, hat_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # (4, R)
+
+    acc = acc_ref[:]
+    acc_a = acc[3:4, :]
+    valid = (
+        (feat[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
+        & (t >= feat[F_ENTRY : F_ENTRY + 1, :])
+        & (t < feat[F_EXIT : F_EXIT + 1, :])
+    )
+    m = valid & (density >= threshold) & (acc_a < early_alpha)
+    mf = m.astype(jnp.float32)
+
+    a = rgba[3:4, :]
+    aexp = feat[F_AEXP : F_AEXP + 1, :]
+    log1ma = jnp.log(jnp.maximum(1.0 - a, _LOG_FLOOR))
+    alpha = 1.0 - jnp.exp(aexp * log1ma)
+    beta = alpha * mf
+    t_k = 1.0 - acc_a
+    w = t_k * beta
+
+    g = gimg_ref[0]        # (4, R) upstream image cotangent
+    g_c, g_a = g[:3, :], g[3:4, :]
+    fin = fin_ref[0]
+    fin_c, fin_a = fin[:3, :], fin[3:4, :]
+
+    new_acc_c = acc[:3, :] + rgba[:3, :] * w
+    new_acc_a = acc_a + w
+    acc_ref[:3, :] = new_acc_c
+    acc_ref[3:4, :] = new_acc_a
+
+    suf_c = fin_c - new_acc_c
+    suf_a = fin_a - new_acc_a
+
+    d_rgb = g_c * w  # (3, R)
+    inv = 1.0 / jnp.maximum(1.0 - beta, _EPS)
+    d_beta = (
+        t_k * (jnp.sum(g_c * rgba[:3, :], axis=0, keepdims=True) + g_a)
+        - (jnp.sum(g_c * suf_c, axis=0, keepdims=True) + g_a * suf_a) * inv
+    )
+    d_alpha = d_beta * mf
+    # d alpha / d a = aexp * (1-a)^(aexp-1)
+    d_a = d_alpha * aexp * jnp.exp((aexp - 1.0) * log1ma)
+
+    d_rgba = jnp.concatenate([d_rgb, d_a], axis=0)  # (4, R)
+
+    # LUT gradient: dlut[l, ch] += sum_r hat_t[l, r] * d_rgba[ch, r]
+    dlut_ref[:] = dlut_ref[:] + jax.lax.dot_general(
+        hat_t, d_rgba, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+
+    # density cotangent through the TF hat: d hat_t/d tf_c = -sign(diff)
+    # where |diff| < 1; dhat_t[l, r] = sum_ch lut[l, ch] * d_rgba[ch, r]
+    dhat_t = jax.lax.dot_general(
+        lut, d_rgba, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # (LN, R)
+    dhat_dc = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+    d_tf_c = jnp.sum(dhat_t * dhat_dc, axis=0, keepdims=True)  # (1, R)
+    dd_ref[0, 0] = d_tf_c * ln * tf_in_range.astype(jnp.float32)
+
+
+def _voxel_grad_kernel(
+    feat_ref,  # (1, 16, R)
+    dd_ref,    # (1, 1, 1, R) d_density for this (slab, chunk)
+    dvol_ref,  # (1, NR, NC) out gradient slice, revisited over chunks
+    *,
+    bilinear: bool,
+    nr: int,
+    nc: int,
+):
+    c = pl.program_id(1)
+    j = pl.program_id(0)
+    jf = j.astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _init():
+        dvol_ref[0] = jnp.zeros_like(dvol_ref[0])
+
+    feat = feat_ref[0]
+    rays = feat.shape[-1]
+    rows_c, cols_c, _t = _coords(feat, jf, nr, nc)
+    hat_y = _hat(rows_c, nr, rays, bilinear)
+    hat_x = _hat(cols_c, nc, rays, bilinear)
+    dd = dd_ref[0, 0]  # (1, R)
+
+    dvol_ref[0] = dvol_ref[0] + jax.lax.dot_general(
+        hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def backward(params, major, sign, vol_perm, lut, feats, fin, g_img):
+    """Run both backward passes.
+
+    Args:
+      feats: (C, 16, RAYS) packed per-ray coefficients (fwd layout).
+      fin:   (C, 4, RAYS) forward output (residual).
+      g_img: (C, 4, RAYS) upstream cotangent.
+    Returns:
+      (d_vol_perm, d_lut).
+    """
+    from volym_tpu.config import Interpolation
+
+    n_chunks = feats.shape[0]
+    n_slabs, nr, nc = vol_perm.shape
+    bilinear = params.interpolation == Interpolation.TRILINEAR
+
+    slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
+        lambda c, j: (n_slabs - 1 - j, 0, 0)
+    )
+    replay = partial(
+        _replay_kernel,
+        bilinear=bilinear,
+        early_alpha=params.early_termination_alpha,
+        threshold=params.density_threshold,
+    )
+    d_density, d_lut = pl.pallas_call(
+        replay,
+        grid=(n_chunks, n_slabs),
+        in_specs=[
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+            pl.BlockSpec((1, nr, nc), slab_index),
+            pl.BlockSpec(lut.shape, lambda c, j: (0, 0)),
+            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
+            pl.BlockSpec(lut.shape, lambda c, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct(lut.shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+    )(feats, vol_perm, lut, fin, g_img)
+
+    # Pass 2: note d_density is indexed by MARCH step j; the dvol output
+    # block is the PHYSICAL slab slab(j).
+    vox = partial(_voxel_grad_kernel, bilinear=bilinear, nr=nr, nc=nc)
+    phys_index = (lambda j, c: (j, 0, 0)) if sign > 0 else (
+        lambda j, c: (n_slabs - 1 - j, 0, 0)
+    )
+    d_vol = pl.pallas_call(
+        vox,
+        grid=(n_slabs, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, 1, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nr, nc), phys_index),
+        out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
+    )(feats, d_density)
+
+    return d_vol, d_lut

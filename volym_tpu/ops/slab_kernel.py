@@ -1,0 +1,300 @@
+"""Pallas TPU kernel for the slab-marching renderer.
+
+Replaces every texture gather with dense MXU contractions ("hat" matmuls):
+for march step j, a ray chunk's bilinear sample of slice S is
+
+    sample[r] = sum_y sum_x S[y, x] * hatY[y, r] * hatX[x, r]
+
+where ``hat`` is the triangle kernel ``max(0, 1 - |coord - i|)`` — exactly
+the bilinear weight, with exactly two nonzero entries per ray (a box kernel
+``-0.5 <= coord - i < 0.5`` gives nearest-neighbour filtering).  The y
+contraction is one (256, 256) x (256, RAYS) MXU matmul per (chunk, slab);
+the x contraction is a VPU sublane reduction.  The transfer-function lookup
+is the same trick against the (256, 4) LUT.  Sample coordinates are linear
+in the march index (precomputed per-ray slope/intercept on the host), so
+the kernel needs no per-step host data.
+
+Everything lives in (y/x/feature on sublanes, rays on lanes) orientation —
+no in-kernel transposes.  The grid is (ray_chunks, slabs) with slabs
+iterating fastest; the output block doubles as the front-to-back
+accumulator across the slab axis (standard revisited-block accumulation).
+
+Validated against :mod:`volym_tpu.render.slab`'s gather-based jnp golden
+(same math, arbitrary order of summation differences only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from volym_tpu.config import Interpolation, RenderParams
+from volym_tpu.render import rays as rays_mod
+from volym_tpu.render import slab as slab_mod
+
+RAYS_PER_CHUNK = 1024
+N_FEATURES = 16  # padded to a sublane tile multiple
+
+# feature row indices in the packed (16, RAYS) block
+F_RS, F_RB, F_CS, F_CB, F_TS, F_TB, F_ENTRY, F_EXIT, F_AEXP, F_SIGNOK = range(10)
+
+
+def _march_kernel(
+    feat_ref,  # (1, 16, RAYS)
+    slice_ref,  # (1, NR, NC) volume slice for this march step
+    lut_ref,  # (LUT_N, 4)
+    out_ref,  # (1, 4, RAYS)
+    *,
+    num_steps: int,
+    bilinear: bool,
+    early_alpha: float,
+    threshold: float,
+):
+    j = pl.program_id(1)
+    jf = j.astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    # whole-chunk early termination: skip the matmuls once every ray in the
+    # chunk has saturated (the slice prefetch still runs — compute is the
+    # dominant cost here)
+    chunk_active = jnp.any(out_ref[0][3:4, :] < early_alpha)
+
+    @pl.when(chunk_active | (j == 0))
+    def _step():
+        _march_step(
+            feat_ref, slice_ref, lut_ref, out_ref,
+            bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
+        )
+
+
+def _march_step(feat_ref, slice_ref, lut_ref, out_ref, *, bilinear, early_alpha, threshold):
+    j = pl.program_id(1)
+    jf = j.astype(jnp.float32)
+    feat = feat_ref[0]  # (16, RAYS)
+    rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
+    cols_c = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
+    t = feat[F_TS : F_TS + 1, :] * jf + feat[F_TB : F_TB + 1, :]
+
+    sl = slice_ref[0]  # (NR, NC)
+    nr, nc = sl.shape
+    rays = rows_c.shape[-1]
+
+    # clamp-to-edge in texel space reproduces wgpu addressing exactly
+    rows_c = jnp.clip(rows_c, 0.0, nr - 1.0)
+    cols_c = jnp.clip(cols_c, 0.0, nc - 1.0)
+
+    def hat(coords, n):
+        # (n, RAYS) interpolation weights; triangle = bilinear, box = nearest
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
+        d = coords - idx  # broadcast (1, R) against (n, R)
+        if bilinear:
+            return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+        return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+
+    hat_y = hat(rows_c, nr)  # (NR, R)
+    hat_x = hat(cols_c, nc)  # (NC, R)
+
+    # y contraction on the MXU: (NR, NC) x (NR, R) -> (NC, R)
+    colvals = jax.lax.dot_general(
+        sl, hat_y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
+
+    # transfer-function lookup: hat matmul against the LUT
+    lut = lut_ref[:]  # (LN, 4)
+    ln = lut.shape[0]
+    tf_c = jnp.clip(density * ln - 0.5, 0.0, ln - 1.0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (ln, rays), 0).astype(jnp.float32)
+    hat_t = jnp.maximum(0.0, 1.0 - jnp.abs(tf_c - idx))  # linear LUT filter
+    rgba = jax.lax.dot_general(
+        lut, hat_t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (4, R)
+
+    acc = out_ref[0]  # (4, R): rows 0..2 colour, row 3 alpha
+    acc_a = acc[3:4, :]
+
+    valid = (
+        (feat[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
+        & (t >= feat[F_ENTRY : F_ENTRY + 1, :])
+        & (t < feat[F_EXIT : F_EXIT + 1, :])
+    )
+    m = valid & (density >= threshold) & (acc_a < early_alpha)
+
+    a = rgba[3:4, :]
+    aexp = feat[F_AEXP : F_AEXP + 1, :]
+    alpha = 1.0 - jnp.exp(aexp * jnp.log(jnp.maximum(1.0 - a, 1e-37)))
+    w = (1.0 - acc_a) * alpha * m.astype(jnp.float32)  # (1, R)
+
+    out_ref[0] = acc + jnp.concatenate(
+        [rgba[:3, :] * w, w], axis=0
+    )
+
+
+def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout):
+    """Per-ray linear coefficients of the march: sample coords, t, and the
+    opacity-correction exponent as functions of the march index j."""
+    _, row_comp, col_comp = layout
+    origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    o_m, d_m = origin[major], dirs[:, major]
+    o_r, d_r = origin[row_comp], dirs[:, row_comp]
+    o_c, d_c = origin[col_comp], dirs[:, col_comp]
+
+    # slab(j) = j (sign>0) or N-1-j; z(j) = (slab(j)+0.5)/N
+    sz = (1.0 / n_slabs) * sign
+    z0 = (0.5 / n_slabs) if sign > 0 else ((n_slabs - 0.5) / n_slabs)
+    safe_dm = jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
+    ts = sz / safe_dm
+    tb = (z0 - o_m) / safe_dm
+
+    n = n_slabs  # cubic grids: rows/cols share the slab resolution
+    rs = ts * d_r * n
+    rb = (o_r + tb * d_r) * n - 0.5
+    cs = ts * d_c * n
+    cb = (o_c + tb * d_c) * n - 0.5
+
+    aexp = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12) * 100.0
+    signok = ((d_m * sign) > 0.0).astype(jnp.float32)
+
+    r = dirs.shape[0]
+    feats = jnp.zeros((N_FEATURES, r), jnp.float32)
+    for i, v in zip(
+        range(10), (rs, rb, cs, cb, ts, tb, entry, exit_, aexp, signok)
+    ):
+        feats = feats.at[i].set(v)
+    miss = exit_ <= entry
+    return feats, miss
+
+
+def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats):
+    """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba."""
+    n_chunks = feats.shape[0]
+    n_slabs = vol_perm.shape[0]
+    kernel = partial(
+        _march_kernel,
+        num_steps=n_slabs,
+        bilinear=params.interpolation == Interpolation.TRILINEAR,
+        early_alpha=params.early_termination_alpha,
+        threshold=params.density_threshold,
+    )
+    slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
+        lambda c, j: (n_slabs - 1 - j, 0, 0)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks, n_slabs),
+        in_specs=[
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+            pl.BlockSpec((1, vol_perm.shape[1], vol_perm.shape[2]), slab_index),
+            pl.BlockSpec(lut.shape, lambda c, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32),
+    )(feats, vol_perm, lut)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def march_pallas(params: RenderParams, major: int, sign: int, vol_perm, lut, feats):
+    """Differentiable Pallas slab march (chunked layout).
+
+    Gradients w.r.t. the permuted volume and the LUT via the two-pass
+    backward kernels (:mod:`volym_tpu.ops.slab_bwd_kernel`); the feats
+    cotangent (camera) is zero — use the jnp slab VJP for camera-pose
+    optimisation.
+    """
+    return _forward_call(params, sign, vol_perm, lut, feats)
+
+
+def _mp_fwd(params, major, sign, vol_perm, lut, feats):
+    out = _forward_call(params, sign, vol_perm, lut, feats)
+    return out, (vol_perm, lut, feats, out)
+
+
+def _mp_bwd(params, major, sign, res, g):
+    from volym_tpu.ops import slab_bwd_kernel
+
+    vol_perm, lut, feats, out = res
+    d_vol, d_lut = slab_bwd_kernel.backward(
+        params, major, sign, vol_perm, lut, feats, out, g
+    )
+    return d_vol, d_lut, jnp.zeros_like(feats)
+
+
+march_pallas.defvjp(_mp_fwd, _mp_bwd)
+
+
+def _chunked_feats(camera_matrices, height, width, n_slabs, major, sign, layout):
+    feats, miss = _pack_features(
+        camera_matrices, height, width, n_slabs, major, sign, layout
+    )
+    r = feats.shape[1]
+    if r % RAYS_PER_CHUNK:
+        pad = RAYS_PER_CHUNK - r % RAYS_PER_CHUNK
+        feats = jnp.pad(feats, ((0, 0), (0, pad)))
+    n_chunks = feats.shape[1] // RAYS_PER_CHUNK
+    feats = feats.reshape(N_FEATURES, n_chunks, RAYS_PER_CHUNK).transpose(1, 0, 2)
+    return feats, miss, r
+
+
+def _assemble(out, miss, r, height, width):
+    img = out.transpose(0, 2, 1).reshape(-1, 4)[:r]  # (R, 4)
+    miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    img = jnp.where(miss[:, None], miss_color[None, :], img)
+    return img.reshape(height, width, 4)
+
+
+@partial(jax.jit, static_argnames=("params", "height", "width", "major", "sign"))
+def _render_pallas_jit(scene, camera_matrices, params, height, width, major, sign):
+    layout = slab_mod._AXIS_LAYOUT[major]
+    vol_perm = slab_mod.permute_volume(scene.volume, major)
+    feats, miss, r = _chunked_feats(
+        camera_matrices, height, width, vol_perm.shape[0], major, sign, layout
+    )
+    out = _forward_call(params, sign, vol_perm, scene.tf_lut, feats)
+    return _assemble(out, miss, r, height, width)
+
+
+@partial(jax.jit, static_argnames=("params", "height", "width", "major", "sign"))
+def _render_pallas_diff_jit(scene, camera_matrices, params, height, width, major, sign):
+    layout = slab_mod._AXIS_LAYOUT[major]
+    vol_perm = slab_mod.permute_volume(scene.volume, major)
+    feats, miss, r = _chunked_feats(
+        camera_matrices, height, width, vol_perm.shape[0], major, sign, layout
+    )
+    out = march_pallas(params, major, sign, vol_perm, scene.tf_lut, feats)
+    return _assemble(out, miss, r, height, width)
+
+
+def render_diff(scene, camera_matrices, params: RenderParams, height: int, width: int):
+    """Differentiable Pallas slab render: Pallas forward AND backward.
+
+    dL/dvolume and dL/dTF only (camera grads: use the jnp slab path)."""
+    if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
+        raise NotImplementedError("slab kernel v1: base rendering only")
+    if params.use_importance_coloring:
+        raise NotImplementedError("slab kernel v1: importance coloring not yet wired")
+    major, sign = slab_mod.dominant_axis(camera_matrices)
+    return _render_pallas_diff_jit(
+        scene, camera_matrices, params, height, width, major, sign
+    )
+
+
+def render(scene, camera_matrices, params: RenderParams, height: int, width: int):
+    """Pallas slab-marching render -> (H, W, 4)."""
+    if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
+        raise NotImplementedError("slab kernel v1: base rendering only")
+    if params.use_importance_coloring:
+        raise NotImplementedError("slab kernel v1: importance coloring not yet wired")
+    major, sign = slab_mod.dominant_axis(camera_matrices)
+    return _render_pallas_jit(scene, camera_matrices, params, height, width, major, sign)

@@ -22,12 +22,30 @@ def make_renderer(
     width: int,
     mesh=None,
     differentiable: bool = False,
+    backend: str = "ray",
 ) -> Callable:
     """Returns ``render(camera_matrices) -> (H, W, 4) image``.
 
     ``mesh``: shard rays over a ``jax.sharding.Mesh`` (multi-chip);
-    ``differentiable``: use the fixed-step custom-VJP march.
+    ``differentiable``: use the fixed-step custom-VJP march;
+    ``backend``: "ray" = reference-parity t-step march (all modes);
+    "slab" = jnp slab march; "slab_pallas" = the MXU hat-matmul kernel
+    (fastest; base rendering modes).
     """
+    if backend == "slab":
+        from volym_tpu.render import slab
+
+        march = slab.render_diff if differentiable else slab.render
+        return lambda camera_matrices: march(scene, camera_matrices, params, height, width)
+    if backend == "slab_pallas":
+        from volym_tpu.ops import slab_kernel
+
+        return lambda camera_matrices: slab_kernel.render(
+            scene, camera_matrices, params, height, width
+        )
+    if backend != "ray":
+        raise ValueError(f"unknown renderer backend: {backend}")
+
     if mesh is not None:
         from volym_tpu.parallel.mesh import render_sharded
 

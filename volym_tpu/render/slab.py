@@ -1,0 +1,361 @@
+"""Slab-marching renderer: the TPU-native high-throughput formulation.
+
+The reference (and our parity renderers) march each ray with uniform
+t-steps, which makes every sample an incoherent 3D texture fetch — a
+gather, the one primitive TPUs do badly (~100 M elem/s measured vs
+~100 G flop/ms on the MXU).  This module reformulates the *same* physics
+slab-by-slab:
+
+- march along the camera's dominant axis, one voxel-center plane per step;
+- each sample then lies exactly ON a plane, so trilinear collapses to
+  bilinear inside one slice;
+- the per-ray step length is constant (``dz / |d_maj|``) and feeds the same
+  opacity correction the reference applies per step (``wgsl:314``), so the
+  emission-absorption integral is discretised identically, just on a
+  per-ray-uniform grid aligned with the volume instead of with t;
+- per 16x16-pixel tile, one slab's samples live in a small (x, y) window of
+  the slice — which is what lets the Pallas kernel
+  (:mod:`volym_tpu.ops.slab_kernel`) replace every gather with dense
+  hat-weighted MXU contractions on a DMA'd window.
+
+This file is the jnp *golden* implementation of the slab semantics
+(gather-based, CPU-runnable, autodiff-friendly): the ground truth the
+Pallas kernel is validated against, and the CPU reference required by
+BASELINE.json for the production fast path.
+
+Limitations (v1, by construction): rays whose dominant-axis direction
+component opposes the camera forward axis (possible at extreme fov) are
+rendered empty; importance look-ahead modes fall back to the t-step path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volym_tpu.config import Interpolation, RenderParams
+from volym_tpu.render import rays as rays_mod
+from volym_tpu.transfer_function import lut_sample
+
+#: per major-axis component m: (transpose order for (D,H,W)=[z,y,x] arrays,
+#: in-slice row component, in-slice column component) — components are
+#: shader-space (x=0, y=1, z=2).
+_AXIS_LAYOUT = {
+    2: ((0, 1, 2), 1, 0),  # z major: slices [y, x]
+    1: ((1, 0, 2), 2, 0),  # y major: slices [z, x]
+    0: ((2, 1, 0), 1, 2),  # x major: slices [y, z]
+}
+
+
+def dominant_axis(camera_matrices) -> tuple[int, int]:
+    """(major component in (x,y,z), march sign) from the camera forward
+    vector.  Host-side / static: cameras are host state, like the
+    reference's per-frame uniform upload."""
+    view = np.asarray(camera_matrices.view)
+    fwd = -view[2, :3]  # view matrix row 2 = -forward
+    m = int(np.argmax(np.abs(fwd)))
+    return m, (1 if fwd[m] > 0 else -1)
+
+
+def permute_volume(volume, major: int):
+    """(D, H, W) grid -> (N_slabs, rows, cols) with the major axis leading."""
+    order, _, _ = _AXIS_LAYOUT[major]
+    return jnp.transpose(volume, order)
+
+
+def _bilinear_slice(sl, rows_c, cols_c):
+    """Bilinear sample of one slice at continuous texel coords (already in
+    ``p*N - 0.5`` space), clamp-to-edge."""
+    nr, nc = sl.shape
+    r0f = jnp.floor(rows_c)
+    c0f = jnp.floor(cols_c)
+    tr = rows_c - r0f
+    tc = cols_c - c0f
+    r0 = jnp.clip(r0f, 0, nr - 1).astype(jnp.int32)
+    r1 = jnp.clip(r0f + 1, 0, nr - 1).astype(jnp.int32)
+    c0 = jnp.clip(c0f, 0, nc - 1).astype(jnp.int32)
+    c1 = jnp.clip(c0f + 1, 0, nc - 1).astype(jnp.int32)
+    v00 = sl[r0, c0]
+    v01 = sl[r0, c1]
+    v10 = sl[r1, c0]
+    v11 = sl[r1, c1]
+    return (
+        v00 * (1 - tr) * (1 - tc)
+        + v01 * (1 - tr) * tc
+        + v10 * tr * (1 - tc)
+        + v11 * tr * tc
+    )
+
+
+def _nearest_slice(sl, rows_c, cols_c):
+    # wgpu nearest: texel floor(p*N) = floor(coords + 0.5) in texel space
+    nr, nc = sl.shape
+    r = jnp.clip(jnp.floor(rows_c + 0.5), 0, nr - 1).astype(jnp.int32)
+    c = jnp.clip(jnp.floor(cols_c + 0.5), 0, nc - 1).astype(jnp.int32)
+    return sl[r, c]
+
+
+def march_slabs(
+    vol_perm,
+    imp_perm,
+    lut,
+    origin,
+    dirs,
+    entry,
+    exit_,
+    major: int,
+    sign: int,
+    params: RenderParams,
+):
+    """Slab-ordered front-to-back march -> (R, 4).
+
+    ``vol_perm``/``imp_perm``: (N, rows, cols) permuted grids.
+    """
+    n_slabs, n_rows, n_cols = vol_perm.shape
+    _, row_comp, col_comp = _AXIS_LAYOUT[major]
+
+    o_m, d_m = origin[major], dirs[:, major]
+    o_r, d_r = origin[row_comp], dirs[:, row_comp]
+    o_c, d_c = origin[col_comp], dirs[:, col_comp]
+
+    # march direction must match the dominant sign for front-to-back order
+    sign_ok = (d_m * sign) > 0.0
+    dt = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12)  # per-ray step
+    alpha_exp = dt * 100.0  # opacity-correction exponent (wgsl:314)
+
+    ks = jnp.arange(n_slabs, dtype=jnp.float32)
+    if sign < 0:
+        ks = ks[::-1]
+
+    sample2d = (
+        _bilinear_slice
+        if params.interpolation == Interpolation.TRILINEAR
+        else _nearest_slice
+    )
+
+    def body(carry, k):
+        acc_c, acc_a = carry
+        z_plane = (k + 0.5) / n_slabs
+        t = (z_plane - o_m) / d_m  # (R,)
+        valid = sign_ok & (t >= entry) & (t < exit_)
+        active = valid & (acc_a < params.early_termination_alpha)
+
+        rows_c = (o_r + t * d_r) * n_rows - 0.5
+        cols_c = (o_c + t * d_c) * n_cols - 0.5
+        sl = jax.lax.dynamic_index_in_dim(vol_perm, k.astype(jnp.int32), keepdims=False)
+        density = sample2d(sl, rows_c, cols_c)
+
+        dense = density >= params.density_threshold
+
+        if params.use_importance_coloring:
+            isl = jax.lax.dynamic_index_in_dim(
+                imp_perm, k.astype(jnp.int32), keepdims=False
+            )
+            imp = _nearest_slice(isl, rows_c, cols_c)
+            from volym_tpu.render.golden import importance_to_color
+
+            color_alpha = importance_to_color(imp)
+        else:
+            color_alpha = lut_sample(lut, density)
+
+        m = active & dense
+        alpha = 1.0 - jnp.power(1.0 - color_alpha[..., 3], alpha_exp)
+        w = (1.0 - acc_a) * alpha * m
+        acc_c = acc_c + color_alpha[..., :3] * w[:, None]
+        acc_a = acc_a + w
+        return (acc_c, acc_a), None
+
+    r = dirs.shape[0]
+    init = (jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.float32))
+    (acc_c, acc_a), _ = jax.lax.scan(body, init, ks)
+    return jnp.concatenate([acc_c, acc_a[:, None]], axis=-1)
+
+
+# ----------------------------------------------------------------------
+# Differentiable slab march: custom VJP with the same O(rays)-memory
+# replay backward as render/diff.py — but the per-step volume cotangent is
+# a dense *slice* update (``dvol[k] += d_slice``), not an element scatter:
+# slab alignment turns the backward's scatter problem into slice-shaped
+# accumulation, which is exactly what makes the Pallas backward kernel
+# (transposed hat matmuls) possible.
+# ----------------------------------------------------------------------
+
+
+def _slab_step_f(params, major, n_slabs, slab_idx_f, sl, isl, lut, origin, dirs):
+    """Differentiable per-slab quantities: (rgb, alpha), aux density."""
+    _, row_comp, col_comp = _AXIS_LAYOUT[major]
+    n_rows, n_cols = sl.shape
+    o_m, d_m = origin[major], dirs[:, major]
+    z_plane = (slab_idx_f + 0.5) / n_slabs
+    t = (z_plane - o_m) / d_m
+    rows_c = (origin[row_comp] + t * dirs[:, row_comp]) * n_rows - 0.5
+    cols_c = (origin[col_comp] + t * dirs[:, col_comp]) * n_cols - 0.5
+
+    sample2d = (
+        _bilinear_slice
+        if params.interpolation == Interpolation.TRILINEAR
+        else _nearest_slice
+    )
+    density = sample2d(sl, rows_c, cols_c)
+    if params.use_importance_coloring:
+        from volym_tpu.render.golden import importance_to_color
+
+        imp = _nearest_slice(isl, rows_c, cols_c)
+        color_alpha = importance_to_color(imp)
+    else:
+        color_alpha = lut_sample(lut, density)
+    aexp = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12) * 100.0
+    alpha = 1.0 - jnp.power(1.0 - color_alpha[..., 3], aexp)
+    return (color_alpha[..., :3], alpha), (density, t)
+
+
+def _slab_mask(params, density, t, entry, exit_, sign_ok, acc_a):
+    return (
+        sign_ok
+        & (t >= entry)
+        & (t < exit_)
+        & (density >= params.density_threshold)
+        & (acc_a < params.early_termination_alpha)
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def march_slabs_diff(params, major, sign, vol_perm, imp_perm, lut, origin, dirs, entry, exit_):
+    """Differentiable slab march -> (R, 4); grads w.r.t. the permuted
+    volume, importance, LUT, and the camera (origin/dirs/entry)."""
+    return march_slabs(
+        vol_perm, imp_perm, lut, origin, dirs, entry, exit_, major, sign, params
+    )
+
+
+def _msd_fwd(params, major, sign, vol_perm, imp_perm, lut, origin, dirs, entry, exit_):
+    img = march_slabs(
+        vol_perm, imp_perm, lut, origin, dirs, entry, exit_, major, sign, params
+    )
+    return img, (vol_perm, imp_perm, lut, origin, dirs, entry, exit_, img)
+
+
+def _msd_bwd(params, major, sign, res, g):
+    vol_perm, imp_perm, lut, origin, dirs, entry, exit_, img = res
+    g_c, g_a = g[:, :3], g[:, 3]
+    fin_c, fin_a = img[:, :3], img[:, 3]
+    n_slabs = vol_perm.shape[0]
+    d_m = dirs[:, major]
+    sign_ok = (d_m * sign) > 0.0
+
+    ks = jnp.arange(n_slabs, dtype=jnp.float32)
+    if sign < 0:
+        ks = ks[::-1]
+
+    def body(carry, k):
+        acc_c, acc_a, dvol, dimp, dlut, dorigin, ddirs = carry
+        ki = k.astype(jnp.int32)
+        sl = jax.lax.dynamic_index_in_dim(vol_perm, ki, keepdims=False)
+        isl = jax.lax.dynamic_index_in_dim(imp_perm, ki, keepdims=False)
+
+        def f(sl_, isl_, lut_, origin_, dirs_):
+            return _slab_step_f(
+                params, major, n_slabs, k, sl_, isl_, lut_, origin_, dirs_
+            )
+
+        ((rgb, alpha), f_vjp, (density, t)) = jax.vjp(
+            f, sl, isl, lut, origin, dirs, has_aux=True
+        )
+        m = _slab_mask(params, density, t, entry, exit_, sign_ok, acc_a)
+        beta = alpha * m
+        t_k = 1.0 - acc_a
+        w = t_k * beta
+
+        new_acc_c = acc_c + rgb * w[:, None]
+        new_acc_a = acc_a + w
+        suf_c = fin_c - new_acc_c
+        suf_a = fin_a - new_acc_a
+
+        d_rgb = g_c * w[:, None]
+        inv = 1.0 / jnp.maximum(1.0 - beta, 1e-7)
+        d_beta = (
+            t_k * (jnp.sum(g_c * rgb, axis=-1) + g_a)
+            - (jnp.sum(g_c * suf_c, axis=-1) + g_a * suf_a) * inv
+        )
+        d_alpha = jnp.where(m, d_beta, 0.0)
+
+        d_sl, d_isl, d_lut_g, d_origin_g, d_dirs_g = f_vjp((d_rgb, d_alpha))
+        dvol = dvol.at[ki].add(d_sl)
+        dimp = dimp.at[ki].add(d_isl)
+        dlut = dlut + d_lut_g
+        dorigin = dorigin + d_origin_g
+        ddirs = ddirs + d_dirs_g
+        return (new_acc_c, new_acc_a, dvol, dimp, dlut, dorigin, ddirs), None
+
+    r = dirs.shape[0]
+    init = (
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros_like(vol_perm),
+        jnp.zeros_like(imp_perm),
+        jnp.zeros_like(lut),
+        jnp.zeros_like(origin),
+        jnp.zeros_like(dirs),
+    )
+    (_, _, dvol, dimp, dlut, dorigin, ddirs), _ = jax.lax.scan(body, init, ks)
+    return (dvol, dimp, dlut, dorigin, ddirs, jnp.zeros_like(entry), jnp.zeros_like(exit_))
+
+
+march_slabs_diff.defvjp(_msd_fwd, _msd_bwd)
+
+
+@partial(jax.jit, static_argnames=("params", "height", "width", "major", "sign"))
+def _render_diff_jit(scene, camera_matrices, params, height, width, major, sign):
+    vol_perm = permute_volume(scene.volume, major)
+    imp_perm = permute_volume(scene.importance, major)
+    origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+    miss = exit_ <= entry
+    img = march_slabs_diff(
+        params, major, sign, vol_perm, imp_perm, scene.tf_lut, origin, dirs,
+        entry, jax.lax.stop_gradient(exit_),
+    )
+    miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    img = jnp.where(miss[:, None], miss_color[None, :], img)
+    return img.reshape(height, width, 4)
+
+
+def render_diff(scene, camera_matrices, params: RenderParams, height: int, width: int):
+    """Differentiable slab render (custom replay VJP)."""
+    if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
+        raise NotImplementedError("slab mode v1: base/coloring, no shading/smoothing")
+    major, sign = dominant_axis(camera_matrices)
+    return _render_diff_jit(scene, camera_matrices, params, height, width, major, sign)
+
+
+@partial(jax.jit, static_argnames=("params", "height", "width", "major", "sign"))
+def _render_jit(scene, camera_matrices, params, height, width, major, sign):
+    vol_perm = permute_volume(scene.volume, major)
+    imp_perm = permute_volume(scene.importance, major)
+    origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+    miss = exit_ <= entry
+    img = march_slabs(
+        vol_perm, imp_perm, scene.tf_lut, origin, dirs, entry, exit_, major, sign, params
+    )
+    miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    img = jnp.where(miss[:, None], miss_color[None, :], img)
+    return img.reshape(height, width, 4)
+
+
+def render(scene, camera_matrices, params: RenderParams, height: int, width: int):
+    """Slab-marching render -> (H, W, 4) (jnp golden for the slab mode).
+
+    Unsupported modes (importance look-ahead, Gaussian smoothing, shading —
+    t-parameterised constructs) raise; use the t-step renderers for them.
+    """
+    if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
+        raise NotImplementedError(
+            "slab mode v1 supports base and importance-coloring rendering "
+            "without shading/smoothing; use golden/fast for other modes"
+        )
+    major, sign = dominant_axis(camera_matrices)
+    return _render_jit(scene, camera_matrices, params, height, width, major, sign)
