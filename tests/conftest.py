@@ -8,6 +8,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# jax may already be imported by a pytest plugin before this conftest runs
+# (seen with JAX_PLATFORMS=axon exported); the config update still wins as
+# long as no backend has been initialised.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "test suite must run on CPU"
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

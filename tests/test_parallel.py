@@ -37,7 +37,7 @@ def test_sharded_render_matches_single(scene, cam):
     mesh = pmesh.make_mesh()
     img_sharded = np.asarray(pmesh.render_sharded(scene, m, PARAMS, RES, RES, mesh))
     img_single = np.asarray(golden.render(scene, m, PARAMS, RES, RES))
-    assert (img_single[..., :3].max(-1) > 0.01).mean() > 0.2
+    assert (img_single[..., :3].max(-1) > 0.01).mean() > 0.05
     np.testing.assert_allclose(img_sharded, img_single, atol=1e-6)
 
 
@@ -81,6 +81,17 @@ def test_train_step_grads_match_psum_of_local(scene, cam):
         scale = max(np.abs(a).max(), 1e-9)
         np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4, err_msg=name)
     assert np.abs(np.asarray(grads_ref.volume)).max() > 0
+
+
+def test_sharded_slab_matches_single(scene, cam):
+    from volym_tpu.render import slab
+
+    m = cam.matrices()
+    mesh = pmesh.make_mesh()
+    params = PARAMS.replace(use_shading=False)
+    a = np.asarray(pmesh.render_sharded(scene, m, params, RES, RES, mesh, backend="slab"))
+    b = np.asarray(slab.render(scene, m, params, RES, RES))
+    np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 def test_host_mesh_shape():

@@ -117,6 +117,38 @@ def test_slab_all_major_axes(scene, hv):
     assert img[..., 3].max() > 0.1  # something rendered
 
 
+def test_slab_shading_mode(scene, cam):
+    """Shaded slab render: precomputed-gradient Blinn-Phong estimator."""
+    params = PARAMS.replace(use_shading=True)
+    img = np.asarray(slab.render(scene, cam.matrices(), params, RES, RES))
+    base = np.asarray(slab.render(scene, cam.matrices(), PARAMS, RES, RES))
+    assert np.isfinite(img).all()
+    # alpha identical (shading touches colour only); colours differ
+    np.testing.assert_allclose(img[..., 3], base[..., 3], atol=1e-6)
+    assert np.abs(img[..., :3] - base[..., :3]).max() > 1e-3
+
+
+def test_gradient_volume_matches_reference_estimator(scene):
+    """gradient_volume at voxel centres == central differences of the
+    trilinear field at +-GRADIENT_OFFSET (the wgsl:181-188 stencil)."""
+    from volym_tpu.ops import interp
+    from volym_tpu.render.shading import GRADIENT_OFFSET
+
+    g = np.asarray(slab.gradient_volume(scene.volume))
+    n = scene.volume.shape[0]
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        v = rng.integers(2, n - 3, size=3)  # interior voxel (z, y, x)
+        centre = (np.array([v[2], v[1], v[0]], np.float32) + 0.5) / n  # (x,y,z)
+        for comp in range(3):
+            off = np.zeros(3, np.float32)
+            off[comp] = GRADIENT_OFFSET
+            hi = float(interp.sample_trilinear(scene.volume, jnp.asarray(centre + off)))
+            lo = float(interp.sample_trilinear(scene.volume, jnp.asarray(centre - off)))
+            expect = (hi - lo) / (2 * GRADIENT_OFFSET)
+            np.testing.assert_allclose(g[comp, v[0], v[1], v[2]], expect, atol=1e-4)
+
+
 def test_slab_diff_forward_identical(scene, cam):
     a = np.asarray(slab.render(scene, cam.matrices(), PARAMS, RES, RES))
     b = np.asarray(slab.render_diff(scene, cam.matrices(), PARAMS, RES, RES))

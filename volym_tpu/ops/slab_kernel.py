@@ -42,21 +42,25 @@ N_FEATURES = 16  # padded to a sublane tile multiple
 
 # feature row indices in the packed (16, RAYS) block
 F_RS, F_RB, F_CS, F_CB, F_TS, F_TB, F_ENTRY, F_EXIT, F_AEXP, F_SIGNOK = range(10)
+F_HX, F_HY, F_HZ = 10, 11, 12  # per-ray Blinn-Phong half vector
 
 
 def _march_kernel(
     feat_ref,  # (1, 16, RAYS)
     slice_ref,  # (1, NR, NC) volume slice for this march step
-    lut_ref,  # (LUT_N, 4)
-    out_ref,  # (1, 4, RAYS)
-    *,
+    *rest,  # [imp_ref if coloring] then lut_ref, out_ref
     num_steps: int,
     bilinear: bool,
     early_alpha: float,
     threshold: float,
+    coloring: bool = False,
+    shading: bool = False,
 ):
+    rest = list(rest)
+    imp_ref = rest.pop(0) if coloring else None
+    grad_ref = rest.pop(0) if shading else None
+    lut_ref, out_ref = rest
     j = pl.program_id(1)
-    jf = j.astype(jnp.float32)
 
     @pl.when(j == 0)
     def _init():
@@ -70,12 +74,12 @@ def _march_kernel(
     @pl.when(chunk_active | (j == 0))
     def _step():
         _march_step(
-            feat_ref, slice_ref, lut_ref, out_ref,
+            feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref,
             bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
         )
 
 
-def _march_step(feat_ref, slice_ref, lut_ref, out_ref, *, bilinear, early_alpha, threshold):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bilinear, early_alpha, threshold):
     j = pl.program_id(1)
     jf = j.astype(jnp.float32)
     feat = feat_ref[0]  # (16, RAYS)
@@ -102,23 +106,70 @@ def _march_step(feat_ref, slice_ref, lut_ref, out_ref, *, bilinear, early_alpha,
     hat_y = hat(rows_c, nr)  # (NR, R)
     hat_x = hat(cols_c, nc)  # (NC, R)
 
-    # y contraction on the MXU: (NR, NC) x (NR, R) -> (NC, R)
-    colvals = jax.lax.dot_general(
-        sl, hat_y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
+    def sample2d(grid2d, hy, hx):
+        # MXU y contraction then VPU x reduction -> (1, R)
+        cv = jax.lax.dot_general(
+            grid2d, hy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.sum(cv * hx, axis=0, keepdims=True)
 
-    # transfer-function lookup: hat matmul against the LUT
-    lut = lut_ref[:]  # (LN, 4)
-    ln = lut.shape[0]
-    tf_c = jnp.clip(density * ln - 0.5, 0.0, ln - 1.0)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (ln, rays), 0).astype(jnp.float32)
-    hat_t = jnp.maximum(0.0, 1.0 - jnp.abs(tf_c - idx))  # linear LUT filter
-    rgba = jax.lax.dot_general(
-        lut, hat_t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (4, R)
+    density = sample2d(sl, hat_y, hat_x)
+
+    if imp_ref is not None:
+        # importance coloring (wgsl:83-92); importance sampler is nearest
+        # (importance.rs:122-131) -> box hats regardless of the filter mode
+        def box(coords, n):
+            idx = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
+            d = coords - idx
+            return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+
+        imp = sample2d(imp_ref[0], box(rows_c, nr), box(cols_c, nc))
+        rgba = jnp.concatenate(
+            [
+                jnp.minimum(imp * 1.5, 1.0),
+                (1.0 - imp) * 1.2,
+                jnp.full_like(imp, 0.2),
+                imp,
+            ],
+            axis=0,
+        )  # (4, R)
+    else:
+        # transfer-function lookup: hat matmul against the LUT
+        lut = lut_ref[:]  # (LN, 4)
+        ln = lut.shape[0]
+        tf_c = jnp.clip(density * ln - 0.5, 0.0, ln - 1.0)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (ln, rays), 0).astype(jnp.float32)
+        hat_t = jnp.maximum(0.0, 1.0 - jnp.abs(tf_c - idx))  # linear LUT filter
+        rgba = jax.lax.dot_general(
+            lut, hat_t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (4, R)
+
+    rgb = rgba[:3, :]
+    if grad_ref is not None:
+        # Blinn-Phong from the precomputed gradient field (wgsl:190-211);
+        # eye == -ray_dir exactly, so the half vector is a per-ray feature
+        from volym_tpu.render.shading import AMBIENT, DIFFUSE, SHININESS, SPECULAR
+
+        gs = grad_ref[:, 0]  # (3, NR, NC)
+        gx = sample2d(gs[0], hat_y, hat_x)
+        gy = sample2d(gs[1], hat_y, hat_x)
+        gz = sample2d(gs[2], hat_y, hat_x)
+        sq = gx * gx + gy * gy + gz * gz
+        nonzero = sq > 0.0
+        inv_norm = jax.lax.rsqrt(jnp.where(nonzero, sq, 1.0))
+        nx, ny, nz = gx * inv_norm, gy * inv_norm, gz * inv_norm
+        inv_sqrt3 = 0.57735026
+        diffuse = jnp.maximum(0.0, (nx + ny + nz) * inv_sqrt3)
+        hdotn = (
+            feat[F_HX : F_HX + 1, :] * nx
+            + feat[F_HY : F_HY + 1, :] * ny
+            + feat[F_HZ : F_HZ + 1, :] * nz
+        )
+        spec = jnp.maximum(0.0, hdotn) ** SHININESS
+        shaded = rgb * (AMBIENT + DIFFUSE * diffuse) + SPECULAR * spec
+        rgb = jnp.where(nonzero, shaded, rgb)
 
     acc = out_ref[0]  # (4, R): rows 0..2 colour, row 3 alpha
     acc_a = acc[3:4, :]
@@ -135,9 +186,7 @@ def _march_step(feat_ref, slice_ref, lut_ref, out_ref, *, bilinear, early_alpha,
     alpha = 1.0 - jnp.exp(aexp * jnp.log(jnp.maximum(1.0 - a, 1e-37)))
     w = (1.0 - acc_a) * alpha * m.astype(jnp.float32)  # (1, R)
 
-    out_ref[0] = acc + jnp.concatenate(
-        [rgba[:3, :] * w, w], axis=0
-    )
+    out_ref[0] = acc + jnp.concatenate([rgb * w, w], axis=0)
 
 
 def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout):
@@ -167,41 +216,67 @@ def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout)
     aexp = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12) * 100.0
     signok = ((d_m * sign) > 0.0).astype(jnp.float32)
 
+    # Blinn-Phong half vector: eye = normalize(cam - pos) = -dirs exactly
+    light = jnp.float32(1.0 / jnp.sqrt(3.0))
+    half = -dirs + light
+    half = half / jnp.linalg.norm(half, axis=-1, keepdims=True)
+
     r = dirs.shape[0]
     feats = jnp.zeros((N_FEATURES, r), jnp.float32)
     for i, v in zip(
-        range(10), (rs, rb, cs, cb, ts, tb, entry, exit_, aexp, signok)
+        range(13),
+        (rs, rb, cs, cb, ts, tb, entry, exit_, aexp, signok,
+         half[:, 0], half[:, 1], half[:, 2]),
     ):
         feats = feats.at[i].set(v)
     miss = exit_ <= entry
     return feats, miss
 
 
-def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats):
+def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None):
     """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba."""
     n_chunks = feats.shape[0]
     n_slabs = vol_perm.shape[0]
+    coloring = params.use_importance_coloring
+    shading = params.use_shading
     kernel = partial(
         _march_kernel,
         num_steps=n_slabs,
         bilinear=params.interpolation == Interpolation.TRILINEAR,
         early_alpha=params.early_termination_alpha,
         threshold=params.density_threshold,
+        coloring=coloring,
+        shading=shading,
     )
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_slabs - 1 - j, 0, 0)
     )
+    slice_spec = pl.BlockSpec((1, vol_perm.shape[1], vol_perm.shape[2]), slab_index)
+    in_specs = [
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        slice_spec,
+    ]
+    inputs = [feats, vol_perm]
+    if coloring:
+        in_specs.append(slice_spec)
+        inputs.append(imp_perm)
+    if shading:
+        grad_index = (lambda c, j: (0, j, 0, 0)) if sign > 0 else (
+            lambda c, j: (0, n_slabs - 1 - j, 0, 0)
+        )
+        in_specs.append(
+            pl.BlockSpec((3, 1, vol_perm.shape[1], vol_perm.shape[2]), grad_index)
+        )
+        inputs.append(grad_perm)
+    in_specs.append(pl.BlockSpec(lut.shape, lambda c, j: (0, 0)))
+    inputs.append(lut)
     return pl.pallas_call(
         kernel,
         grid=(n_chunks, n_slabs),
-        in_specs=[
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-            pl.BlockSpec((1, vol_perm.shape[1], vol_perm.shape[2]), slab_index),
-            pl.BlockSpec(lut.shape, lambda c, j: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32),
-    )(feats, vol_perm, lut)
+    )(*inputs)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -261,7 +336,17 @@ def _render_pallas_jit(scene, camera_matrices, params, height, width, major, sig
     feats, miss, r = _chunked_feats(
         camera_matrices, height, width, vol_perm.shape[0], major, sign, layout
     )
-    out = _forward_call(params, sign, vol_perm, scene.tf_lut, feats)
+    imp_perm = (
+        slab_mod.permute_volume(scene.importance, major)
+        if params.use_importance_coloring
+        else None
+    )
+    grad_perm = (
+        slab_mod.permute_gradient(slab_mod.gradient_volume(scene.volume), major)
+        if params.use_shading
+        else None
+    )
+    out = _forward_call(params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm)
     return _assemble(out, miss, r, height, width)
 
 
@@ -292,9 +377,9 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
 
 def render(scene, camera_matrices, params: RenderParams, height: int, width: int):
     """Pallas slab-marching render -> (H, W, 4)."""
-    if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
-        raise NotImplementedError("slab kernel v1: base rendering only")
-    if params.use_importance_coloring:
-        raise NotImplementedError("slab kernel v1: importance coloring not yet wired")
+    if params.use_importance_rendering or params.use_gaussian_smoothing:
+        raise NotImplementedError(
+            "slab kernel v1: base/coloring/shaded rendering (no look-ahead/smoothing)"
+        )
     major, sign = slab_mod.dominant_axis(camera_matrices)
     return _render_pallas_jit(scene, camera_matrices, params, height, width, major, sign)

@@ -63,9 +63,6 @@ def _mesh_axes(mesh: Mesh) -> tuple[str, ...]:
     return tuple(mesh.axis_names)
 
 
-@partial(
-    jax.jit, static_argnames=("params", "height", "width", "mesh", "differentiable")
-)
 def render_sharded(
     scene: Scene,
     camera_matrices,
@@ -74,13 +71,45 @@ def render_sharded(
     width: int,
     mesh: Mesh,
     differentiable: bool = False,
+    backend: str = "ray",
 ):
     """Tile-sharded render: rays split across every mesh device, scene
     replicated, no communication in the forward pass.
 
-    Ray generation is tiny (a 4x4 matmul per pixel) and runs sharded too —
-    each device builds only its own rays.
-    """
+    Ray generation is tiny (a few multiply-adds per pixel) and runs sharded
+    too — each device builds only its own rays.  ``backend="slab"`` marches
+    slab-ordered (the TPU-native formulation)."""
+    major = sign = 0
+    if backend == "slab":
+        from volym_tpu.render import slab as slab_mod
+
+        # host-side static choice (camera matrices are host state)
+        major, sign = slab_mod.dominant_axis(camera_matrices)
+    return _render_sharded_jit(
+        scene, camera_matrices, params, height, width, mesh, differentiable,
+        backend, major, sign,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "params", "height", "width", "mesh", "differentiable", "backend",
+        "major", "sign",
+    ),
+)
+def _render_sharded_jit(
+    scene: Scene,
+    camera_matrices,
+    params: RenderParams,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    differentiable: bool,
+    backend: str,
+    major: int,
+    sign: int,
+):
     _ray_count(height, width, mesh)
     axes = _mesh_axes(mesh)
     spec_r = P(axes)  # rays axis sharded over all mesh axes, flattened
@@ -91,7 +120,22 @@ def render_sharded(
         origin, dirs = _rays_from_ndc(camera_matrices, ndc)
         entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
         miss = exit_ <= entry
-        if differentiable:
+        if backend == "slab":
+            from volym_tpu.render import slab as slab_mod
+
+            vol_perm = slab_mod.permute_volume(scene.volume, major)
+            imp_perm = slab_mod.permute_volume(scene.importance, major)
+            if differentiable:
+                img = slab_mod.march_slabs_diff(
+                    render_params, major, sign, vol_perm, imp_perm, scene.tf_lut,
+                    origin, dirs, entry, jax.lax.stop_gradient(exit_),
+                )
+            else:
+                img = slab_mod.march_slabs(
+                    vol_perm, imp_perm, scene.tf_lut, origin, dirs, entry, exit_,
+                    major, sign, render_params,
+                )
+        elif differentiable:
             img = march(
                 render_params,
                 scene.volume,

@@ -66,6 +66,43 @@ def permute_volume(volume, major: int):
     return jnp.transpose(volume, order)
 
 
+def gradient_volume(volume):
+    """Precompute the density gradient field at voxel centres.
+
+    Samples the trilinearly-filtered field at +-GRADIENT_OFFSET (the
+    reference's 0.01-normalised central difference, ``wgsl:181-188``):
+    0.01 * 256 = 2.56 voxels, i.e. a (0.44, 0.56) blend of the +-2/+-3
+    neighbours, clamp-to-edge.  The slab renderers then *interpolate this
+    precomputed field* instead of re-fetching six taps per sample — a
+    smoother estimator than the reference's (gradient-of-interpolant vs
+    interpolant-of-gradient); visually equivalent, and what makes shading
+    affordable in the hat-matmul kernel.
+
+    Returns (3, D, H, W) with channels in shader order (gx, gy, gz).
+    """
+    import math
+
+    from volym_tpu.render.shading import GRADIENT_OFFSET
+
+    d = volume.shape[0]
+    off = GRADIENT_OFFSET * d  # texels (python float — shapes are static)
+    lo, hi = int(math.floor(off)), int(math.floor(off)) + 1
+    frac = off - math.floor(off)
+
+    def shift(axis, by):
+        # clamp-to-edge shift along a (D,H,W) axis
+        idx = jnp.clip(jnp.arange(d) + by, 0, d - 1)
+        return jnp.take(volume, idx, axis=axis)
+
+    grads = []
+    for comp in (0, 1, 2):  # shader components x, y, z
+        axis = 2 - comp  # array axis for that component
+        plus = shift(axis, lo) * (1 - frac) + shift(axis, hi) * frac
+        minus = shift(axis, -lo) * (1 - frac) + shift(axis, -hi) * frac
+        grads.append((plus - minus) / (2.0 * GRADIENT_OFFSET))
+    return jnp.stack(grads)
+
+
 def _bilinear_slice(sl, rows_c, cols_c):
     """Bilinear sample of one slice at continuous texel coords (already in
     ``p*N - 0.5`` space), clamp-to-edge."""
@@ -109,10 +146,13 @@ def march_slabs(
     major: int,
     sign: int,
     params: RenderParams,
+    grad_perm=None,
 ):
     """Slab-ordered front-to-back march -> (R, 4).
 
     ``vol_perm``/``imp_perm``: (N, rows, cols) permuted grids.
+    ``grad_perm``: (3, N, rows, cols) permuted :func:`gradient_volume`
+    (required when ``params.use_shading``).
     """
     n_slabs, n_rows, n_cols = vol_perm.shape
     _, row_comp, col_comp = _AXIS_LAYOUT[major]
@@ -135,6 +175,25 @@ def march_slabs(
         if params.interpolation == Interpolation.TRILINEAR
         else _nearest_slice
     )
+
+    if params.use_shading:
+        from volym_tpu.render.shading import AMBIENT, DIFFUSE, LIGHT_DIR, SHININESS, SPECULAR
+
+        light = jnp.asarray(LIGHT_DIR, jnp.float32)
+        light = light / jnp.linalg.norm(light)
+        # eye = normalize(cam_pos - pos) = -ray_dir exactly (pos = cam + t d)
+        half = -dirs + light[None, :]
+        half = half / jnp.linalg.norm(half, axis=-1, keepdims=True)
+
+    def _shade(rgb, g):
+        # Blinn-Phong from the precomputed gradient field (wgsl:190-211)
+        from volym_tpu.render.shading import AMBIENT, DIFFUSE, SHININESS, SPECULAR, safe_normalize
+
+        n, nonzero = safe_normalize(g)
+        diffuse = jnp.maximum(0.0, jnp.sum(n * light[None, :], axis=-1, keepdims=True))
+        spec = jnp.maximum(0.0, jnp.sum(half * n, axis=-1, keepdims=True)) ** SHININESS
+        shaded = rgb * (AMBIENT + DIFFUSE * diffuse) + SPECULAR * spec
+        return jnp.where(nonzero, shaded, rgb)
 
     def body(carry, k):
         acc_c, acc_a = carry
@@ -161,10 +220,18 @@ def march_slabs(
         else:
             color_alpha = lut_sample(lut, density)
 
+        rgb = color_alpha[..., :3]
+        if params.use_shading:
+            gsl = jax.lax.dynamic_index_in_dim(grad_perm, k.astype(jnp.int32), axis=1, keepdims=False)
+            g = jnp.stack(
+                [sample2d(gsl[c], rows_c, cols_c) for c in range(3)], axis=-1
+            )
+            rgb = _shade(rgb, g)
+
         m = active & dense
         alpha = 1.0 - jnp.power(1.0 - color_alpha[..., 3], alpha_exp)
         w = (1.0 - acc_a) * alpha * m
-        acc_c = acc_c + color_alpha[..., :3] * w[:, None]
+        acc_c = acc_c + rgb * w[:, None]
         acc_a = acc_a + w
         return (acc_c, acc_a), None
 
@@ -331,15 +398,26 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
     return _render_diff_jit(scene, camera_matrices, params, height, width, major, sign)
 
 
+def permute_gradient(grad, major: int):
+    """(3, D, H, W) gradient field -> (3, N, rows, cols)."""
+    return jnp.stack([permute_volume(grad[c], major) for c in range(3)])
+
+
 @partial(jax.jit, static_argnames=("params", "height", "width", "major", "sign"))
 def _render_jit(scene, camera_matrices, params, height, width, major, sign):
     vol_perm = permute_volume(scene.volume, major)
     imp_perm = permute_volume(scene.importance, major)
+    grad_perm = (
+        permute_gradient(gradient_volume(scene.volume), major)
+        if params.use_shading
+        else None
+    )
     origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
     entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
     miss = exit_ <= entry
     img = march_slabs(
-        vol_perm, imp_perm, scene.tf_lut, origin, dirs, entry, exit_, major, sign, params
+        vol_perm, imp_perm, scene.tf_lut, origin, dirs, entry, exit_, major, sign,
+        params, grad_perm,
     )
     miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
     img = jnp.where(miss[:, None], miss_color[None, :], img)
@@ -349,13 +427,14 @@ def _render_jit(scene, camera_matrices, params, height, width, major, sign):
 def render(scene, camera_matrices, params: RenderParams, height: int, width: int):
     """Slab-marching render -> (H, W, 4) (jnp golden for the slab mode).
 
-    Unsupported modes (importance look-ahead, Gaussian smoothing, shading —
+    Shading uses the precomputed :func:`gradient_volume` estimator.
+    Unsupported modes (importance look-ahead, Gaussian smoothing —
     t-parameterised constructs) raise; use the t-step renderers for them.
     """
-    if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
+    if params.use_importance_rendering or params.use_gaussian_smoothing:
         raise NotImplementedError(
-            "slab mode v1 supports base and importance-coloring rendering "
-            "without shading/smoothing; use golden/fast for other modes"
+            "slab mode v1 supports base, coloring, and shaded rendering "
+            "without smoothing/look-ahead; use golden/fast for other modes"
         )
     major, sign = dominant_axis(camera_matrices)
     return _render_jit(scene, camera_matrices, params, height, width, major, sign)
