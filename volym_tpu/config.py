@@ -69,6 +69,11 @@ class RenderParams:
     #: ``wgsl:306-311``; toggleable here because the differentiable
     #: inverse-rendering objective usually wants the unshaded integral).
     use_shading: bool = True
+    #: Slab-kernel forward at DEFAULT (bf16-class) MXU precision: ~2.3x
+    #: faster sampling matmuls at ~1e-2 image error (the volume data is
+    #: 8-bit anyway).  Exact (HIGHEST, ~1e-4) when False.  Forward only —
+    #: gradients always run exact.
+    fast_math: bool = False
 
     def __post_init__(self):
         if not isinstance(self.interpolation, Interpolation):

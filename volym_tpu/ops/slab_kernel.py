@@ -55,6 +55,7 @@ def _march_kernel(
     threshold: float,
     coloring: bool = False,
     shading: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     rest = list(rest)
     imp_ref = rest.pop(0) if coloring else None
@@ -76,10 +77,11 @@ def _march_kernel(
         _march_step(
             feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref,
             bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
+            precision=precision,
         )
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bilinear, early_alpha, threshold):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST):
     j = pl.program_id(1)
     jf = j.astype(jnp.float32)
     feat = feat_ref[0]  # (16, RAYS)
@@ -110,7 +112,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bil
         # MXU y contraction then VPU x reduction -> (1, R)
         cv = jax.lax.dot_general(
             grid2d, hy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         return jnp.sum(cv * hx, axis=0, keepdims=True)
 
@@ -143,7 +145,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bil
         hat_t = jnp.maximum(0.0, 1.0 - jnp.abs(tf_c - idx))  # linear LUT filter
         rgba = jax.lax.dot_general(
             lut, hat_t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )  # (4, R)
 
     rgb = rgba[:3, :]
@@ -247,6 +249,9 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         threshold=params.density_threshold,
         coloring=coloring,
         shading=shading,
+        precision=(
+            jax.lax.Precision.DEFAULT if params.fast_math else jax.lax.Precision.HIGHEST
+        ),
     )
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_slabs - 1 - j, 0, 0)
