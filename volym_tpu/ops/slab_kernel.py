@@ -39,6 +39,11 @@ from volym_tpu.render import slab as slab_mod
 
 RAYS_PER_CHUNK = 1024
 N_FEATURES = 16  # padded to a sublane tile multiple
+#: y-window height for the windowed contraction path (multiple of 8); a
+#: 32x32 pixel tile's slab footprint at 90-degree fov is ~35 texels, plus
+#: alignment slack
+WIN_ROWS = 56
+TILE = 32  # pixel tile side; chunks are TILE*TILE rays
 
 # feature row indices in the packed (16, RAYS) block
 F_RS, F_RB, F_CS, F_CB, F_TS, F_TB, F_ENTRY, F_EXIT, F_AEXP, F_SIGNOK = range(10)
@@ -56,6 +61,7 @@ def _march_kernel(
     coloring: bool = False,
     shading: bool = False,
     precision=jax.lax.Precision.HIGHEST,
+    windowed: bool = False,
 ):
     rest = list(rest)
     imp_ref = rest.pop(0) if coloring else None
@@ -77,11 +83,11 @@ def _march_kernel(
         _march_step(
             feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref,
             bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
-            precision=precision,
+            precision=precision, windowed=windowed,
         )
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, windowed=False):
     j = pl.program_id(1)
     jf = j.astype(jnp.float32)
     feat = feat_ref[0]  # (16, RAYS)
@@ -97,36 +103,86 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bil
     rows_c = jnp.clip(rows_c, 0.0, nr - 1.0)
     cols_c = jnp.clip(cols_c, 0.0, nc - 1.0)
 
-    def hat(coords, n):
-        # (n, RAYS) interpolation weights; triangle = bilinear, box = nearest
-        idx = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
-        d = coords - idx  # broadcast (1, R) against (n, R)
-        if bilinear:
-            return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    def tri(coords, idx):
+        d = coords - idx
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+    def boxk(coords, idx):
+        d = coords - idx
         return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
 
-    hat_y = hat(rows_c, nr)  # (NR, R)
-    hat_x = hat(cols_c, nc)  # (NC, R)
+    vol_hat = tri if bilinear else boxk
 
-    def sample2d(grid2d, hy, hx):
-        # MXU y contraction then VPU x reduction -> (1, R)
-        cv = jax.lax.dot_general(
-            grid2d, hy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=precision,
+    # The grids all sampled at (rows_c, cols_c) this step, as *ref
+    # accessors* (Mosaic supports dynamic row windows only on ref indexing,
+    # not on loaded values): the density slice, optionally 3 gradient-field
+    # channels (volume filter), and the importance slice (always
+    # nearest/box, importance.rs:122-131).
+    grids = [(lambda w=None: slice_ref[0] if w is None else slice_ref[0, w, :], vol_hat)]
+    if grad_ref is not None:
+        for ch in range(3):
+            grids.append(
+                (
+                    lambda w=None, ch=ch: grad_ref[ch, 0]
+                    if w is None
+                    else grad_ref[ch, 0, w, :],
+                    vol_hat,
+                )
+            )
+    if imp_ref is not None:
+        grids.append((lambda w=None: imp_ref[0] if w is None else imp_ref[0, w, :], boxk))
+
+    def y_iota(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
+
+    # Windowed y contraction: a pixel tile's rows footprint on one slab is
+    # a compact band, so contracting a WIN_ROWS-row window instead of the
+    # full slice cuts the dominant matmul by NR/WIN_ROWS.  The choice is
+    # STATIC (host-side, per camera): a lax.cond would execute both
+    # branches under Mosaic's predication and save nothing.
+    if windowed:
+        # window placement considers only rays *active at this slab*
+        # (t within [entry, exit) and correct march sign); inactive rays
+        # are masked out of the compositing anyway, and their clamped
+        # crossings can lie anywhere on the slice
+        active_rows = (
+            (feat[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
+            & (t >= feat[F_ENTRY : F_ENTRY + 1, :])
+            & (t < feat[F_EXIT : F_EXIT + 1, :])
         )
-        return jnp.sum(cv * hx, axis=0, keepdims=True)
+        rows_min = jnp.min(jnp.where(active_rows, rows_c, jnp.float32(nr)))
+        # window start aligned down to a sublane tile (Mosaic requires the
+        # dynamic index to be a provable multiple of 8)
+        r0f = jnp.clip(jnp.floor((rows_min - 1.0) / 8.0) * 8.0, 0.0, nr - WIN_ROWS)
+        r0 = pl.multiple_of(r0f.astype(jnp.int32), 8)
+        idx = y_iota(WIN_ROWS) + r0.astype(jnp.float32)
+        w = pl.ds(r0, WIN_ROWS)
+        colvals = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    g(w), k(rows_c, idx), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                for g, k in grids
+            ]
+        )  # (G, NC, R)
+    else:
+        idx = y_iota(nr)
+        colvals = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    g(), k(rows_c, idx), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                for g, k in grids
+            ]
+        )
 
-    density = sample2d(sl, hat_y, hat_x)
+    hat_x = vol_hat(cols_c, y_iota(nc))  # (NC, R)
+    density = jnp.sum(colvals[0] * hat_x, axis=0, keepdims=True)
 
     if imp_ref is not None:
-        # importance coloring (wgsl:83-92); importance sampler is nearest
-        # (importance.rs:122-131) -> box hats regardless of the filter mode
-        def box(coords, n):
-            idx = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
-            d = coords - idx
-            return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
-
-        imp = sample2d(imp_ref[0], box(rows_c, nr), box(cols_c, nc))
+        imp = jnp.sum(colvals[-1] * boxk(cols_c, y_iota(nc)), axis=0, keepdims=True)
         rgba = jnp.concatenate(
             [
                 jnp.minimum(imp * 1.5, 1.0),
@@ -154,10 +210,9 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bil
         # eye == -ray_dir exactly, so the half vector is a per-ray feature
         from volym_tpu.render.shading import AMBIENT, DIFFUSE, SHININESS, SPECULAR
 
-        gs = grad_ref[:, 0]  # (3, NR, NC)
-        gx = sample2d(gs[0], hat_y, hat_x)
-        gy = sample2d(gs[1], hat_y, hat_x)
-        gz = sample2d(gs[2], hat_y, hat_x)
+        gx = jnp.sum(colvals[1] * hat_x, axis=0, keepdims=True)
+        gy = jnp.sum(colvals[2] * hat_x, axis=0, keepdims=True)
+        gz = jnp.sum(colvals[3] * hat_x, axis=0, keepdims=True)
         sq = gx * gx + gy * gy + gz * gz
         nonzero = sq > 0.0
         inv_norm = jax.lax.rsqrt(jnp.where(nonzero, sq, 1.0))
@@ -235,7 +290,7 @@ def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout)
     return feats, miss
 
 
-def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None):
+def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, windowed=False):
     """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba."""
     n_chunks = feats.shape[0]
     n_slabs = vol_perm.shape[0]
@@ -252,6 +307,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         precision=(
             jax.lax.Precision.DEFAULT if params.fast_math else jax.lax.Precision.HIGHEST
         ),
+        windowed=windowed,
     )
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_slabs - 1 - j, 0, 0)
@@ -314,11 +370,100 @@ def _mp_bwd(params, major, sign, res, g):
 march_pallas.defvjp(_mp_fwd, _mp_bwd)
 
 
+_fits_cache: dict = {}
+
+
+def windowed_fits(camera_matrices, height, width, n_slabs, major, sign) -> bool:
+    """Host-side (pure numpy, no device work) decision for the windowed
+    kernel: does every 32x32-pixel tile's slab-rows footprint fit in
+    WIN_ROWS?  The unclamped per-tile spread is convex in the march index,
+    so checking the two march endpoints bounds all slabs."""
+    if height % TILE or width % TILE:
+        return False
+    key = (
+        np.asarray(camera_matrices.inverse_view_proj).tobytes(),
+        np.asarray(camera_matrices.position).tobytes(),
+        height, width, n_slabs, major, sign,
+    )
+    if key in _fits_cache:
+        return _fits_cache[key]
+    _, row_comp, _ = slab_mod._AXIS_LAYOUT[major]
+    ivp = np.asarray(camera_matrices.inverse_view_proj, np.float32)
+    cam = np.asarray(camera_matrices.position, np.float32)
+
+    xs = np.arange(width, dtype=np.float32) / width * 2.0 - 1.0
+    ys = 1.0 - np.arange(height, dtype=np.float32) / height * 2.0
+    u, v = np.meshgrid(xs, ys, indexing="xy")
+    world = (
+        u[..., None] * ivp[:, 0] + v[..., None] * ivp[:, 1] + ivp[:, 3]
+    )  # (H, W, 4)
+    pos = world[..., :3] / world[..., 3:4]
+    d = pos - cam
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d.reshape(-1, 3)
+
+    d_m = d[:, major]
+    sign_ok = (d_m * sign) > 0
+    safe_dm = np.where(np.abs(d_m) > 1e-12, d_m, 1e-12)
+    sz = (1.0 / n_slabs) * sign
+    z0 = (0.5 / n_slabs) if sign > 0 else ((n_slabs - 0.5) / n_slabs)
+    ts = sz / safe_dm
+    tb = (z0 - cam[major]) / safe_dm
+    rs = ts * d[:, row_comp] * n_slabs
+    rb = (cam[row_comp] + tb * d[:, row_comp]) * n_slabs - 0.5
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (0.0 - cam) / d
+        t2 = (1.0 - cam) / d
+    entry = np.maximum(np.max(np.minimum(t1, t2), axis=-1), 0.0)
+    exit_ = np.maximum(np.min(np.maximum(t1, t2), axis=-1), 0.0)
+
+    order = np.asarray(_tile_order(height, width))
+    rs, rb = rs[order], rb[order]
+    ts_o, tb_o = ts[order], tb[order]
+    sign_ok, entry, exit_ = sign_ok[order], entry[order], exit_[order]
+    n_tiles = rs.size // RAYS_PER_CHUNK
+    shape = (n_tiles, RAYS_PER_CHUNK)
+    rs, rb = rs.reshape(shape), rb.reshape(shape)
+    ts_o, tb_o = ts_o.reshape(shape), tb_o.reshape(shape)
+    sign_ok, entry, exit_ = sign_ok.reshape(shape), entry.reshape(shape), exit_.reshape(shape)
+    # exact check mirroring the kernel: per slab, the clamped-rows spread
+    # over the rays ACTIVE at that slab (correct sign, t inside [entry,
+    # exit)) — inactive rays are masked out of the compositing
+    margin = WIN_ROWS - 10.0
+    for j in range(n_slabs):
+        t_j = ts_o * j + tb_o
+        active = sign_ok & (t_j >= entry) & (t_j < exit_)
+        rows = np.clip(rs * j + rb, 0.0, n_slabs - 1.0)
+        rows = np.where(active, rows, np.nan)
+        with np.errstate(all="ignore"):
+            spread = np.nanmax(rows, axis=1) - np.nanmin(rows, axis=1)
+        if np.nanmax(np.where(np.isnan(spread), 0.0, spread)) > margin:
+            _fits_cache[key] = False
+            return False
+    if len(_fits_cache) > 256:
+        _fits_cache.clear()
+    _fits_cache[key] = True
+    return True
+
+
+def _tile_order(height, width):
+    """Ray permutation putting each TILE x TILE pixel tile contiguous, so a
+    chunk's slab footprint is compact in both axes (the windowed
+    contraction's fits-condition).  None when the image doesn't tile."""
+    if height % TILE or width % TILE:
+        return None
+    idx = np.arange(height * width).reshape(height // TILE, TILE, width // TILE, TILE)
+    return idx.transpose(0, 2, 1, 3).reshape(-1)
+
+
 def _chunked_feats(camera_matrices, height, width, n_slabs, major, sign, layout):
     feats, miss = _pack_features(
         camera_matrices, height, width, n_slabs, major, sign, layout
     )
     r = feats.shape[1]
+    order = _tile_order(height, width)
+    if order is not None:
+        feats = feats[:, order]
     if r % RAYS_PER_CHUNK:
         pad = RAYS_PER_CHUNK - r % RAYS_PER_CHUNK
         feats = jnp.pad(feats, ((0, 0), (0, pad)))
@@ -328,14 +473,22 @@ def _chunked_feats(camera_matrices, height, width, n_slabs, major, sign, layout)
 
 
 def _assemble(out, miss, r, height, width):
-    img = out.transpose(0, 2, 1).reshape(-1, 4)[:r]  # (R, 4)
+    img = out.transpose(0, 2, 1).reshape(-1, 4)[:r]  # (R, 4), tile order
+    order = _tile_order(height, width)
+    if order is not None:
+        img = img[np.argsort(order)]
     miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
     img = jnp.where(miss[:, None], miss_color[None, :], img)
     return img.reshape(height, width, 4)
 
 
-@partial(jax.jit, static_argnames=("params", "height", "width", "major", "sign"))
-def _render_pallas_jit(scene, camera_matrices, params, height, width, major, sign):
+@partial(
+    jax.jit,
+    static_argnames=("params", "height", "width", "major", "sign", "windowed"),
+)
+def _render_pallas_jit(
+    scene, camera_matrices, params, height, width, major, sign, windowed=False
+):
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
     feats, miss, r = _chunked_feats(
@@ -351,7 +504,9 @@ def _render_pallas_jit(scene, camera_matrices, params, height, width, major, sig
         if params.use_shading
         else None
     )
-    out = _forward_call(params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm)
+    out = _forward_call(
+        params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm, windowed
+    )
     return _assemble(out, miss, r, height, width)
 
 
