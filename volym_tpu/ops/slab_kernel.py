@@ -44,6 +44,8 @@ N_FEATURES = 16  # padded to a sublane tile multiple
 #: alignment slack
 WIN_ROWS = 56
 TILE = 32  # pixel tile side; chunks are TILE*TILE rays
+#: sub-slabs marched per grid step: amortises the ~2us/step grid+DMA floor
+SLAB_BATCH = 8
 
 # feature row indices in the packed (16, RAYS) block
 F_RS, F_RB, F_CS, F_CB, F_TS, F_TB, F_ENTRY, F_EXIT, F_AEXP, F_SIGNOK = range(10)
@@ -62,40 +64,46 @@ def _march_kernel(
     shading: bool = False,
     precision=jax.lax.Precision.HIGHEST,
     windowed: bool = False,
+    slab_batch: int = 1,
+    march_sign: int = 1,
 ):
     rest = list(rest)
     imp_ref = rest.pop(0) if coloring else None
     grad_ref = rest.pop(0) if shading else None
     lut_ref, out_ref = rest
-    j = pl.program_id(1)
+    J = pl.program_id(1)
 
-    @pl.when(j == 0)
+    @pl.when(J == 0)
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
     # whole-chunk early termination: skip the matmuls once every ray in the
     # chunk has saturated (the slice prefetch still runs — compute is the
-    # dominant cost here)
+    # dominant cost here).  Checked per SLAB_BATCH sub-slabs.
     chunk_active = jnp.any(out_ref[0][3:4, :] < early_alpha)
 
-    @pl.when(chunk_active | (j == 0))
-    def _step():
-        _march_step(
-            feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref,
-            bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
-            precision=precision, windowed=windowed,
-        )
+    @pl.when(chunk_active | (J == 0))
+    def _steps():
+        for i in range(slab_batch):
+            # march index; the slice block holds slab_batch physical slabs
+            # (reversed within the block when marching back-to-front)
+            _march_step(
+                feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref,
+                j=J * slab_batch + i,
+                slice_row=i if march_sign > 0 else slab_batch - 1 - i,
+                bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
+                precision=precision, windowed=windowed,
+            )
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, windowed=False):
-    j = pl.program_id(1)
-    jf = j.astype(jnp.float32)
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, windowed=False):
+    jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
     cols_c = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
     t = feat[F_TS : F_TS + 1, :] * jf + feat[F_TB : F_TB + 1, :]
 
-    sl = slice_ref[0]  # (NR, NC)
+    sl = slice_ref[slice_row]  # (NR, NC)
     nr, nc = sl.shape
     rays = rows_c.shape[-1]
 
@@ -118,19 +126,23 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bil
     # not on loaded values): the density slice, optionally 3 gradient-field
     # channels (volume filter), and the importance slice (always
     # nearest/box, importance.rs:122-131).
-    grids = [(lambda w=None: slice_ref[0] if w is None else slice_ref[0, w, :], vol_hat)]
+    grids = [
+        (lambda w=None: slice_ref[slice_row] if w is None else slice_ref[slice_row, w, :], vol_hat)
+    ]
     if grad_ref is not None:
         for ch in range(3):
             grids.append(
                 (
-                    lambda w=None, ch=ch: grad_ref[ch, 0]
+                    lambda w=None, ch=ch: grad_ref[ch, slice_row]
                     if w is None
-                    else grad_ref[ch, 0, w, :],
+                    else grad_ref[ch, slice_row, w, :],
                     vol_hat,
                 )
             )
     if imp_ref is not None:
-        grids.append((lambda w=None: imp_ref[0] if w is None else imp_ref[0, w, :], boxk))
+        grids.append(
+            (lambda w=None: imp_ref[slice_row] if w is None else imp_ref[slice_row, w, :], boxk)
+        )
 
     def y_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
@@ -182,7 +194,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, bil
     density = jnp.sum(colvals[0] * hat_x, axis=0, keepdims=True)
 
     if imp_ref is not None:
-        imp = jnp.sum(colvals[-1] * boxk(cols_c, y_iota(nc)), axis=0, keepdims=True)
+        imp = jnp.sum(colvals[colvals.shape[0] - 1] * boxk(cols_c, y_iota(nc)), axis=0, keepdims=True)
         rgba = jnp.concatenate(
             [
                 jnp.minimum(imp * 1.5, 1.0),
@@ -296,6 +308,12 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     n_slabs = vol_perm.shape[0]
     coloring = params.use_importance_coloring
     shading = params.use_shading
+    # the gradient block is 3x the slice size; cap the batch so the
+    # double-buffered blocks fit VMEM when shading
+    sb = 2 if shading else SLAB_BATCH
+    if n_slabs % sb:
+        sb = 1
+    n_blocks = n_slabs // sb
     kernel = partial(
         _march_kernel,
         num_steps=n_slabs,
@@ -308,11 +326,13 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             jax.lax.Precision.DEFAULT if params.fast_math else jax.lax.Precision.HIGHEST
         ),
         windowed=windowed,
+        slab_batch=sb,
+        march_sign=sign,
     )
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
-        lambda c, j: (n_slabs - 1 - j, 0, 0)
+        lambda c, j: (n_blocks - 1 - j, 0, 0)
     )
-    slice_spec = pl.BlockSpec((1, vol_perm.shape[1], vol_perm.shape[2]), slab_index)
+    slice_spec = pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), slab_index)
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         slice_spec,
@@ -323,17 +343,17 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         inputs.append(imp_perm)
     if shading:
         grad_index = (lambda c, j: (0, j, 0, 0)) if sign > 0 else (
-            lambda c, j: (0, n_slabs - 1 - j, 0, 0)
+            lambda c, j: (0, n_blocks - 1 - j, 0, 0)
         )
         in_specs.append(
-            pl.BlockSpec((3, 1, vol_perm.shape[1], vol_perm.shape[2]), grad_index)
+            pl.BlockSpec((3, sb, vol_perm.shape[1], vol_perm.shape[2]), grad_index)
         )
         inputs.append(grad_perm)
     in_specs.append(pl.BlockSpec(lut.shape, lambda c, j: (0, 0)))
     inputs.append(lut)
     return pl.pallas_call(
         kernel,
-        grid=(n_chunks, n_slabs),
+        grid=(n_chunks, n_blocks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32),
