@@ -97,6 +97,38 @@ def _replay_kernel(
     def _init_acc():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # same whole-chunk skip as the forward: saturated or exited rays
+    # contribute zero cotangents, so emit zero density-cotangents and skip
+    # the matmuls
+    feat0 = feat_ref[0]
+    jf0 = j.astype(jnp.float32)
+    t_now = feat0[F_TS : F_TS + 1, :] * jf0 + feat0[F_TB : F_TB + 1, :]
+    can_contribute = (
+        (acc_ref[3:4, :] < early_alpha)
+        & (t_now < feat0[F_EXIT : F_EXIT + 1, :])
+        & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
+    )
+    chunk_active = jnp.any(can_contribute) | (j == 0)
+
+    @pl.when(jnp.logical_not(chunk_active))
+    def _skip():
+        dd_ref[0, 0] = jnp.zeros_like(dd_ref[0, 0])
+
+    @pl.when(chunk_active)
+    def _active_step():
+        _replay_step(
+            feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref,
+            acc_ref, bilinear=bilinear, early_alpha=early_alpha,
+            threshold=threshold,
+        )
+
+
+def _replay_step(
+    feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, acc_ref,
+    *, bilinear, early_alpha, threshold,
+):
+    j = pl.program_id(1)
+    jf = j.astype(jnp.float32)
     feat = feat_ref[0]
     sl = slice_ref[0]
     nr, nc = sl.shape
@@ -201,17 +233,20 @@ def _voxel_grad_kernel(
     def _init():
         dvol_ref[0] = jnp.zeros_like(dvol_ref[0])
 
-    feat = feat_ref[0]
-    rays = feat.shape[-1]
-    rows_c, cols_c, _t = _coords(feat, jf, nr, nc)
-    hat_y = _hat(rows_c, nr, rays, bilinear)
-    hat_x = _hat(cols_c, nc, rays, bilinear)
     dd = dd_ref[0, 0]  # (1, R)
 
-    dvol_ref[0] = dvol_ref[0] + jax.lax.dot_general(
-        hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
+    # skipped replay steps emitted all-zero cotangents
+    @pl.when(jnp.any(dd != 0.0))
+    def _accumulate():
+        feat = feat_ref[0]
+        rays = feat.shape[-1]
+        rows_c, cols_c, _t = _coords(feat, jf, nr, nc)
+        hat_y = _hat(rows_c, nr, rays, bilinear)
+        hat_x = _hat(cols_c, nc, rays, bilinear)
+        dvol_ref[0] = dvol_ref[0] + jax.lax.dot_general(
+            hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
 
 
 def backward(params, major, sign, vol_perm, lut, feats, fin, g_img):

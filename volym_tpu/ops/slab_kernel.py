@@ -77,10 +77,21 @@ def _march_kernel(
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    # whole-chunk early termination: skip the matmuls once every ray in the
-    # chunk has saturated (the slice prefetch still runs — compute is the
-    # dominant cost here).  Checked per SLAB_BATCH sub-slabs.
-    chunk_active = jnp.any(out_ref[0][3:4, :] < early_alpha)
+    # Whole-chunk early termination: a ray can still contribute only while
+    # it is unsaturated AND has not yet marched past its box exit (t is
+    # monotone increasing in j for correctly-signed rays, so t >= exit is
+    # permanent; missing rays have exit <= t immediately).  Checked per
+    # SLAB_BATCH sub-slabs; the slice prefetch still runs but the matmuls
+    # are skipped.
+    feat0 = feat_ref[0]
+    jf0 = (J * slab_batch).astype(jnp.float32)
+    t_now = feat0[F_TS : F_TS + 1, :] * jf0 + feat0[F_TB : F_TB + 1, :]
+    can_contribute = (
+        (out_ref[0][3:4, :] < early_alpha)
+        & (t_now < feat0[F_EXIT : F_EXIT + 1, :])
+        & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
+    )
+    chunk_active = jnp.any(can_contribute)
 
     @pl.when(chunk_active | (J == 0))
     def _steps():
