@@ -189,7 +189,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="command")
 
     def common(p):
-        p.add_argument("--debug", action="store_true", help="enable debug logging")
+        # SUPPRESS so a subcommand-position flag doesn't clobber a
+        # top-level `--debug` with its False default
+        p.add_argument(
+            "--debug", action="store_true", default=argparse.SUPPRESS,
+            help="enable debug logging",
+        )
         p.add_argument("--volume", help="raw uint8 volume path")
         p.add_argument("--segments-raw", help="segments.raw path")
         p.add_argument("--segments-json", help="segments.json path")
