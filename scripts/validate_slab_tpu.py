@@ -1,14 +1,18 @@
 """Hardware validation of the Pallas slab kernels (forward + backward).
 
-Run on a real TPU (Pallas interpret mode is too slow for the CPU suite):
+Run on a real TPU (Pallas interpret mode is too slow; CI covers the kernel
+*bodies* via tests/pallas_emu.py — this script covers Mosaic lowering):
 
     python scripts/validate_slab_tpu.py
 
 Checks, against the gather-based jnp slab golden (render/slab.py):
-  * forward allclose over all three major axes / both signs and both
-    interpolation filters;
-  * voxel/LUT gradients of the two-pass Pallas backward vs the jnp replay
-    VJP.
+  * forward allclose over all three major axes / both signs, both
+    interpolation filters, and the shading / importance-coloring branches;
+  * the windowed y-contraction (static per-camera window, 64^3 at 128^2)
+    against both the unwindowed kernel and the golden;
+  * fast_math (DEFAULT-precision) forward within its documented bound;
+  * voxel/LUT gradients of the two-pass Pallas backward (windowed and
+    full) vs the jnp replay VJP.
 Exit code 0 on success.
 """
 
@@ -40,20 +44,55 @@ def main() -> int:
     )
     failures = []
 
+    def check_fwd(tag, scn, m, p, res, tol=1e-3, frac=0.0):
+        # ``frac`` pixels may exceed tol: early-termination knife-edges
+        # (acc_a within float eps of 0.95) legitimately flip between any
+        # two float implementations of the same march
+        g = np.asarray(slab.render(scn, m, p, res, res))
+        k = np.asarray(slab_kernel.render(scn, m, p, res, res))
+        err = np.abs(g - k).max(-1)
+        bad = (err > tol).mean()
+        print(f"{tag}: maxerr {err.max():.2e} frac>{tol:g} {bad:.2e}")
+        if bad > frac or not np.isfinite(k).all():
+            failures.append(tag)
+
     for h, v in [(0.0, 0.0), (30.0, 20.0), (80.0, -40.0), (200.0, 10.0), (45.0, 45.0)]:
         m = Camera(aspect=1.0, distance=1.2).orbit(h, v, 0.0).matrices()
         for p in (params, params.replace(interpolation="nearest")):
-            g = np.asarray(slab.render(scene, m, p, 32, 32))
-            k = np.asarray(slab_kernel.render(scene, m, p, 32, 32))
-            err = np.abs(g - k).max()
             tag = f"fwd cam({h},{v}) {p.interpolation.value} major={slab.dominant_axis(m)}"
-            print(f"{tag}: maxerr {err:.2e}")
-            if err > 1e-3:
-                failures.append(tag)
+            check_fwd(tag, scene, m, p, 32)
 
-    # gradients
+    # mode branches
     m = Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0).matrices()
+    check_fwd("fwd shading", scene, m, params.replace(use_shading=True), 32)
+    check_fwd(
+        "fwd coloring", scene, m, params.replace(use_importance_coloring=True), 32
+    )
+    # fast_math: documented preview-mode bound (threshold-boundary flips)
+    check_fwd("fwd fast_math", scene, m, params.replace(fast_math=True), 32, tol=0.5)
+
+    # windowed contraction: 64^3 at 128^2 gives a real (sub-slice) window at
+    # d=1.2; d=2.0 degenerates to full slices but exercises 16-tile reorder
+    big = Scene.synthetic("sphere", side=64)
+    for dist in (1.2, 2.0):
+        mw = Camera(aspect=1.0, distance=dist).orbit(30.0, 20.0, 0.0).matrices()
+        major, sign = slab.dominant_axis(mw)
+        win = slab_kernel.window_rows(mw, 128, 128, 64, major, sign)
+        print(f"windowed d={dist}: window_rows={win}")
+        g = np.asarray(slab.render(big, mw, params, 128, 128))
+        k = np.asarray(slab_kernel.render(big, mw, params, 128, 128))  # auto window
+        kf = np.asarray(
+            slab_kernel._render_pallas_jit(big, mw, params, 128, 128, major, sign, 0)
+        )
+        err_g = (np.abs(k - g).max(-1) > 1e-3).mean()
+        err_f = np.abs(k - kf).max()
+        print(f"windowed d={dist}: frac vs golden {err_g:.2e}, vs full kernel {err_f:.2e}")
+        if err_g > 2e-4 or err_f > 1e-5:
+            failures.append(f"windowed d={dist}")
+
+    # gradients (render_diff auto-selects the window; also check full)
     w = jnp.cos(jnp.arange(32 * 32 * 4, dtype=jnp.float32).reshape(32, 32, 4) * 0.1)
+    m = Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0).matrices()
 
     def loss(render_fn, vol, lut):
         img = render_fn(Scene(vol, scene.importance, lut), m, params, 32, 32)
@@ -72,6 +111,32 @@ def main() -> int:
         print(f"bwd {name}: relerr {rel:.2e}")
         if rel > 1e-2 or not np.isfinite(b).all():
             failures.append(f"bwd {name}")
+
+    # windowed backward on the big scene at 128^2 (d=1.2: window_rows=56)
+    mw = Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0).matrices()
+    w128 = jnp.cos(
+        jnp.arange(128 * 128 * 4, dtype=jnp.float32).reshape(128, 128, 4) * 0.1
+    )
+
+    def loss_big(vol, lut):
+        img = slab_kernel.render_diff(
+            Scene(vol, big.importance, lut), mw, params, 128, 128
+        )
+        return jnp.sum(img * w128)
+
+    def loss_big_jnp(vol, lut):
+        img = slab.render_diff(Scene(vol, big.importance, lut), mw, params, 128, 128)
+        return jnp.sum(img * w128)
+
+    gw = jax.grad(loss_big, argnums=(0, 1))(big.volume, big.tf_lut)
+    gj = jax.grad(loss_big_jnp, argnums=(0, 1))(big.volume, big.tf_lut)
+    for name, a, b in zip(("d_volume", "d_lut"), gj, gw):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        rel = np.abs(a - b).max() / scale
+        print(f"bwd windowed {name}: relerr {rel:.2e}")
+        if rel > 1e-2 or not np.isfinite(b).all():
+            failures.append(f"bwd windowed {name}")
 
     if failures:
         print("FAILURES:", failures)

@@ -19,6 +19,8 @@ def test_run_defaults_match_reference():
     assert args.ahead_steps == 12
     assert args.renderer == "ray"
     assert not args.no_shading
+    assert args.gaussian  # reference default: smoothing ON (src/state.rs:46)
+    assert not build_parser().parse_args(["run", "--no-gaussian"]).gaussian
 
 
 def test_debug_flag_both_positions():

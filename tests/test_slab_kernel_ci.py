@@ -1,0 +1,213 @@
+"""CI coverage for the Pallas slab kernels on CPU (no TPU needed).
+
+Runs the *actual kernel bodies* (forward march, windowed contraction,
+shading/coloring branches, two-pass backward) through the eager grid
+emulator in :mod:`tests.pallas_emu`, validated against the jnp slab golden
+(:mod:`volym_tpu.render.slab`).  A structural regression in any kernel
+branch fails here in seconds; Mosaic lowering is covered on hardware by
+``scripts/validate_slab_tpu.py``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.pallas_emu import emulate
+from volym_tpu import Camera, RenderParams, Scene
+from volym_tpu.ops import slab_bwd_kernel, slab_kernel
+from volym_tpu.render import slab
+
+RES = 32  # one 32x32 pixel tile = exactly one ray chunk
+
+PARAMS = RenderParams(
+    use_gaussian_smoothing=False,
+    use_shading=False,
+    interpolation="trilinear",
+    adaptive_stepping=False,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return Scene.synthetic("sphere", side=16)
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0)
+
+
+def _emu_forward(scene, m, params, height, width, win_rows=0):
+    """Un-jitted replica of _render_pallas_jit running under the emulator."""
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(scene.volume, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, height, width, vol_perm.shape[0], major, sign, layout
+    )
+    imp_perm = (
+        slab.permute_volume(scene.importance, major)
+        if params.use_importance_coloring
+        else None
+    )
+    grad_perm = (
+        slab.permute_gradient(slab.gradient_volume(scene.volume), major)
+        if params.use_shading
+        else None
+    )
+    with emulate(slab_kernel):
+        out = slab_kernel._forward_call(
+            params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm,
+            win_rows,
+        )
+    return np.asarray(slab_kernel._assemble(out, miss, r, height, width))
+
+
+def test_forward_matches_jnp_golden(scene, cam):
+    m = cam.matrices()
+    got = _emu_forward(scene, m, PARAMS, RES, RES)
+    want = np.asarray(slab.render(scene, m, PARAMS, RES, RES))
+    assert want[..., 3].max() > 0.1
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_forward_nearest_filter(scene, cam):
+    m = cam.matrices()
+    p = PARAMS.replace(interpolation="nearest")
+    got = _emu_forward(scene, m, p, RES, RES)
+    want = np.asarray(slab.render(scene, m, p, RES, RES))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_forward_shading_branch(scene, cam):
+    m = cam.matrices()
+    p = PARAMS.replace(use_shading=True)
+    got = _emu_forward(scene, m, p, RES, RES)
+    want = np.asarray(slab.render(scene, m, p, RES, RES))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_forward_coloring_branch(scene, cam):
+    m = cam.matrices()
+    p = PARAMS.replace(use_importance_coloring=True)
+    got = _emu_forward(scene, m, p, RES, RES)
+    want = np.asarray(slab.render(scene, m, p, RES, RES))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def _banded_feats(rng=None):
+    """One crafted ray chunk whose slab-rows footprint stays in a narrow
+    band ([20, 38) over all 64 slabs) so a 32-row window provably covers
+    it — a direct unit test of the windowed contraction mechanism."""
+    rng = np.random.default_rng(7) if rng is None else rng
+    R = slab_kernel.RAYS_PER_CHUNK
+    feats = np.zeros((1, slab_kernel.N_FEATURES, R), np.float32)
+    feats[0, slab_kernel.F_RS] = 0.02
+    feats[0, slab_kernel.F_RB] = rng.uniform(20.0, 36.0, R)
+    feats[0, slab_kernel.F_CS] = 0.03
+    feats[0, slab_kernel.F_CB] = rng.uniform(5.0, 55.0, R)
+    feats[0, slab_kernel.F_TS] = 0.012
+    feats[0, slab_kernel.F_TB] = 0.1
+    feats[0, slab_kernel.F_ENTRY] = 0.0
+    feats[0, slab_kernel.F_EXIT] = 10.0
+    feats[0, slab_kernel.F_AEXP] = 0.5
+    feats[0, slab_kernel.F_SIGNOK] = 1.0
+    return jnp.asarray(feats)
+
+
+def test_forward_windowed_matches_full():
+    """The windowed y-contraction must be exact when the footprint fits."""
+    big = Scene.synthetic("sphere", side=64)
+    vol_perm = slab.permute_volume(big.volume, 2)
+    feats = _banded_feats()
+    with emulate(slab_kernel):
+        full = slab_kernel._forward_call(PARAMS, 1, vol_perm, big.tf_lut, feats)
+        win = slab_kernel._forward_call(
+            PARAMS, 1, vol_perm, big.tf_lut, feats, win_rows=32
+        )
+    full, win = np.asarray(full), np.asarray(win)
+    assert full[0, 3].max() > 0.01, "banded rays miss all content"
+    np.testing.assert_allclose(win, full, atol=1e-5)
+
+
+def test_backward_windowed_matches_full():
+    """Windowed + slab-batched backward == full-slice backward."""
+    big = Scene.synthetic("sphere", side=64)
+    vol_perm = slab.permute_volume(big.volume, 2)
+    feats = _banded_feats()
+    wvec = jnp.sin(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.05
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(PARAMS, 1, vol_perm, big.tf_lut, feats)
+        dv_full, dl_full = slab_bwd_kernel.backward(
+            PARAMS, 2, 1, vol_perm, big.tf_lut, feats, out, wvec, win_rows=0
+        )
+        dv_win, dl_win = slab_bwd_kernel.backward(
+            PARAMS, 2, 1, vol_perm, big.tf_lut, feats, out, wvec, win_rows=32
+        )
+    assert np.abs(np.asarray(dv_full)).max() > 0
+    np.testing.assert_allclose(np.asarray(dv_win), np.asarray(dv_full), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dl_win), np.asarray(dl_full), atol=1e-5)
+
+
+def test_window_rows_static_choice():
+    """window_rows: production configs get a window; degenerate ones don't."""
+    cam256 = Camera(aspect=1.0, distance=1.0).orbit(30.0, 20.0, 0.0)
+    m = cam256.matrices()
+    major, sign = slab.dominant_axis(m)
+    win = slab_kernel.window_rows(m, 256, 256, 256, major, sign)
+    assert win and win % 8 == 0 and win < 256
+    # untiled image: no window
+    assert slab_kernel.window_rows(m, 100, 100, 256, major, sign) == 0
+
+
+def test_backward_kernels_match_autodiff(scene, cam):
+    """Replay + voxel-grad Pallas passes vs autodiff of the jnp golden."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(scene.volume, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(
+            feats.shape[0] * 4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32
+        )
+        * 0.1
+    ).reshape(feats.shape[0], 4, slab_kernel.RAYS_PER_CHUNK)
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(PARAMS, sign, vol_perm, scene.tf_lut, feats)
+        d_vol, d_lut = slab_bwd_kernel.backward(
+            PARAMS, major, sign, vol_perm, scene.tf_lut, feats, out, wvec
+        )
+
+    # reference: autodiff of the jnp slab march under the same loss.  Map the
+    # chunked weight back to per-ray layout (inverse of _chunked_feats).
+    order = slab_kernel._tile_order(RES, RES)
+    w_rays = np.asarray(wvec.transpose(0, 2, 1).reshape(-1, 4))[: RES * RES]
+    w_img = w_rays[np.argsort(order)] if order is not None else w_rays
+
+    from volym_tpu.render import rays as rays_mod
+
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    def loss(vp, lut):
+        img = slab.march_slabs(
+            vp, slab.permute_volume(scene.importance, major), lut, origin,
+            dirs, entry, exit_, major, sign, PARAMS,
+        )
+        return jnp.sum(img * jnp.asarray(w_img))
+
+    ga_vol, ga_lut = jax.grad(loss, argnums=(0, 1))(vol_perm, scene.tf_lut)
+    for name, a, b in (("d_vol", ga_vol, d_vol), ("d_lut", ga_lut, d_lut)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
+        )
+    assert np.abs(np.asarray(ga_vol)).max() > 0

@@ -207,7 +207,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--orbit-v", type=float, default=0.0)
         p.add_argument("--threshold", type=float, default=0.12)
         p.add_argument("--step-size", type=float, default=0.01)
-        p.add_argument("--gaussian", action="store_true")
+        p.add_argument(
+            "--gaussian", action=argparse.BooleanOptionalAction, default=True,
+            help="Gaussian-smoothed sampling (reference default ON, "
+            "src/state.rs:46); --no-gaussian for the slab renderers",
+        )
         p.add_argument(
             "--no-shading", action="store_true",
             help="disable Blinn-Phong shading (required for the slab renderers)",

@@ -4,21 +4,27 @@ Two passes, both gather/scatter-free (the point of the slab formulation —
 the backward's scatter into the voxel grid becomes dense slice-shaped
 matmul accumulation, SURVEY.md section 7 hard part (b)):
 
-Pass 1 — replay (grid (chunks, slabs), slabs fastest): re-runs the forward
-compositing recurrence per ray chunk, reconstructs per-step transmittance
-from the running accumulator and suffix sums from the final image (same
-identity as render/diff.py), and emits
+Pass 1 — replay (grid (chunks, slab blocks), blocks fastest): re-runs the
+forward compositing recurrence per ray chunk, reconstructs per-step
+transmittance from the running accumulator and suffix sums from the final
+image (same identity as render/diff.py), and emits
   * ``d_density`` (chunks, slabs, rays): the per-step density cotangent,
     chained through the TF hat lookup;
   * ``d_lut`` accumulated across the whole grid (one revisited block).
 
-Pass 2 — voxel gradients (grid (slabs, chunks), chunks fastest): for each
-slab, accumulates
+Pass 2 — voxel gradients (grid (slab blocks, chunks), chunks fastest): for
+each slab, accumulates
 
     d_slice[y, x] = sum_r hat_y[y, r] * hat_x[x, r] * d_density[r]
                   = (hat_y  @  (hat_x * d_density)^T)         — one MXU op
 
 into the permuted gradient volume.
+
+Both passes share the forward's two big levers (round-2): ``SLAB_BATCH``
+sub-slabs per grid step (amortising the per-step grid+DMA floor) and the
+static per-camera windowed y contraction (``slab_kernel.window_rows``),
+which cuts the replay matmul's contraction dim and the voxel-grad matmul's
+output rows by n_rows/win_rows.
 
 Camera cotangents are not produced here (zeros); the jnp replay VJP
 (render/slab.py) covers camera-pose optimisation.
@@ -47,6 +53,7 @@ from volym_tpu.ops.slab_kernel import (
     F_TS,
     N_FEATURES,
     RAYS_PER_CHUNK,
+    SLAB_BATCH,
 )
 
 _EPS = 1e-7
@@ -64,8 +71,10 @@ def _coords(feat, jf, nr, nc):
     )
 
 
-def _hat(coords, n, rays, bilinear):
+def _hat(coords, n, rays, bilinear, base=None):
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
+    if base is not None:
+        idx = idx + base.astype(jnp.float32)
     d = coords - idx
     if bilinear:
         return jnp.maximum(0.0, 1.0 - jnp.abs(d))
@@ -74,26 +83,28 @@ def _hat(coords, n, rays, bilinear):
 
 def _replay_kernel(
     feat_ref,   # (1, 16, R)
-    slice_ref,  # (1, NR, NC)
+    slice_ref,  # (sb, NR, NC)
     lut_ref,    # (LN, 4)
     fin_ref,    # (1, 4, R) final image for this chunk
     gimg_ref,   # (1, 4, R) output cotangent for this chunk
-    dd_ref,     # (1, 1, 1, R) out: d_density for this (chunk, slab)
+    dd_ref,     # (1, sb, 1, R) out: d_density for this (chunk, slab block)
     dlut_ref,   # (LN, 4) out: accumulated LUT gradient
     acc_ref,    # scratch (4, R): replayed accumulator
     *,
     bilinear: bool,
     early_alpha: float,
     threshold: float,
+    win_rows: int = 0,
+    slab_batch: int = 1,
+    march_sign: int = 1,
 ):
-    j = pl.program_id(1)
-    jf = j.astype(jnp.float32)
+    jb = pl.program_id(1)
 
-    @pl.when((pl.program_id(0) == 0) & (j == 0))
+    @pl.when((pl.program_id(0) == 0) & (jb == 0))
     def _init_lut():
         dlut_ref[:] = jnp.zeros_like(dlut_ref)
 
-    @pl.when(j == 0)
+    @pl.when(jb == 0)
     def _init_acc():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -101,41 +112,50 @@ def _replay_kernel(
     # contribute zero cotangents, so emit zero density-cotangents and skip
     # the matmuls
     feat0 = feat_ref[0]
-    jf0 = j.astype(jnp.float32)
+    jf0 = (jb * slab_batch).astype(jnp.float32)
     t_now = feat0[F_TS : F_TS + 1, :] * jf0 + feat0[F_TB : F_TB + 1, :]
     can_contribute = (
         (acc_ref[3:4, :] < early_alpha)
         & (t_now < feat0[F_EXIT : F_EXIT + 1, :])
         & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
     )
-    chunk_active = jnp.any(can_contribute) | (j == 0)
+    chunk_active = jnp.any(can_contribute) | (jb == 0)
 
     @pl.when(jnp.logical_not(chunk_active))
     def _skip():
-        dd_ref[0, 0] = jnp.zeros_like(dd_ref[0, 0])
+        dd_ref[0] = jnp.zeros_like(dd_ref[0])
 
     @pl.when(chunk_active)
-    def _active_step():
-        _replay_step(
-            feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref,
-            acc_ref, bilinear=bilinear, early_alpha=early_alpha,
-            threshold=threshold,
-        )
+    def _active_block():
+        for i in range(slab_batch):
+            _replay_step(
+                feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
+                dlut_ref, acc_ref,
+                j=jb * slab_batch + i,
+                dd_row=i,
+                slice_row=i if march_sign > 0 else slab_batch - 1 - i,
+                bilinear=bilinear, early_alpha=early_alpha,
+                threshold=threshold, win_rows=win_rows,
+            )
 
 
 def _replay_step(
     feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, acc_ref,
-    *, bilinear, early_alpha, threshold,
+    *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
 ):
-    j = pl.program_id(1)
-    jf = j.astype(jnp.float32)
+    jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
-    sl = slice_ref[0]
-    nr, nc = sl.shape
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
     rows_c, cols_c, t = _coords(feat, jf, nr, nc)
 
-    hat_y = _hat(rows_c, nr, rays, bilinear)
+    if win_rows:
+        r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+        hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
+        sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
+    else:
+        hat_y = _hat(rows_c, nr, rays, bilinear)
+        sl = slice_ref[slice_row]
     hat_x = _hat(cols_c, nc, rays, bilinear)
     colvals = jax.lax.dot_general(
         sl, hat_y, (((0,), (0,)), ((), ())),
@@ -213,49 +233,70 @@ def _replay_step(
     )  # (LN, R)
     dhat_dc = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
     d_tf_c = jnp.sum(dhat_t * dhat_dc, axis=0, keepdims=True)  # (1, R)
-    dd_ref[0, 0] = d_tf_c * ln * tf_in_range.astype(jnp.float32)
+    dd_ref[0, dd_row] = d_tf_c * ln * tf_in_range.astype(jnp.float32)
 
 
 def _voxel_grad_kernel(
     feat_ref,  # (1, 16, R)
-    dd_ref,    # (1, 1, 1, R) d_density for this (slab, chunk)
-    dvol_ref,  # (1, NR, NC) out gradient slice, revisited over chunks
+    dd_ref,    # (1, sb, 1, R) d_density for this (slab block, chunk)
+    dvol_ref,  # (sb, NR, NC) out gradient slices, revisited over chunks
     *,
     bilinear: bool,
     nr: int,
     nc: int,
+    win_rows: int = 0,
+    slab_batch: int = 1,
+    march_sign: int = 1,
 ):
     c = pl.program_id(1)
-    j = pl.program_id(0)
-    jf = j.astype(jnp.float32)
+    jb = pl.program_id(0)
 
     @pl.when(c == 0)
     def _init():
-        dvol_ref[0] = jnp.zeros_like(dvol_ref[0])
+        dvol_ref[:] = jnp.zeros_like(dvol_ref)
 
-    dd = dd_ref[0, 0]  # (1, R)
+    feat = feat_ref[0]
+    rays = feat.shape[-1]
 
-    # skipped replay steps emitted all-zero cotangents
-    @pl.when(jnp.any(dd != 0.0))
-    def _accumulate():
-        feat = feat_ref[0]
-        rays = feat.shape[-1]
-        rows_c, cols_c, _t = _coords(feat, jf, nr, nc)
-        hat_y = _hat(rows_c, nr, rays, bilinear)
-        hat_x = _hat(cols_c, nc, rays, bilinear)
-        dvol_ref[0] = dvol_ref[0] + jax.lax.dot_general(
-            hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-        )
+    for i in range(slab_batch):
+        j = jb * slab_batch + i
+        slice_row = i if march_sign > 0 else slab_batch - 1 - i
+        dd = dd_ref[0, i]  # (1, R)
+        jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+
+        # skipped replay steps emitted all-zero cotangents
+        @pl.when(jnp.any(dd != 0.0))
+        def _accumulate(jf=jf, dd=dd, slice_row=slice_row):
+            rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+            hat_x = _hat(cols_c, nc, rays, bilinear)
+            if win_rows:
+                r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+                hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
+                w = pl.ds(r0, win_rows)
+                dvol_ref[slice_row, w, :] = dvol_ref[
+                    slice_row, w, :
+                ] + jax.lax.dot_general(
+                    hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                hat_y = _hat(rows_c, nr, rays, bilinear)
+                dvol_ref[slice_row] = dvol_ref[slice_row] + jax.lax.dot_general(
+                    hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
 
-def backward(params, major, sign, vol_perm, lut, feats, fin, g_img):
+def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
     """Run both backward passes.
 
     Args:
       feats: (C, 16, RAYS) packed per-ray coefficients (fwd layout).
       fin:   (C, 4, RAYS) forward output (residual).
       g_img: (C, 4, RAYS) upstream cotangent.
+      win_rows: static y-window size (0 = full slices).
     Returns:
       (d_vol_perm, d_lut).
     """
@@ -264,28 +305,33 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img):
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
+    sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
+    n_blocks = n_slabs // sb
 
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
-        lambda c, j: (n_slabs - 1 - j, 0, 0)
+        lambda c, j: (n_blocks - 1 - j, 0, 0)
     )
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
         early_alpha=params.early_termination_alpha,
         threshold=params.density_threshold,
+        win_rows=win_rows,
+        slab_batch=sb,
+        march_sign=sign,
     )
     d_density, d_lut = pl.pallas_call(
         replay,
-        grid=(n_chunks, n_slabs),
+        grid=(n_chunks, n_blocks),
         in_specs=[
             pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-            pl.BlockSpec((1, nr, nc), slab_index),
+            pl.BlockSpec((sb, nr, nc), slab_index),
             pl.BlockSpec(lut.shape, lambda c, j: (0, 0)),
             pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
             pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
             pl.BlockSpec(lut.shape, lambda c, j: (0, 0)),
         ],
         out_shape=[
@@ -296,19 +342,22 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img):
     )(feats, vol_perm, lut, fin, g_img)
 
     # Pass 2: note d_density is indexed by MARCH step j; the dvol output
-    # block is the PHYSICAL slab slab(j).
-    vox = partial(_voxel_grad_kernel, bilinear=bilinear, nr=nr, nc=nc)
+    # block is the PHYSICAL slab block.
+    vox = partial(
+        _voxel_grad_kernel, bilinear=bilinear, nr=nr, nc=nc,
+        win_rows=win_rows, slab_batch=sb, march_sign=sign,
+    )
     phys_index = (lambda j, c: (j, 0, 0)) if sign > 0 else (
-        lambda j, c: (n_slabs - 1 - j, 0, 0)
+        lambda j, c: (n_blocks - 1 - j, 0, 0)
     )
     d_vol = pl.pallas_call(
         vox,
-        grid=(n_slabs, n_chunks),
+        grid=(n_blocks, n_chunks),
         in_specs=[
             pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)),
-            pl.BlockSpec((1, 1, 1, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, nr, nc), phys_index),
+        out_specs=pl.BlockSpec((sb, nr, nc), phys_index),
         out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
     )(feats, d_density)
 

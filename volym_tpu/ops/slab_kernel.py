@@ -39,10 +39,11 @@ from volym_tpu.render import slab as slab_mod
 
 RAYS_PER_CHUNK = 1024
 N_FEATURES = 16  # padded to a sublane tile multiple
-#: y-window height for the windowed contraction path (multiple of 8); a
-#: 32x32 pixel tile's slab footprint at 90-degree fov is ~35 texels, plus
-#: alignment slack
-WIN_ROWS = 56
+#: slack the y-window must carry beyond the rows spread: 1 texel for the
+#: hat support + up to 8 for sublane alignment of the window start + 1
+WIN_SLACK = 10
+#: smallest window worth emitting (sublane tile floor)
+MIN_WIN_ROWS = 16
 TILE = 32  # pixel tile side; chunks are TILE*TILE rays
 #: sub-slabs marched per grid step: amortises the ~2us/step grid+DMA floor
 SLAB_BATCH = 8
@@ -63,7 +64,7 @@ def _march_kernel(
     coloring: bool = False,
     shading: bool = False,
     precision=jax.lax.Precision.HIGHEST,
-    windowed: bool = False,
+    win_rows: int = 0,
     slab_batch: int = 1,
     march_sign: int = 1,
 ):
@@ -103,11 +104,29 @@ def _march_kernel(
                 j=J * slab_batch + i,
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
-                precision=precision, windowed=windowed,
+                precision=precision, win_rows=win_rows,
             )
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, windowed=False):
+def _window_start(feat, t, rows_c, nr, win_rows):
+    """Dynamic (per chunk, slab) start of the y window: the smallest active
+    ray row, floored to a sublane-tile multiple.  Window placement considers
+    only rays *active at this slab* (t within [entry, exit) and correct
+    march sign); inactive rays are masked out of the compositing anyway, and
+    their clamped crossings can lie anywhere on the slice."""
+    active_rows = (
+        (feat[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
+        & (t >= feat[F_ENTRY : F_ENTRY + 1, :])
+        & (t < feat[F_EXIT : F_EXIT + 1, :])
+    )
+    rows_min = jnp.min(jnp.where(active_rows, rows_c, jnp.float32(nr)))
+    # window start aligned down to a sublane tile (Mosaic requires the
+    # dynamic index to be a provable multiple of 8)
+    r0f = jnp.clip(jnp.floor((rows_min - 1.0) / 8.0) * 8.0, 0.0, nr - win_rows)
+    return pl.multiple_of(r0f.astype(jnp.int32), 8)
+
+
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -159,27 +178,15 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
         return jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
 
     # Windowed y contraction: a pixel tile's rows footprint on one slab is
-    # a compact band, so contracting a WIN_ROWS-row window instead of the
-    # full slice cuts the dominant matmul by NR/WIN_ROWS.  The choice is
-    # STATIC (host-side, per camera): a lax.cond would execute both
-    # branches under Mosaic's predication and save nothing.
-    if windowed:
-        # window placement considers only rays *active at this slab*
-        # (t within [entry, exit) and correct march sign); inactive rays
-        # are masked out of the compositing anyway, and their clamped
-        # crossings can lie anywhere on the slice
-        active_rows = (
-            (feat[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
-            & (t >= feat[F_ENTRY : F_ENTRY + 1, :])
-            & (t < feat[F_EXIT : F_EXIT + 1, :])
-        )
-        rows_min = jnp.min(jnp.where(active_rows, rows_c, jnp.float32(nr)))
-        # window start aligned down to a sublane tile (Mosaic requires the
-        # dynamic index to be a provable multiple of 8)
-        r0f = jnp.clip(jnp.floor((rows_min - 1.0) / 8.0) * 8.0, 0.0, nr - WIN_ROWS)
-        r0 = pl.multiple_of(r0f.astype(jnp.int32), 8)
-        idx = y_iota(WIN_ROWS) + r0.astype(jnp.float32)
-        w = pl.ds(r0, WIN_ROWS)
+    # a compact band, so contracting a win_rows-row window instead of the
+    # full slice cuts the dominant matmul by NR/win_rows.  The window SIZE
+    # is STATIC (host-side, per camera — see :func:`window_rows`); only its
+    # start is dynamic per (chunk, slab).  A lax.cond between sizes would
+    # execute both branches under Mosaic's predication and save nothing.
+    if win_rows:
+        r0 = _window_start(feat, t, rows_c, nr, win_rows)
+        idx = y_iota(win_rows) + r0.astype(jnp.float32)
+        w = pl.ds(r0, win_rows)
         colvals = jnp.stack(
             [
                 jax.lax.dot_general(
@@ -313,7 +320,7 @@ def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout)
     return feats, miss
 
 
-def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, windowed=False):
+def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0):
     """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba."""
     n_chunks = feats.shape[0]
     n_slabs = vol_perm.shape[0]
@@ -336,7 +343,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         precision=(
             jax.lax.Precision.DEFAULT if params.fast_math else jax.lax.Precision.HIGHEST
         ),
-        windowed=windowed,
+        win_rows=win_rows,
         slab_batch=sb,
         march_sign=sign,
     )
@@ -371,29 +378,30 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     )(*inputs)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def march_pallas(params: RenderParams, major: int, sign: int, vol_perm, lut, feats):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, vol_perm, lut, feats):
     """Differentiable Pallas slab march (chunked layout).
 
     Gradients w.r.t. the permuted volume and the LUT via the two-pass
     backward kernels (:mod:`volym_tpu.ops.slab_bwd_kernel`); the feats
     cotangent (camera) is zero — use the jnp slab VJP for camera-pose
-    optimisation.
+    optimisation.  ``win_rows`` is the static per-camera y-window size
+    (:func:`window_rows`; 0 = contract full slices).
     """
-    return _forward_call(params, sign, vol_perm, lut, feats)
+    return _forward_call(params, sign, vol_perm, lut, feats, win_rows=win_rows)
 
 
-def _mp_fwd(params, major, sign, vol_perm, lut, feats):
-    out = _forward_call(params, sign, vol_perm, lut, feats)
+def _mp_fwd(params, major, sign, win_rows, vol_perm, lut, feats):
+    out = _forward_call(params, sign, vol_perm, lut, feats, win_rows=win_rows)
     return out, (vol_perm, lut, feats, out)
 
 
-def _mp_bwd(params, major, sign, res, g):
+def _mp_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
     vol_perm, lut, feats, out = res
     d_vol, d_lut = slab_bwd_kernel.backward(
-        params, major, sign, vol_perm, lut, feats, out, g
+        params, major, sign, vol_perm, lut, feats, out, g, win_rows=win_rows
     )
     return d_vol, d_lut, jnp.zeros_like(feats)
 
@@ -401,23 +409,25 @@ def _mp_bwd(params, major, sign, res, g):
 march_pallas.defvjp(_mp_fwd, _mp_bwd)
 
 
-_fits_cache: dict = {}
+_win_cache: dict = {}
 
 
-def windowed_fits(camera_matrices, height, width, n_slabs, major, sign) -> bool:
-    """Host-side (pure numpy, no device work) decision for the windowed
-    kernel: does every 32x32-pixel tile's slab-rows footprint fit in
-    WIN_ROWS?  The unclamped per-tile spread is convex in the march index,
-    so checking the two march endpoints bounds all slabs."""
+def window_rows(camera_matrices, height, width, n_slabs, major, sign) -> int:
+    """Host-side (pure numpy, no device work) static window size for the
+    windowed y contraction: the smallest multiple-of-8 window that covers
+    every 32x32-pixel tile's slab-rows footprint, checked per slab exactly
+    as the kernel places its window (clamped rows over the rays active at
+    that slab).  Returns 0 (contract full slices) when the image does not
+    tile or no window smaller than the slice exists."""
     if height % TILE or width % TILE:
-        return False
+        return 0
     key = (
         np.asarray(camera_matrices.inverse_view_proj).tobytes(),
         np.asarray(camera_matrices.position).tobytes(),
         height, width, n_slabs, major, sign,
     )
-    if key in _fits_cache:
-        return _fits_cache[key]
+    if key in _win_cache:
+        return _win_cache[key]
     _, row_comp, _ = slab_mod._AXIS_LAYOUT[major]
     ivp = np.asarray(camera_matrices.inverse_view_proj, np.float32)
     cam = np.asarray(camera_matrices.position, np.float32)
@@ -457,24 +467,31 @@ def windowed_fits(camera_matrices, height, width, n_slabs, major, sign) -> bool:
     rs, rb = rs.reshape(shape), rb.reshape(shape)
     ts_o, tb_o = ts_o.reshape(shape), tb_o.reshape(shape)
     sign_ok, entry, exit_ = sign_ok.reshape(shape), entry.reshape(shape), exit_.reshape(shape)
-    # exact check mirroring the kernel: per slab, the clamped-rows spread
+    # exact spread mirroring the kernel: per slab, the clamped-rows spread
     # over the rays ACTIVE at that slab (correct sign, t inside [entry,
     # exit)) — inactive rays are masked out of the compositing
-    margin = WIN_ROWS - 10.0
+    import warnings
+
+    worst = 0.0
     for j in range(n_slabs):
         t_j = ts_o * j + tb_o
         active = sign_ok & (t_j >= entry) & (t_j < exit_)
         rows = np.clip(rs * j + rb, 0.0, n_slabs - 1.0)
         rows = np.where(active, rows, np.nan)
-        with np.errstate(all="ignore"):
+        with warnings.catch_warnings():
+            # all-NaN tiles (no active rays at this slab) reduce to NaN -> 0
+            warnings.simplefilter("ignore", RuntimeWarning)
             spread = np.nanmax(rows, axis=1) - np.nanmin(rows, axis=1)
-        if np.nanmax(np.where(np.isnan(spread), 0.0, spread)) > margin:
-            _fits_cache[key] = False
-            return False
-    if len(_fits_cache) > 256:
-        _fits_cache.clear()
-    _fits_cache[key] = True
-    return True
+            worst = max(
+                worst, float(np.nanmax(np.where(np.isnan(spread), 0.0, spread)))
+            )
+    win = max(MIN_WIN_ROWS, int(np.ceil((worst + WIN_SLACK) / 8.0)) * 8)
+    if win >= n_slabs:
+        win = 0
+    if len(_win_cache) > 256:
+        _win_cache.clear()
+    _win_cache[key] = win
+    return win
 
 
 def _tile_order(height, width):
@@ -515,10 +532,10 @@ def _assemble(out, miss, r, height, width):
 
 @partial(
     jax.jit,
-    static_argnames=("params", "height", "width", "major", "sign", "windowed"),
+    static_argnames=("params", "height", "width", "major", "sign", "win_rows"),
 )
 def _render_pallas_jit(
-    scene, camera_matrices, params, height, width, major, sign, windowed=False
+    scene, camera_matrices, params, height, width, major, sign, win_rows=0
 ):
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
@@ -536,19 +553,24 @@ def _render_pallas_jit(
         else None
     )
     out = _forward_call(
-        params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm, windowed
+        params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm, win_rows
     )
     return _assemble(out, miss, r, height, width)
 
 
-@partial(jax.jit, static_argnames=("params", "height", "width", "major", "sign"))
-def _render_pallas_diff_jit(scene, camera_matrices, params, height, width, major, sign):
+@partial(
+    jax.jit,
+    static_argnames=("params", "height", "width", "major", "sign", "win_rows"),
+)
+def _render_pallas_diff_jit(
+    scene, camera_matrices, params, height, width, major, sign, win_rows=0
+):
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
     feats, miss, r = _chunked_feats(
         camera_matrices, height, width, vol_perm.shape[0], major, sign, layout
     )
-    out = march_pallas(params, major, sign, vol_perm, scene.tf_lut, feats)
+    out = march_pallas(params, major, sign, win_rows, vol_perm, scene.tf_lut, feats)
     return _assemble(out, miss, r, height, width)
 
 
@@ -560,9 +582,15 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
         raise NotImplementedError("slab kernel v1: base rendering only")
     if params.use_importance_coloring:
         raise NotImplementedError("slab kernel v1: importance coloring not yet wired")
+    if not params.use_opacity:
+        raise NotImplementedError(
+            "slab kernels always alpha-composite; first-hit (use_opacity="
+            "False) needs the t-step renderers"
+        )
     major, sign = slab_mod.dominant_axis(camera_matrices)
+    win = window_rows(camera_matrices, height, width, scene.volume.shape[0], major, sign)
     return _render_pallas_diff_jit(
-        scene, camera_matrices, params, height, width, major, sign
+        scene, camera_matrices, params, height, width, major, sign, win
     )
 
 
@@ -572,5 +600,13 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
         raise NotImplementedError(
             "slab kernel v1: base/coloring/shaded rendering (no look-ahead/smoothing)"
         )
+    if not params.use_opacity:
+        raise NotImplementedError(
+            "slab kernels always alpha-composite; first-hit (use_opacity="
+            "False) needs the t-step renderers"
+        )
     major, sign = slab_mod.dominant_axis(camera_matrices)
-    return _render_pallas_jit(scene, camera_matrices, params, height, width, major, sign)
+    win = window_rows(camera_matrices, height, width, scene.volume.shape[0], major, sign)
+    return _render_pallas_jit(
+        scene, camera_matrices, params, height, width, major, sign, win
+    )

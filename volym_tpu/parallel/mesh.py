@@ -83,6 +83,20 @@ def render_sharded(
     if backend == "slab":
         from volym_tpu.render import slab as slab_mod
 
+        # same mode guards as slab.render/render_diff: the slab march has no
+        # smoothing/look-ahead and always alpha-composites
+        if params.use_importance_rendering or params.use_gaussian_smoothing:
+            raise NotImplementedError(
+                "sharded slab backend: no look-ahead/smoothing; use backend='ray'"
+            )
+        if not params.use_opacity:
+            raise NotImplementedError(
+                "sharded slab backend always alpha-composites; use backend='ray'"
+            )
+        if differentiable and params.use_shading:
+            raise NotImplementedError(
+                "differentiable slab backend: shading not supported"
+            )
         # host-side static choice (camera matrices are host state)
         major, sign = slab_mod.dominant_axis(camera_matrices)
     return _render_sharded_jit(
@@ -131,9 +145,16 @@ def _render_sharded_jit(
                     origin, dirs, entry, jax.lax.stop_gradient(exit_),
                 )
             else:
+                grad_perm = (
+                    slab_mod.permute_gradient(
+                        slab_mod.gradient_volume(scene.volume), major
+                    )
+                    if render_params.use_shading
+                    else None
+                )
                 img = slab_mod.march_slabs(
                     vol_perm, imp_perm, scene.tf_lut, origin, dirs, entry, exit_,
-                    major, sign, render_params,
+                    major, sign, render_params, grad_perm,
                 )
         elif differentiable:
             img = march(

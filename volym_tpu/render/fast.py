@@ -61,11 +61,7 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
     origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
     entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
     miss = exit_ <= entry
-    img = golden_march_dispatch(scene, origin, dirs, entry, exit_, camera_matrices.position, params)
+    img = march(scene, origin, dirs, entry, exit_, camera_matrices.position, params)
     miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
     img = jnp.where(miss[:, None], miss_color[None, :], img)
     return img.reshape(height, width, 4)
-
-
-def golden_march_dispatch(scene, origin, dirs, entry, exit_, cam_pos, params):
-    return march(scene, origin, dirs, entry, exit_, cam_pos, params)

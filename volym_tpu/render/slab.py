@@ -394,6 +394,11 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
     """Differentiable slab render (custom replay VJP)."""
     if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
         raise NotImplementedError("slab mode v1: base/coloring, no shading/smoothing")
+    if not params.use_opacity:
+        raise NotImplementedError(
+            "slab mode always alpha-composites; the first-hit (use_opacity="
+            "False) mode (wgsl:319-323) needs the t-step renderers"
+        )
     major, sign = dominant_axis(camera_matrices)
     return _render_diff_jit(scene, camera_matrices, params, height, width, major, sign)
 
@@ -435,6 +440,11 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
         raise NotImplementedError(
             "slab mode v1 supports base, coloring, and shaded rendering "
             "without smoothing/look-ahead; use golden/fast for other modes"
+        )
+    if not params.use_opacity:
+        raise NotImplementedError(
+            "slab mode always alpha-composites; the first-hit (use_opacity="
+            "False) mode (wgsl:319-323) needs the t-step renderers"
         )
     major, sign = dominant_axis(camera_matrices)
     return _render_jit(scene, camera_matrices, params, height, width, major, sign)
