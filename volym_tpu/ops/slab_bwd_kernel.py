@@ -84,20 +84,19 @@ def _hat(coords, n, rays, bilinear, base=None):
 def _replay_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC)
-    lut_ref,    # (LN, 4)
-    fin_ref,    # (1, 4, R) final image for this chunk
-    gimg_ref,   # (1, 4, R) output cotangent for this chunk
-    dd_ref,     # (1, sb, 1, R) out: d_density for this (chunk, slab block)
-    dlut_ref,   # (LN, 4) out: accumulated LUT gradient
-    acc_ref,    # scratch (4, R): replayed accumulator
-    *,
+    *rest,      # [occ_ref if occupancy] lut_ref(B), fin_ref, gimg_ref,
+                # dd_ref, dlut_ref, acc_ref (scratch)
     bilinear: bool,
     early_alpha: float,
     threshold: float,
     win_rows: int = 0,
     slab_batch: int = 1,
     march_sign: int = 1,
+    occupancy: bool = False,
 ):
+    rest = list(rest)
+    occ_ref = rest.pop(0) if occupancy else None
+    lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, acc_ref = rest
     jb = pl.program_id(1)
 
     @pl.when((pl.program_id(0) == 0) & (jb == 0))
@@ -108,15 +107,17 @@ def _replay_kernel(
     def _init_acc():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # same whole-chunk skip as the forward: saturated or exited rays
-    # contribute zero cotangents, so emit zero density-cotangents and skip
-    # the matmuls
+    # same whole-chunk skip as the forward: saturated, exited, or
+    # not-yet-entered rays contribute zero cotangents, so emit zero
+    # density-cotangents and skip the matmuls
     feat0 = feat_ref[0]
     jf0 = (jb * slab_batch).astype(jnp.float32)
     t_now = feat0[F_TS : F_TS + 1, :] * jf0 + feat0[F_TB : F_TB + 1, :]
+    t_last = t_now + feat0[F_TS : F_TS + 1, :] * jnp.float32(slab_batch - 1)
     can_contribute = (
         (acc_ref[3:4, :] < early_alpha)
         & (t_now < feat0[F_EXIT : F_EXIT + 1, :])
+        & (t_last >= feat0[F_ENTRY : F_ENTRY + 1, :])
         & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
     )
     chunk_active = jnp.any(can_contribute) | (jb == 0)
@@ -135,19 +136,56 @@ def _replay_kernel(
                 dd_row=i,
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 bilinear=bilinear, early_alpha=early_alpha,
-                threshold=threshold, win_rows=win_rows,
+                threshold=threshold, win_rows=win_rows, occ_ref=occ_ref,
             )
 
 
 def _replay_step(
     feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
+    occ_ref=None,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
-    rays = feat.shape[-1]
     rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+
+    if occ_ref is None:
+        _replay_step_body(
+            feat, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
+            dd_ref, dlut_ref, acc_ref, dd_row=dd_row, slice_row=slice_row,
+            bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
+            win_rows=win_rows,
+        )
+        return
+
+    occupied = fwd_mod._step_occupied(
+        occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc
+    )
+
+    @pl.when(occupied)
+    def _do():
+        _replay_step_body(
+            feat, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
+            dd_ref, dlut_ref, acc_ref, dd_row=dd_row, slice_row=slice_row,
+            bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
+            win_rows=win_rows,
+        )
+
+    @pl.when(jnp.logical_not(occupied))
+    def _zero():
+        # an empty-footprint step contributes nothing: no compositing, no
+        # density cotangent
+        dd_ref[0, dd_row] = jnp.zeros_like(dd_ref[0, dd_row])
+
+
+def _replay_step_body(
+    feat, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
+    dlut_ref, acc_ref,
+    *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
+):
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+    rays = feat.shape[-1]
 
     if win_rows:
         r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
@@ -163,18 +201,10 @@ def _replay_step(
     )
     density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
 
-    lut = lut_ref[:]
-    ln = lut.shape[0]
-    tf_c_raw = density * ln - 0.5
+    b = lut_ref[:]  # grouped LUT (4G, NI) — see slab_kernel.lut_groups
+    n_groups = b.shape[0] // 4
+    rgba, onehot, diff, tri_o, tf_c_raw, ln = fwd_mod._tf_lookup(b, density, rays)
     tf_in_range = (tf_c_raw > 0.0) & (tf_c_raw < ln - 1.0)  # clip grad mask
-    tf_c = jnp.clip(tf_c_raw, 0.0, ln - 1.0)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (ln, rays), 0).astype(jnp.float32)
-    diff = tf_c - idx
-    hat_t = jnp.maximum(0.0, 1.0 - jnp.abs(diff))
-    rgba = jax.lax.dot_general(
-        lut, hat_t, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )  # (4, R)
 
     acc = acc_ref[:]
     acc_a = acc[3:4, :]
@@ -219,20 +249,36 @@ def _replay_step(
 
     d_rgba = jnp.concatenate([d_rgb, d_a], axis=0)  # (4, R)
 
-    # LUT gradient: dlut[l, ch] += sum_r hat_t[l, r] * d_rgba[ch, r]
+    # grouped-LUT gradient: dB[(ch,g), i] += onehot[g,r] d_rgba[ch,r] tri_o[i,r]
+    # (folded back onto the LUT by fold_lut_groups_grad in backward())
+    p = jnp.concatenate(
+        [onehot * d_rgba[ch : ch + 1, :] for ch in range(4)], axis=0
+    )  # (4G, R)
     dlut_ref[:] = dlut_ref[:] + jax.lax.dot_general(
-        hat_t, d_rgba, (((1,), (1,)), ((), ())),
+        p, tri_o, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
 
-    # density cotangent through the TF hat: d hat_t/d tf_c = -sign(diff)
-    # where |diff| < 1; dhat_t[l, r] = sum_ch lut[l, ch] * d_rgba[ch, r]
-    dhat_t = jax.lax.dot_general(
-        lut, d_rgba, (((1,), (0,)), ((), ())),
+    # density cotangent through the TF hat: d tri/d tf_c = -sign(diff)
+    # where |diff| < 1 (diff is the within-group offset minus the entry
+    # index; d offset/d tf_c = 1)
+    dtri_o = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+    zd = jax.lax.dot_general(
+        b, dtri_o, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )  # (LN, R)
-    dhat_dc = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
-    d_tf_c = jnp.sum(dhat_t * dhat_dc, axis=0, keepdims=True)  # (1, R)
+    )  # (4G, R)
+    drgba_dc = jnp.concatenate(
+        [
+            jnp.sum(
+                onehot * zd[ch * n_groups : (ch + 1) * n_groups],
+                axis=0,
+                keepdims=True,
+            )
+            for ch in range(4)
+        ],
+        axis=0,
+    )  # (4, R)
+    d_tf_c = jnp.sum(d_rgba * drgba_dc, axis=0, keepdims=True)  # (1, R)
     dd_ref[0, dd_row] = d_tf_c * ln * tf_in_range.astype(jnp.float32)
 
 
@@ -307,10 +353,12 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
     bilinear = params.interpolation == Interpolation.TRILINEAR
     sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
     n_blocks = n_slabs // sb
+    b = fwd_mod.lut_groups(lut)
 
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_blocks - 1 - j, 0, 0)
     )
+    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
@@ -319,27 +367,42 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
         win_rows=win_rows,
         slab_batch=sb,
         march_sign=sign,
+        occupancy=occupancy,
     )
+    in_specs = [
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((sb, nr, nc), slab_index),
+    ]
+    inputs = [feats, vol_perm]
+    if occupancy:
+        occ = fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+        in_specs.append(
+            pl.BlockSpec(
+                (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slab_index
+            )
+        )
+        inputs.append(occ)
+    in_specs += [
+        pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+    ]
+    inputs += [b, fin, g_img]
     d_density, d_lut = pl.pallas_call(
         replay,
         grid=(n_chunks, n_blocks),
-        in_specs=[
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-            pl.BlockSpec((sb, nr, nc), slab_index),
-            pl.BlockSpec(lut.shape, lambda c, j: (0, 0)),
-            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
-            pl.BlockSpec(lut.shape, lambda c, j: (0, 0)),
+            pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct(lut.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b.shape, jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
-    )(feats, vol_perm, lut, fin, g_img)
+    )(*inputs)
+    d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
 
     # Pass 2: note d_density is indexed by MARCH step j; the dvol output
     # block is the PHYSICAL slab block.

@@ -55,8 +55,8 @@ F_HX, F_HY, F_HZ = 10, 11, 12  # per-ray Blinn-Phong half vector
 
 def _march_kernel(
     feat_ref,  # (1, 16, RAYS)
-    slice_ref,  # (1, NR, NC) volume slice for this march step
-    *rest,  # [imp_ref if coloring] then lut_ref, out_ref
+    slice_ref,  # (sb, NR, NC) volume slices for this march block
+    *rest,  # [occ_ref if occupancy] [imp_ref if coloring] [grad_ref if shading] lut_ref, out_ref
     num_steps: int,
     bilinear: bool,
     early_alpha: float,
@@ -67,8 +67,10 @@ def _march_kernel(
     win_rows: int = 0,
     slab_batch: int = 1,
     march_sign: int = 1,
+    occupancy: bool = False,
 ):
     rest = list(rest)
+    occ_ref = rest.pop(0) if occupancy else None
     imp_ref = rest.pop(0) if coloring else None
     grad_ref = rest.pop(0) if shading else None
     lut_ref, out_ref = rest
@@ -78,18 +80,21 @@ def _march_kernel(
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    # Whole-chunk early termination: a ray can still contribute only while
-    # it is unsaturated AND has not yet marched past its box exit (t is
+    # Whole-chunk skipping: a ray can contribute in this batch only while
+    # it is unsaturated, has not yet marched past its box exit (t is
     # monotone increasing in j for correctly-signed rays, so t >= exit is
-    # permanent; missing rays have exit <= t immediately).  Checked per
-    # SLAB_BATCH sub-slabs; the slice prefetch still runs but the matmuls
-    # are skipped.
+    # permanent; missing rays have exit <= t immediately), AND the batch's
+    # last sub-step has reached its box entry (skips the leading dead
+    # slabs of oblique/edge chunks).  Checked per SLAB_BATCH sub-slabs;
+    # the slice prefetch still runs but the matmuls are skipped.
     feat0 = feat_ref[0]
     jf0 = (J * slab_batch).astype(jnp.float32)
     t_now = feat0[F_TS : F_TS + 1, :] * jf0 + feat0[F_TB : F_TB + 1, :]
+    t_last = t_now + feat0[F_TS : F_TS + 1, :] * jnp.float32(slab_batch - 1)
     can_contribute = (
         (out_ref[0][3:4, :] < early_alpha)
         & (t_now < feat0[F_EXIT : F_EXIT + 1, :])
+        & (t_last >= feat0[F_ENTRY : F_ENTRY + 1, :])
         & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
     )
     chunk_active = jnp.any(can_contribute)
@@ -104,7 +109,7 @@ def _march_kernel(
                 j=J * slab_batch + i,
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
-                precision=precision, win_rows=win_rows,
+                precision=precision, win_rows=win_rows, occ_ref=occ_ref,
             )
 
 
@@ -126,20 +131,172 @@ def _window_start(feat, t, rows_c, nr, win_rows):
     return pl.multiple_of(r0f.astype(jnp.int32), 8)
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0):
+#: side of the square occupancy blocks for empty-space skipping
+OCC_BLOCK = 32
+
+
+def occupancy_grid(vol_perm, threshold: float):
+    """(N, NR, NC) permuted volume -> (N, NR/32, NC/32) block occupancy at
+    the density threshold.  Interpolated (bilinear or nearest) values never
+    exceed the max of their corner texels, so a step whose whole sampling
+    footprint lies in empty blocks contributes exactly nothing — the
+    block-level TPU analog of the reference's per-ray threshold skip
+    (``wgsl:271-274``)."""
+    n, nr, nc = vol_perm.shape
+    occ = (
+        vol_perm.reshape(
+            n, nr // OCC_BLOCK, OCC_BLOCK, nc // OCC_BLOCK, OCC_BLOCK
+        )
+        >= threshold
+    )
+    return occ.any(axis=(2, 4)).astype(jnp.float32)
+
+
+def _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc):
+    """Scalar: does this step's (active-ray) sampling footprint touch any
+    occupied occupancy block?  +-1 texel margin covers the hat support."""
+    active = (
+        (feat[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
+        & (t >= feat[F_ENTRY : F_ENTRY + 1, :])
+        & (t < feat[F_EXIT : F_EXIT + 1, :])
+    )
+    rlo = jnp.min(jnp.where(active, rows_c, jnp.float32(nr))) - 1.0
+    rhi = jnp.max(jnp.where(active, rows_c, jnp.float32(-1.0))) + 1.0
+    clo = jnp.min(jnp.where(active, cols_c, jnp.float32(nc))) - 1.0
+    chi = jnp.max(jnp.where(active, cols_c, jnp.float32(-1.0))) + 1.0
+    ob = occ_ref[slice_row]  # (NR/32, NC/32)
+    br, bc = ob.shape
+    by = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0).astype(jnp.float32) * OCC_BLOCK
+    bx = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1).astype(jnp.float32) * OCC_BLOCK
+    inside = (
+        (by + (OCC_BLOCK - 1) >= rlo)
+        & (by <= rhi)
+        & (bx + (OCC_BLOCK - 1) >= clo)
+        & (bx <= chi)
+    )
+    return jnp.any((ob > 0.5) & inside) & jnp.any(active)
+
+
+#: group width of the two-level transfer-function lookup (see lut_groups)
+TF_GROUP = 16
+
+
+def lut_groups(lut):
+    """Regroup the (LN, 4) TF LUT for the kernel's two-level lookup.
+
+    The naive in-kernel LUT filter builds a (LN, R) hat and contracts it
+    with the LUT — ~1M VPU ops per march step plus two matmuls whose tiny
+    M/K dims (4) pad to full 128-wide MXU passes.  Instead: split the LN
+    entries into LN/16 groups of 16 with one overlap entry
+    (``B[ch*G + g, i] = lut[min(16*g + i, LN-1), ch]``); the kernel then
+    builds a 17-row hat over the *within-group* offset, one (4G, 17) x
+    (17, R) matmul, and a 16-row one-hot group select — ~0.3M VPU ops and
+    a well-shaped matmul.  Exactly the same linear filter, regrouped.
+    """
+    ln = lut.shape[0]
+    assert ln % TF_GROUP == 0, "LUT length must divide the TF group width"
+    n_groups = ln // TF_GROUP
+    ni = TF_GROUP + 1
+    idx = jnp.clip(
+        jnp.arange(n_groups)[:, None] * TF_GROUP + jnp.arange(ni)[None, :],
+        0,
+        ln - 1,
+    )  # (G, NI)
+    ext = lut[idx]  # (G, NI, 4)
+    return ext.transpose(2, 0, 1).reshape(4 * n_groups, ni)
+
+
+def fold_lut_groups_grad(dlx, ln):
+    """Inverse of :func:`lut_groups` for cotangents: fold the (4G, NI)
+    grouped-LUT gradient back onto the (LN, 4) LUT (overlap entries
+    accumulate)."""
+    n_groups = ln // TF_GROUP
+    ni = TF_GROUP + 1
+    flat = dlx.reshape(4, n_groups, ni).transpose(1, 2, 0).reshape(-1, 4)
+    idx = jnp.clip(
+        jnp.arange(n_groups)[:, None] * TF_GROUP + jnp.arange(ni)[None, :],
+        0,
+        ln - 1,
+    ).reshape(-1)
+    return jnp.zeros((ln, 4), jnp.float32).at[idx].add(flat)
+
+
+def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
+    """Two-level linear TF filter (identical math to the LN-row hat).
+
+    Returns ``(rgba, onehot, diff, tri_o, tf_c_raw, ln)`` — the extras are
+    reused by the replay backward (d rgba / d density and the LUT-gradient
+    accumulation)."""
+    n_groups = b.shape[0] // 4
+    ni = b.shape[1]
+    gw = ni - 1
+    ln = gw * n_groups
+    tf_c_raw = density * ln - 0.5
+    tf_c = jnp.clip(tf_c_raw, 0.0, ln - 1.0)
+    gf = jnp.floor(tf_c / gw)  # (1, R) group index as float
+    o = tf_c - gf * gw  # within-group offset in [0, gw)
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (n_groups, rays), 0).astype(
+        jnp.float32
+    )
+    onehot = (iota_g == gf).astype(jnp.float32)  # (G, R)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (ni, rays), 0).astype(jnp.float32)
+    diff = o - iota_i  # (NI, R)
+    tri_o = jnp.maximum(0.0, 1.0 - jnp.abs(diff))
+    z = jax.lax.dot_general(
+        b, tri_o, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (4G, R)
+    rgba = jnp.concatenate(
+        [
+            jnp.sum(
+                onehot * z[ch * n_groups : (ch + 1) * n_groups],
+                axis=0,
+                keepdims=True,
+            )
+            for ch in range(4)
+        ],
+        axis=0,
+    )  # (4, R)
+    return rgba, onehot, diff, tri_o, tf_c_raw, ln
+
+
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
     cols_c = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
     t = feat[F_TS : F_TS + 1, :] * jf + feat[F_TB : F_TB + 1, :]
 
-    sl = slice_ref[slice_row]  # (NR, NC)
-    nr, nc = sl.shape
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
 
     # clamp-to-edge in texel space reproduces wgpu addressing exactly
     rows_c = jnp.clip(rows_c, 0.0, nr - 1.0)
     cols_c = jnp.clip(cols_c, 0.0, nc - 1.0)
+
+    if occ_ref is None:
+        _march_step_body(
+            feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref,
+            out_ref, slice_row=slice_row, bilinear=bilinear,
+            early_alpha=early_alpha, threshold=threshold, precision=precision,
+            win_rows=win_rows,
+        )
+    else:
+        occupied = _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc)
+
+        @pl.when(occupied)
+        def _occupied_step():
+            _march_step_body(
+                feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref,
+                out_ref, slice_row=slice_row, bilinear=bilinear,
+                early_alpha=early_alpha, threshold=threshold,
+                precision=precision, win_rows=win_rows,
+            )
+
+
+def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows):
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+    rays = rows_c.shape[-1]
 
     def tri(coords, idx):
         d = coords - idx
@@ -223,16 +380,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             axis=0,
         )  # (4, R)
     else:
-        # transfer-function lookup: hat matmul against the LUT
-        lut = lut_ref[:]  # (LN, 4)
-        ln = lut.shape[0]
-        tf_c = jnp.clip(density * ln - 0.5, 0.0, ln - 1.0)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (ln, rays), 0).astype(jnp.float32)
-        hat_t = jnp.maximum(0.0, 1.0 - jnp.abs(tf_c - idx))  # linear LUT filter
-        rgba = jax.lax.dot_general(
-            lut, hat_t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # (4, R)
+        rgba = _tf_lookup(lut_ref[:], density, rays)[0]
 
     rgb = rgba[:3, :]
     if grad_ref is not None:
@@ -323,9 +471,10 @@ def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout)
 def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0):
     """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba."""
     n_chunks = feats.shape[0]
-    n_slabs = vol_perm.shape[0]
+    n_slabs, nr, nc = vol_perm.shape
     coloring = params.use_importance_coloring
     shading = params.use_shading
+    occupancy = nr % OCC_BLOCK == 0 and nc % OCC_BLOCK == 0
     # the gradient block is 3x the slice size; cap the batch so the
     # double-buffered blocks fit VMEM when shading
     sb = 2 if shading else SLAB_BATCH
@@ -346,6 +495,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         win_rows=win_rows,
         slab_batch=sb,
         march_sign=sign,
+        occupancy=occupancy,
     )
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_blocks - 1 - j, 0, 0)
@@ -356,6 +506,12 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         slice_spec,
     ]
     inputs = [feats, vol_perm]
+    if occupancy:
+        occ = occupancy_grid(vol_perm, params.density_threshold)
+        in_specs.append(
+            pl.BlockSpec((sb, nr // OCC_BLOCK, nc // OCC_BLOCK), slab_index)
+        )
+        inputs.append(occ)
     if coloring:
         in_specs.append(slice_spec)
         inputs.append(imp_perm)
@@ -367,8 +523,9 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             pl.BlockSpec((3, sb, vol_perm.shape[1], vol_perm.shape[2]), grad_index)
         )
         inputs.append(grad_perm)
-    in_specs.append(pl.BlockSpec(lut.shape, lambda c, j: (0, 0)))
-    inputs.append(lut)
+    b = lut_groups(lut)
+    in_specs.append(pl.BlockSpec(b.shape, lambda c, j: (0, 0)))
+    inputs.append(b)
     return pl.pallas_call(
         kernel,
         grid=(n_chunks, n_blocks),
