@@ -71,6 +71,30 @@ def main() -> int:
     # fast_math: documented preview-mode bound (threshold-boundary flips)
     check_fwd("fwd fast_math", scene, m, params.replace(fast_math=True), 32, tol=0.5)
 
+    # importance-driven look-ahead (straight + cone) vs the jnp slab golden
+    import jax.numpy as jnp2
+
+    side = 32
+    vol = np.full((side, side, side), 0.45, np.float32)
+    imp = np.zeros((side, side, side), np.float32)
+    vol[20:26, 8:24, 8:24] = 0.9
+    imp[20:26, 8:24, 8:24] = 1.0
+    la_scene = Scene(
+        volume=jnp2.asarray(vol), importance=jnp2.asarray(imp),
+        tf_lut=scene.tf_lut,
+    )
+    m_la = Camera(aspect=1.0, distance=1.3).orbit(10.0, 5.0, 0.0).matrices()
+    for cone in (False, True):
+        p = params.replace(
+            use_importance_rendering=True, use_cone_importance_check=cone
+        )
+        tag = f"fwd lookahead cone={cone}"
+        base = np.asarray(slab.render(la_scene, m_la, params, 32, 32))
+        want = np.asarray(slab.render(la_scene, m_la, p, 32, 32))
+        if np.abs(want - base).max() < 0.05:
+            failures.append(tag + " (not engaged)")
+        check_fwd(tag, la_scene, m_la, p, 32, frac=0.01)
+
     # windowed contraction: 64^3 at 128^2 gives a real (sub-slice) window at
     # d=1.2; d=2.0 degenerates to full slices but exercises 16-tile reorder
     big = Scene.synthetic("sphere", side=64)

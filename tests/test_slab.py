@@ -33,8 +33,12 @@ def cam():
     return Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0)
 
 
-def _scalar_slab_render(vol, lut, cam, params, height, width):
-    """Independent per-pixel slab-march oracle (python loops)."""
+def _scalar_slab_render(vol, lut, cam, params, height, width, imp=None):
+    """Independent per-pixel slab-march oracle (python loops).
+
+    ``imp`` enables the slab-native (continuum) importance look-ahead:
+    skip non-opaque samples when any important slab crossing lies strictly
+    ahead within the reference's quirky probe range."""
     m = cam.matrices()
     major, sign = slab.dominant_axis(m)
     ivp = np.asarray(m.inverse_view_proj, np.float32)
@@ -56,6 +60,15 @@ def _scalar_slab_render(vol, lut, cam, params, height, width):
         )
 
     vol_perm = np.transpose(vol, slab._AXIS_LAYOUT[major][0])
+    imp_perm = (
+        np.transpose(imp, slab._AXIS_LAYOUT[major][0]) if imp is not None else None
+    )
+
+    def nearest(sl2d, rc, cc):
+        r = int(np.clip(np.floor(rc + 0.5), 0, sl2d.shape[0] - 1))
+        c = int(np.clip(np.floor(cc + 0.5), 0, sl2d.shape[1] - 1))
+        return sl2d[r, c]
+
     img = np.zeros((height, width, 4), np.float32)
     for py in range(height):
         for px in range(width):
@@ -74,9 +87,30 @@ def _scalar_slab_render(vol, lut, cam, params, height, width):
             if d[major] * sign <= 0:
                 continue
             dt = (1.0 / n) / abs(d[major])
+            ks_list = list(range(n) if sign > 0 else range(n - 1, -1, -1))
+            ahead = [False] * n
+            if imp_perm is not None:
+                # reverse pass: next important march step, then the range test
+                hit = []
+                for k in ks_list:
+                    z = (k + 0.5) / n
+                    t = (z - cp[major]) / d[major]
+                    rc = (cp[comps[0]] + t * d[comps[0]]) * n - 0.5
+                    cc = (cp[comps[1]] + t * d[comps[1]]) * n - 0.5
+                    hit.append(
+                        (entry <= t < exit_)
+                        and nearest(imp_perm[k], rc, cc) >= 0.5
+                    )
+                ns = [np.inf] * (n + 1)
+                for mi in reversed(range(n)):
+                    ns[mi] = mi if hit[mi] else ns[mi + 1]
+                for mi, k in enumerate(ks_list):
+                    z = (k + 0.5) / n
+                    t = (z - cp[major]) / d[major]
+                    m_end = mi + (exit_ - np.linalg.norm(cp + t * d)) / dt
+                    ahead[mi] = ns[mi + 1] <= m_end
             acc_c, acc_a = np.zeros(3), 0.0
-            ks = range(n) if sign > 0 else range(n - 1, -1, -1)
-            for k in ks:
+            for mi, k in enumerate(ks_list):
                 z = (k + 0.5) / n
                 t = (z - cp[major]) / d[major]
                 if not (entry <= t < exit_) or acc_a >= 0.95:
@@ -86,6 +120,10 @@ def _scalar_slab_render(vol, lut, cam, params, height, width):
                 dens = bilin(vol_perm[k], rc, cc)
                 if dens < params.density_threshold:
                     continue
+                if imp_perm is not None:
+                    imp_here = nearest(imp_perm[k], rc, cc)
+                    if imp_here < 1.0 and ahead[mi]:
+                        continue
                 c = min(max(dens * 256 - 0.5, 0.0), 255.0)
                 i0 = int(math.floor(c))
                 i1 = min(i0 + 1, 255)
@@ -126,6 +164,63 @@ def test_slab_shading_mode(scene, cam):
     # alpha identical (shading touches colour only); colours differ
     np.testing.assert_allclose(img[..., 3], base[..., 3], atol=1e-6)
     assert np.abs(img[..., :3] - base[..., :3]).max() > 1e-3
+
+
+def _lookahead_scene():
+    """16^3: uniform haze plus an important dense band deep along +z."""
+    side = 16
+    vol = np.full((side, side, side), 0.45, np.float32)
+    imp = np.zeros((side, side, side), np.float32)
+    vol[10:13, 4:12, 4:12] = 0.9
+    imp[10:13, 4:12, 4:12] = 1.0  # importance 255/255 -> opaque-important
+    from volym_tpu.scene import Scene as S
+
+    return S(
+        volume=jnp.asarray(vol),
+        importance=jnp.asarray(imp),
+        tf_lut=Scene.synthetic("sphere", side=8).tf_lut,
+    )
+
+
+def test_slab_lookahead_matches_scalar_oracle():
+    """Slab-native (continuum) straight look-ahead vs the python oracle."""
+    sc = _lookahead_scene()
+    cam = Camera(aspect=1.0, distance=1.3).orbit(10.0, 5.0, 0.0)
+    p = PARAMS.replace(use_importance_rendering=True)
+    expect = _scalar_slab_render(
+        np.asarray(sc.volume), np.asarray(sc.tf_lut), cam, p, RES, RES,
+        imp=np.asarray(sc.importance),
+    )
+    got = np.asarray(slab.render(sc, cam.matrices(), p, RES, RES))
+    err = np.abs(got - expect).max(-1)
+    assert (err > 2e-3).mean() <= 0.05, f"max err {err.max()}"
+    # and the skip actually changed the image vs base rendering
+    base = np.asarray(slab.render(sc, cam.matrices(), PARAMS, RES, RES))
+    assert np.abs(got - base).max() > 0.05
+
+
+def test_slab_lookahead_zero_importance_is_base():
+    scene = Scene.synthetic("sphere", side=SIDE)  # importance all zero
+    cam = Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0)
+    for cone in (False, True):
+        p = PARAMS.replace(
+            use_importance_rendering=True, use_cone_importance_check=cone
+        )
+        a = np.asarray(slab.render(scene, cam.matrices(), p, RES, RES))
+        b = np.asarray(slab.render(scene, cam.matrices(), PARAMS, RES, RES))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_slab_lookahead_cone_runs():
+    sc = _lookahead_scene()
+    cam = Camera(aspect=1.0, distance=1.3).orbit(10.0, 5.0, 0.0)
+    p = PARAMS.replace(
+        use_importance_rendering=True, use_cone_importance_check=True
+    )
+    img = np.asarray(slab.render(sc, cam.matrices(), p, RES, RES))
+    assert np.isfinite(img).all()
+    base = np.asarray(slab.render(sc, cam.matrices(), PARAMS, RES, RES))
+    assert np.abs(img - base).max() > 0.05  # cone skip engaged
 
 
 def test_gradient_volume_matches_reference_estimator(scene):

@@ -96,6 +96,67 @@ def test_forward_coloring_branch(scene, cam):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def _lookahead_scene():
+    side = 16
+    vol = np.full((side, side, side), 0.45, np.float32)
+    imp = np.zeros((side, side, side), np.float32)
+    vol[10:13, 4:12, 4:12] = 0.9
+    imp[10:13, 4:12, 4:12] = 1.0
+    from volym_tpu.scene import Scene as S
+
+    return S(
+        volume=jnp.asarray(vol),
+        importance=jnp.asarray(imp),
+        tf_lut=Scene.synthetic("sphere", side=8).tf_lut,
+    )
+
+
+def _emu_lookahead_forward(sc, m, params):
+    """Un-jitted lookahead render under the emulator (pre-pass + march)."""
+    from volym_tpu.ops import lookahead_kernel
+
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(sc.volume, major)
+    imp_perm = slab.permute_volume(sc.importance, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    cone_feats = (
+        slab_kernel._chunk_rays(
+            slab_kernel._pack_cone_features(
+                m, RES, RES, vol_perm.shape[0], major, sign, layout
+            ),
+            RES,
+            RES,
+        )
+        if params.use_cone_importance_check
+        else None
+    )
+    with emulate(slab_kernel, lookahead_kernel):
+        ahead = lookahead_kernel.lookahead_call(sign, imp_perm, feats, cone_feats)
+        out = slab_kernel._forward_call(
+            params, sign, vol_perm, sc.tf_lut, feats, imp_perm, None, 0, ahead
+        )
+    return np.asarray(slab_kernel._assemble(out, miss, r, RES, RES))
+
+
+@pytest.mark.parametrize("cone", [False, True])
+def test_lookahead_matches_jnp_golden(cone):
+    """Pallas pre-pass + march == jnp slab golden, straight and cone."""
+    sc = _lookahead_scene()
+    m = Camera(aspect=1.0, distance=1.3).orbit(10.0, 5.0, 0.0).matrices()
+    p = PARAMS.replace(
+        use_importance_rendering=True, use_cone_importance_check=cone
+    )
+    got = _emu_lookahead_forward(sc, m, p)
+    want = np.asarray(slab.render(sc, m, p, RES, RES))
+    base = np.asarray(slab.render(sc, m, PARAMS, RES, RES))
+    assert np.abs(want - base).max() > 0.05, "look-ahead not engaged"
+    err = np.abs(got - want).max(-1)
+    assert (err > 1e-3).mean() <= 0.01, f"max err {err.max()}"
+
+
 def _banded_feats(rng=None):
     """One crafted ray chunk whose slab-rows footprint stays in a narrow
     band ([20, 38) over all 64 slabs) so a 32-row window provably covers

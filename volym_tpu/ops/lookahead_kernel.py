@@ -1,0 +1,338 @@
+"""Pallas pre-pass kernels for importance-driven look-ahead.
+
+The reference gates its march on "is an important object ahead of this
+sample?" by probing K points towards the box exit per (pixel, step)
+(``shaders/importance_driven_volume_rendering.wgsl:141-160`` straight,
+``:94-139`` cone, consumed at ``:286-296``).  Probing forward is
+gather-shaped and, worse, looks at slabs the forward march has not loaded
+yet.  The slab-native formulation inverts it: a REVERSE march over the
+importance volume carries, per ray, the march index of the next important
+crossing ahead (``ns``), and emits one ``ahead`` bit per (chunk, march
+step, ray) — exactly the continuum (K -> infinity) limit of the
+reference's probe loop, including its quirky probe-range end
+``max_distance - length(pos)`` (a t-value minus a norm from the world
+origin).  The forward kernel then streams the ``ahead`` plane like any
+other per-step input.  Semantics match :func:`volym_tpu.render.slab.
+lookahead_bits` (the jnp golden); the t-step golden keeps the reference's
+exact discrete-probe parity.
+
+Cost: one box-hat matmul per (chunk, slab) — with importance-occupancy
+skipping, near zero for typical sparse importance volumes.  The cone
+variant carries 8 next-important indices, one per cone direction
+re-anchored at the camera.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from volym_tpu.ops import slab_kernel as fwd_mod
+from volym_tpu.ops.slab_kernel import (
+    CF_CB,
+    CF_CS,
+    CF_RATE,
+    CF_RB,
+    CF_RS,
+    CF_TB,
+    CF_TS,
+    CONE_FEATURES,
+    F_C2,
+    F_CD,
+    F_ENTRY,
+    F_EXIT,
+    F_SIGNOK,
+    F_TS,
+    N_FEATURES,
+    RAYS_PER_CHUNK,
+    SLAB_BATCH,
+)
+
+_FAR = 1e9  # "no important slab ahead" sentinel (march-index units)
+IMPORTANT_AHEAD_THRESHOLD = 0.5
+
+
+def _row(feat, i):
+    return feat[i : i + 1, :]
+
+
+def _coords_t(feat, jf):
+    from volym_tpu.ops.slab_kernel import F_CB, F_CS, F_RB, F_RS, F_TB
+
+    rows_c = _row(feat, F_RS) * jf + _row(feat, F_RB)
+    cols_c = _row(feat, F_CS) * jf + _row(feat, F_CB)
+    t = _row(feat, F_TS) * jf + _row(feat, F_TB)
+    return rows_c, cols_c, t
+
+
+def _boxhat_sample(slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows, feat, t):
+    """Nearest (box-hat) sample of one slice at the ray crossings."""
+
+    def boxk(coords, idx):
+        d = coords - idx
+        return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+
+    def iota(n, base=None):
+        v = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
+        return v if base is None else v + base.astype(jnp.float32)
+
+    if win_rows:
+        r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+        hat_y = boxk(rows_c, iota(win_rows, r0))
+        sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
+    else:
+        hat_y = boxk(rows_c, iota(nr))
+        sl = slice_ref[slice_row]
+    colvals = jax.lax.dot_general(
+        sl, hat_y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.sum(colvals * boxk(cols_c, iota(nc)), axis=0, keepdims=True)
+
+
+def _straight_kernel(
+    feat_ref,   # (1, 16, R)
+    slice_ref,  # (sb, NR, NC) importance slices (physical order)
+    *rest,      # [occ_ref] ahead_ref, ns_ref (scratch)
+    win_rows: int,
+    slab_batch: int,
+    march_sign: int,
+    n_blocks: int,
+    occupancy: bool,
+):
+    rest = list(rest)
+    occ_ref = rest.pop(0) if occupancy else None
+    ahead_ref, ns_ref = rest
+    jb = pl.program_id(1)
+
+    @pl.when(jb == 0)
+    def _init():
+        ns_ref[:] = jnp.full_like(ns_ref, _FAR)
+
+    mb = n_blocks - 1 - jb  # march-order block (marching far -> near)
+    for i in reversed(range(slab_batch)):
+        _straight_step(
+            feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref,
+            j=mb * slab_batch + i,
+            row=i,
+            slice_row=i if march_sign > 0 else slab_batch - 1 - i,
+            win_rows=win_rows,
+        )
+
+
+def _straight_step(feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row, win_rows):
+    jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+    feat = feat_ref[0]
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+    rays = feat.shape[-1]
+    rows_c, cols_c, t = _coords_t(feat, jf)
+    rows_c = jnp.clip(rows_c, 0.0, nr - 1.0)
+    cols_c = jnp.clip(cols_c, 0.0, nc - 1.0)
+    valid = (
+        (_row(feat, F_SIGNOK) > 0.5)
+        & (t >= _row(feat, F_ENTRY))
+        & (t < _row(feat, F_EXIT))
+    )
+
+    # probe-range end in march-index units, with the reference's
+    # max_distance - length(pos) quirk
+    norm_pos = jnp.sqrt(
+        jnp.maximum(
+            _row(feat, F_C2) + 2.0 * t * _row(feat, F_CD) + t * t, 0.0
+        )
+    )
+    m_end = jf + (_row(feat, F_EXIT) - norm_pos) / _row(feat, F_TS)
+    ahead = (ns_ref[:] <= m_end) & valid
+    ahead_ref[0, row] = ahead.astype(jnp.float32)
+
+    def _sample_update():
+        s = _boxhat_sample(
+            slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows,
+            feat, t,
+        )
+        hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & valid
+        ns_ref[:] = jnp.where(hit, jf, ns_ref[:])
+
+    if occ_ref is None:
+        _sample_update()
+    else:
+        occupied = fwd_mod._step_occupied(
+            occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc
+        )
+
+        @pl.when(occupied)
+        def _do():
+            _sample_update()
+
+
+def _cone_kernel(
+    feat_ref,   # (1, 16, R) main-ray features
+    cfeat_ref,  # (1, 56, R) per-cone-direction coefficients
+    slice_ref,  # (sb, NR, NC) importance slices
+    *rest,      # [occ_ref] ahead_ref, ns_ref (scratch, (8, R))
+    slab_batch: int,
+    march_sign: int,
+    n_blocks: int,
+    occupancy: bool,
+):
+    rest = list(rest)
+    occ_ref = rest.pop(0) if occupancy else None
+    ahead_ref, ns_ref = rest
+    jb = pl.program_id(1)
+
+    @pl.when(jb == 0)
+    def _init():
+        ns_ref[:] = jnp.full_like(ns_ref, _FAR)
+
+    mb = n_blocks - 1 - jb
+    for i in reversed(range(slab_batch)):
+        _cone_step(
+            feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref,
+            j=mb * slab_batch + i,
+            row=i,
+            slice_row=i if march_sign > 0 else slab_batch - 1 - i,
+        )
+
+
+def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row):
+    jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+    feat = feat_ref[0]
+    cf = cfeat_ref[0]  # (56, R)
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+    rays = feat.shape[-1]
+    _, _, t = _coords_t(feat, jf)
+    valid = (
+        (_row(feat, F_SIGNOK) > 0.5)
+        & (t >= _row(feat, F_ENTRY))
+        & (t < _row(feat, F_EXIT))
+    )
+    norm_pos = jnp.sqrt(
+        jnp.maximum(
+            _row(feat, F_C2) + 2.0 * t * _row(feat, F_CD) + t * t, 0.0
+        )
+    )
+    d_range = _row(feat, F_EXIT) - norm_pos  # world distance
+
+    n_dirs = CONE_FEATURES // 7
+    ahead = jnp.zeros((1, rays), bool)
+    for c in range(n_dirs):
+        base = c * 7
+
+        def crow(i):
+            return cf[base + i : base + i + 1, :]
+
+        rows_u = crow(CF_RS) * jf + crow(CF_RB)
+        cols_u = crow(CF_CS) * jf + crow(CF_CB)
+        t_c = crow(CF_TS) * jf + crow(CF_TB)
+        rate = crow(CF_RATE)
+        inbox = (
+            (rows_u >= -0.5) & (rows_u <= nr - 0.5)
+            & (cols_u >= -0.5) & (cols_u <= nc - 0.5)
+            & (t_c > 0.0)
+        )
+        ahead = ahead | ((ns_ref[c : c + 1, :] <= jf + d_range * rate) & (rate > 0.0))
+
+        rows_c = jnp.clip(rows_u, 0.0, nr - 1.0)
+        cols_c = jnp.clip(cols_u, 0.0, nc - 1.0)
+
+        def _sample_update(rows_c=rows_c, cols_c=cols_c, inbox=inbox, c=c):
+            s = _boxhat_sample(
+                slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, 0, feat, t
+            )
+            hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox
+            ns_ref[c : c + 1, :] = jnp.where(hit, jf, ns_ref[c : c + 1, :])
+
+        if occ_ref is None:
+            _sample_update()
+        else:
+            # footprint bounds over in-box crossings of this direction
+            rlo = jnp.min(jnp.where(inbox, rows_c, jnp.float32(nr))) - 1.0
+            rhi = jnp.max(jnp.where(inbox, rows_c, jnp.float32(-1.0))) + 1.0
+            clo = jnp.min(jnp.where(inbox, cols_c, jnp.float32(nc))) - 1.0
+            chi = jnp.max(jnp.where(inbox, cols_c, jnp.float32(-1.0))) + 1.0
+            ob = occ_ref[slice_row]
+            br, bc = ob.shape
+            blk = fwd_mod.OCC_BLOCK
+            by = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0).astype(jnp.float32) * blk
+            bx = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1).astype(jnp.float32) * blk
+            inside = (
+                (by + (blk - 1) >= rlo) & (by <= rhi)
+                & (bx + (blk - 1) >= clo) & (bx <= chi)
+            )
+            occupied = jnp.any((ob > 0.5) & inside) & jnp.any(inbox)
+
+            @pl.when(occupied)
+            def _do(_f=_sample_update):
+                _f()
+
+    ahead_ref[0, row] = (ahead & valid).astype(jnp.float32)
+
+
+def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 0):
+    """Run the reverse pre-pass -> ahead bits (C, n_slabs, 1, R) float32.
+
+    ``cone_feats`` selects the 8-direction cone variant (``None`` =
+    straight).  ``win_rows`` as in the forward (straight only — cone
+    directions have their own footprints)."""
+    n_chunks = feats.shape[0]
+    n_slabs, nr, nc = imp_perm.shape
+    sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
+    n_blocks = n_slabs // sb
+    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+
+    # physical slab block for reverse-march grid step jb
+    slice_index = (
+        (lambda c, j: (n_blocks - 1 - j, 0, 0))
+        if sign > 0
+        else (lambda c, j: (j, 0, 0))
+    )
+    ahead_index = lambda c, j: (c, n_blocks - 1 - j, 0, 0)  # march order
+
+    in_specs = [
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+    ]
+    inputs = [feats]
+    if cone_feats is not None:
+        in_specs.append(
+            pl.BlockSpec((1, CONE_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0))
+        )
+        inputs.append(cone_feats)
+    in_specs.append(pl.BlockSpec((sb, nr, nc), slice_index))
+    inputs.append(imp_perm)
+    if occupancy:
+        occ = fwd_mod.occupancy_grid(imp_perm, IMPORTANT_AHEAD_THRESHOLD)
+        in_specs.append(
+            pl.BlockSpec(
+                (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slice_index
+            )
+        )
+        inputs.append(occ)
+
+    if cone_feats is not None:
+        kernel = partial(
+            _cone_kernel, slab_batch=sb, march_sign=sign, n_blocks=n_blocks,
+            occupancy=occupancy,
+        )
+        scratch = [pltpu.VMEM((CONE_FEATURES // 7, RAYS_PER_CHUNK), jnp.float32)]
+    else:
+        kernel = partial(
+            _straight_kernel, win_rows=win_rows, slab_batch=sb,
+            march_sign=sign, n_blocks=n_blocks, occupancy=occupancy,
+        )
+        scratch = [pltpu.VMEM((1, RAYS_PER_CHUNK), jnp.float32)]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), ahead_index),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32
+        ),
+        scratch_shapes=scratch,
+    )(*inputs)

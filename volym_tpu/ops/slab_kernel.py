@@ -51,6 +51,10 @@ SLAB_BATCH = 8
 # feature row indices in the packed (16, RAYS) block
 F_RS, F_RB, F_CS, F_CB, F_TS, F_TB, F_ENTRY, F_EXIT, F_AEXP, F_SIGNOK = range(10)
 F_HX, F_HY, F_HZ = 10, 11, 12  # per-ray Blinn-Phong half vector
+F_CD, F_C2 = 13, 14  # cam.dir and |cam|^2: the look-ahead range quirk
+#: per-direction cone look-ahead coefficient rows (8 dirs x 7 rows)
+CONE_FEATURES = 56
+CF_RS, CF_RB, CF_CS, CF_CB, CF_TS, CF_TB, CF_RATE = range(7)
 
 
 def _march_kernel(
@@ -68,11 +72,13 @@ def _march_kernel(
     slab_batch: int = 1,
     march_sign: int = 1,
     occupancy: bool = False,
+    lookahead: bool = False,
 ):
     rest = list(rest)
     occ_ref = rest.pop(0) if occupancy else None
-    imp_ref = rest.pop(0) if coloring else None
+    imp_ref = rest.pop(0) if (coloring or lookahead) else None
     grad_ref = rest.pop(0) if shading else None
+    ahead_ref = rest.pop(0) if lookahead else None
     lut_ref, out_ref = rest
     J = pl.program_id(1)
 
@@ -110,6 +116,7 @@ def _march_kernel(
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
                 precision=precision, win_rows=win_rows, occ_ref=occ_ref,
+                coloring=coloring, ahead_ref=ahead_ref, ahead_row=i,
             )
 
 
@@ -260,7 +267,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -274,12 +281,13 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
     rows_c = jnp.clip(rows_c, 0.0, nr - 1.0)
     cols_c = jnp.clip(cols_c, 0.0, nc - 1.0)
 
+    ahead = ahead_ref[0, ahead_row] if ahead_ref is not None else None
     if occ_ref is None:
         _march_step_body(
             feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref,
             out_ref, slice_row=slice_row, bilinear=bilinear,
             early_alpha=early_alpha, threshold=threshold, precision=precision,
-            win_rows=win_rows,
+            win_rows=win_rows, coloring=coloring, ahead=ahead,
         )
     else:
         occupied = _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc)
@@ -290,11 +298,12 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
                 feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref,
                 out_ref, slice_row=slice_row, bilinear=bilinear,
                 early_alpha=early_alpha, threshold=threshold,
-                precision=precision, win_rows=win_rows,
+                precision=precision, win_rows=win_rows, coloring=coloring,
+                ahead=ahead,
             )
 
 
-def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows):
+def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
 
@@ -368,8 +377,12 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     hat_x = vol_hat(cols_c, y_iota(nc))  # (NC, R)
     density = jnp.sum(colvals[0] * hat_x, axis=0, keepdims=True)
 
-    if imp_ref is not None:
-        imp = jnp.sum(colvals[colvals.shape[0] - 1] * boxk(cols_c, y_iota(nc)), axis=0, keepdims=True)
+    imp = (
+        jnp.sum(colvals[colvals.shape[0] - 1] * boxk(cols_c, y_iota(nc)), axis=0, keepdims=True)
+        if imp_ref is not None
+        else None
+    )
+    if coloring:
         rgba = jnp.concatenate(
             [
                 jnp.minimum(imp * 1.5, 1.0),
@@ -415,6 +428,12 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         & (t < feat[F_EXIT : F_EXIT + 1, :])
     )
     m = valid & (density >= threshold) & (acc_a < early_alpha)
+    if ahead is not None:
+        # skip-if-important-ahead (wgsl:286-296): non-opaque-importance
+        # samples with important material ahead contribute nothing
+        from volym_tpu.render.slab import IMPORTANCE_OPAQUE
+
+        m = m & jnp.logical_not((imp < IMPORTANCE_OPAQUE) & (ahead > 0.5))
 
     a = rgba[3:4, :]
     aexp = feat[F_AEXP : F_AEXP + 1, :]
@@ -456,23 +475,31 @@ def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout)
     half = -dirs + light
     half = half / jnp.linalg.norm(half, axis=-1, keepdims=True)
 
+    cd = dirs @ origin  # cam . dir per ray (look-ahead range quirk)
+    c2 = jnp.full((dirs.shape[0],), jnp.sum(origin * origin))
+
     r = dirs.shape[0]
     feats = jnp.zeros((N_FEATURES, r), jnp.float32)
     for i, v in zip(
-        range(13),
+        range(15),
         (rs, rb, cs, cb, ts, tb, entry, exit_, aexp, signok,
-         half[:, 0], half[:, 1], half[:, 2]),
+         half[:, 0], half[:, 1], half[:, 2], cd, c2),
     ):
         feats = feats.at[i].set(v)
     miss = exit_ <= entry
     return feats, miss
 
 
-def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0):
-    """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba."""
+def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None):
+    """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba.
+
+    ``ahead``: (C, n_slabs, 1, R) look-ahead bits from
+    :func:`volym_tpu.ops.lookahead_kernel.lookahead_call` (enables the
+    importance-driven skip; requires ``imp_perm``)."""
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     coloring = params.use_importance_coloring
+    lookahead = ahead is not None
     shading = params.use_shading
     occupancy = nr % OCC_BLOCK == 0 and nc % OCC_BLOCK == 0
     # the gradient block is 3x the slice size; cap the batch so the
@@ -496,6 +523,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         slab_batch=sb,
         march_sign=sign,
         occupancy=occupancy,
+        lookahead=lookahead,
     )
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_blocks - 1 - j, 0, 0)
@@ -512,7 +540,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             pl.BlockSpec((sb, nr // OCC_BLOCK, nc // OCC_BLOCK), slab_index)
         )
         inputs.append(occ)
-    if coloring:
+    if coloring or lookahead:
         in_specs.append(slice_spec)
         inputs.append(imp_perm)
     if shading:
@@ -523,6 +551,11 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             pl.BlockSpec((3, sb, vol_perm.shape[1], vol_perm.shape[2]), grad_index)
         )
         inputs.append(grad_perm)
+    if lookahead:
+        in_specs.append(
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0))
+        )
+        inputs.append(ahead)
     b = lut_groups(lut)
     in_specs.append(pl.BlockSpec(b.shape, lambda c, j: (0, 0)))
     inputs.append(b)
@@ -661,20 +694,57 @@ def _tile_order(height, width):
     return idx.transpose(0, 2, 1, 3).reshape(-1)
 
 
+def _chunk_rays(mat, height, width):
+    """(rows, R) per-ray matrix -> (C, rows, RAYS_PER_CHUNK) chunk layout
+    (tile order + padding)."""
+    rows, r = mat.shape
+    order = _tile_order(height, width)
+    if order is not None:
+        mat = mat[:, order]
+    if r % RAYS_PER_CHUNK:
+        pad = RAYS_PER_CHUNK - r % RAYS_PER_CHUNK
+        mat = jnp.pad(mat, ((0, 0), (0, pad)))
+    n_chunks = mat.shape[1] // RAYS_PER_CHUNK
+    return mat.reshape(rows, n_chunks, RAYS_PER_CHUNK).transpose(1, 0, 2)
+
+
 def _chunked_feats(camera_matrices, height, width, n_slabs, major, sign, layout):
     feats, miss = _pack_features(
         camera_matrices, height, width, n_slabs, major, sign, layout
     )
     r = feats.shape[1]
-    order = _tile_order(height, width)
-    if order is not None:
-        feats = feats[:, order]
-    if r % RAYS_PER_CHUNK:
-        pad = RAYS_PER_CHUNK - r % RAYS_PER_CHUNK
-        feats = jnp.pad(feats, ((0, 0), (0, pad)))
-    n_chunks = feats.shape[1] // RAYS_PER_CHUNK
-    feats = feats.reshape(N_FEATURES, n_chunks, RAYS_PER_CHUNK).transpose(1, 0, 2)
-    return feats, miss, r
+    return _chunk_rays(feats, height, width), miss, r
+
+
+def _pack_cone_features(camera_matrices, height, width, n_slabs, major, sign, layout):
+    """Per-ray affine coefficients of the 8 cone look-ahead directions
+    (camera-anchored; see ops/lookahead_kernel.py): 7 rows per direction
+    (rows/cols/t slopes + intercepts, march-steps-per-distance rate)."""
+    from volym_tpu.render.golden import cone_directions
+
+    _, row_comp, col_comp = layout
+    origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
+    cdirs = cone_directions(dirs)  # (R, S, 3)
+    n = n_slabs
+    sz = (1.0 / n) * sign
+    z0 = (0.5 / n) if sign > 0 else ((n - 0.5) / n)
+    rows = []
+    for c in range(cdirs.shape[-2]):
+        dc = cdirs[:, c, :]
+        d_m = dc[:, major]
+        safe = jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
+        ts = sz / safe
+        tb = (z0 - origin[major]) / safe
+        rows += [
+            ts * dc[:, row_comp] * n,
+            (origin[row_comp] + tb * dc[:, row_comp]) * n - 0.5,
+            ts * dc[:, col_comp] * n,
+            (origin[col_comp] + tb * dc[:, col_comp]) * n - 0.5,
+            ts,
+            tb,
+            d_m * n * sign,
+        ]
+    return jnp.stack(rows)  # (56, R)
 
 
 def _assemble(out, miss, r, height, width):
@@ -699,9 +769,12 @@ def _render_pallas_jit(
     feats, miss, r = _chunked_feats(
         camera_matrices, height, width, vol_perm.shape[0], major, sign, layout
     )
+    lookahead = (
+        params.use_importance_rendering and not params.use_importance_coloring
+    )
     imp_perm = (
         slab_mod.permute_volume(scene.importance, major)
-        if params.use_importance_coloring
+        if (params.use_importance_coloring or lookahead)
         else None
     )
     grad_perm = (
@@ -709,8 +782,28 @@ def _render_pallas_jit(
         if params.use_shading
         else None
     )
+    ahead = None
+    if lookahead:
+        from volym_tpu.ops import lookahead_kernel
+
+        cone_feats = (
+            _chunk_rays(
+                _pack_cone_features(
+                    camera_matrices, height, width, vol_perm.shape[0], major,
+                    sign, layout,
+                ),
+                height,
+                width,
+            )
+            if params.use_cone_importance_check
+            else None
+        )
+        ahead = lookahead_kernel.lookahead_call(
+            sign, imp_perm, feats, cone_feats, win_rows
+        )
     out = _forward_call(
-        params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm, win_rows
+        params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm,
+        win_rows, ahead,
     )
     return _assemble(out, miss, r, height, width)
 
@@ -752,10 +845,13 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
 
 
 def render(scene, camera_matrices, params: RenderParams, height: int, width: int):
-    """Pallas slab-marching render -> (H, W, 4)."""
-    if params.use_importance_rendering or params.use_gaussian_smoothing:
+    """Pallas slab-marching render -> (H, W, 4).
+
+    Importance-driven look-ahead (straight and cone) runs via the reverse
+    pre-pass (:mod:`volym_tpu.ops.lookahead_kernel`)."""
+    if params.use_gaussian_smoothing:
         raise NotImplementedError(
-            "slab kernel v1: base/coloring/shaded rendering (no look-ahead/smoothing)"
+            "slab kernel has no Gaussian smoothing; use golden/fast for it"
         )
     if not params.use_opacity:
         raise NotImplementedError(

@@ -135,6 +135,110 @@ def _nearest_slice(sl, rows_c, cols_c):
     return sl[r, c]
 
 
+#: look-ahead constants shared with the t-step golden (wgsl:133, 291)
+IMPORTANT_AHEAD_THRESHOLD = 0.5
+IMPORTANCE_OPAQUE = 1.0
+
+
+def lookahead_bits(
+    imp_perm, origin, dirs, entry, exit_, major: int, sign: int,
+    cone: bool = False,
+):
+    """(n_slabs, R) bool per MARCH step: is an important slab ahead within
+    the reference's probe range?
+
+    This is the slab-native formulation of the importance-driven look-ahead
+    (``wgsl:141-160`` straight, ``:94-139`` cone): the reference probes K
+    discrete points between the sample position and (a quirky estimate of)
+    the box exit; here the probe is the K -> infinity continuum limit — any
+    important slab crossing strictly ahead of the current step and within
+    the probe range triggers the skip.  ``importance_check_ahead_steps``
+    (probe density) therefore has no effect on the slab paths; the t-step
+    golden (:mod:`volym_tpu.render.golden`) keeps the exact discrete-probe
+    parity semantics.
+
+    The probe range end reproduces the reference quirk ``max_distance -
+    length(pos)`` (t-units minus a *norm from the world origin*).  Probes
+    are evaluated at the ray's own slab crossings (straight; masked to
+    valid in-box crossings) or along the 8 cone directions re-anchored at
+    the camera (cone; masked to in-box crossings, matching the cone
+    probe's bounds ``break``).
+    """
+    n_slabs, n_rows, n_cols = imp_perm.shape
+    _, row_comp, col_comp = _AXIS_LAYOUT[major]
+    o_m, d_m = origin[major], dirs[:, major]
+    dt = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12)  # t per march step
+
+    ks = jnp.arange(n_slabs, dtype=jnp.float32)
+    if sign < 0:
+        ks = ks[::-1]
+    ks_int = ks.astype(jnp.int32)
+    imp_march = imp_perm[ks_int]  # (M, NR, NC) in march order
+    z_m = (ks + 0.5) / n_slabs  # (M,)
+    m_ids = jnp.arange(n_slabs, dtype=jnp.float32)
+
+    # probe-range end, in march-step units: the main ray's position at step
+    # m is pos_m = origin + t_m * d; range D = exit - |pos_m| (the quirk)
+    t_m = (z_m[:, None] - o_m) / jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
+    c2 = jnp.sum(origin * origin)
+    cd = dirs @ origin  # (R,)
+    norm_pos = jnp.sqrt(jnp.maximum(c2 + 2.0 * t_m * cd[None, :] + t_m * t_m, 0.0))
+    d_range = exit_[None, :] - norm_pos  # (M, R) world distance
+
+    def profile_ahead(t_of_m, o_r, d_r, o_c, d_c, rate, inbox_extra=None):
+        """Next-important structure for one probe-direction family."""
+        rows = (o_r + t_of_m * d_r) * n_rows - 0.5  # (M, R) unclamped
+        cols = (o_c + t_of_m * d_c) * n_cols - 0.5
+        inbox = (
+            (rows >= -0.5) & (rows <= n_rows - 0.5)
+            & (cols >= -0.5) & (cols <= n_cols - 0.5)
+        )
+        if inbox_extra is not None:
+            inbox = inbox & inbox_extra
+        hit = (
+            jax.vmap(_nearest_slice)(imp_march, rows, cols)
+            >= IMPORTANT_AHEAD_THRESHOLD
+        ) & inbox
+        mvals = jnp.where(hit, m_ids[:, None], jnp.inf)
+        ns = jax.lax.associative_scan(jnp.minimum, mvals, reverse=True, axis=0)
+        ns_next = jnp.concatenate(
+            [ns[1:], jnp.full((1, hit.shape[1]), jnp.inf)], axis=0
+        )
+        m_end = m_ids[:, None] + d_range * rate[None, :]
+        return (ns_next <= m_end) & (rate[None, :] > 0.0)
+
+    if not cone:
+        # straight: probes ride the main ray; crossings valid where the
+        # main march itself is valid
+        valid = (
+            ((d_m * sign) > 0.0)[None, :]
+            & (t_m >= entry[None, :])
+            & (t_m < exit_[None, :])
+        )
+        rate = 1.0 / dt  # march steps per unit distance along the ray
+        return profile_ahead(
+            t_m, origin[row_comp], dirs[:, row_comp],
+            origin[col_comp], dirs[:, col_comp], rate, inbox_extra=valid,
+        )
+
+    from volym_tpu.render.golden import cone_directions
+
+    cdirs = cone_directions(dirs)  # (R, S, 3)
+    ahead = jnp.zeros((n_slabs, dirs.shape[0]), bool)
+    for c in range(cdirs.shape[-2]):
+        dc = cdirs[:, c, :]
+        dc_m = dc[:, major]
+        safe = jnp.where(jnp.abs(dc_m) > 1e-12, dc_m, 1e-12)
+        t_c = (z_m[:, None] - o_m) / safe  # (M, R) along the cone dir
+        rate_c = dc_m * n_slabs * sign  # march steps per unit cone distance
+        ahead = ahead | profile_ahead(
+            t_c, origin[row_comp], dc[:, row_comp],
+            origin[col_comp], dc[:, col_comp], rate_c,
+            inbox_extra=(t_c > 0.0),
+        )
+    return ahead
+
+
 def march_slabs(
     vol_perm,
     imp_perm,
@@ -170,6 +274,17 @@ def march_slabs(
     if sign < 0:
         ks = ks[::-1]
 
+    lookahead = (
+        params.use_importance_rendering and not params.use_importance_coloring
+    )
+    if lookahead:
+        ahead_bits = lookahead_bits(
+            imp_perm, origin, dirs, entry, exit_, major, sign,
+            cone=params.use_cone_importance_check,
+        )
+    else:
+        ahead_bits = jnp.zeros((n_slabs, dirs.shape[0]), bool)
+
     sample2d = (
         _bilinear_slice
         if params.interpolation == Interpolation.TRILINEAR
@@ -195,7 +310,8 @@ def march_slabs(
         shaded = rgb * (AMBIENT + DIFFUSE * diffuse) + SPECULAR * spec
         return jnp.where(nonzero, shaded, rgb)
 
-    def body(carry, k):
+    def body(carry, x):
+        k, ahead_k = x
         acc_c, acc_a = carry
         z_plane = (k + 0.5) / n_slabs
         t = (z_plane - o_m) / d_m  # (R,)
@@ -208,6 +324,14 @@ def march_slabs(
         density = sample2d(sl, rows_c, cols_c)
 
         dense = density >= params.density_threshold
+        if lookahead:
+            # skip-if-important-ahead (wgsl:286-296): a non-opaque sample
+            # with important material ahead is skipped
+            isl_la = jax.lax.dynamic_index_in_dim(
+                imp_perm, k.astype(jnp.int32), keepdims=False
+            )
+            imp_here = _nearest_slice(isl_la, rows_c, cols_c)
+            dense = dense & ~((imp_here < IMPORTANCE_OPAQUE) & ahead_k)
 
         if params.use_importance_coloring:
             isl = jax.lax.dynamic_index_in_dim(
@@ -237,7 +361,7 @@ def march_slabs(
 
     r = dirs.shape[0]
     init = (jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.float32))
-    (acc_c, acc_a), _ = jax.lax.scan(body, init, ks)
+    (acc_c, acc_a), _ = jax.lax.scan(body, init, (ks, ahead_bits))
     return jnp.concatenate([acc_c, acc_a[:, None]], axis=-1)
 
 
@@ -433,13 +557,13 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
     """Slab-marching render -> (H, W, 4) (jnp golden for the slab mode).
 
     Shading uses the precomputed :func:`gradient_volume` estimator.
-    Unsupported modes (importance look-ahead, Gaussian smoothing —
-    t-parameterised constructs) raise; use the t-step renderers for them.
+    Importance-driven look-ahead (straight and cone) uses the slab-native
+    continuum formulation (:func:`lookahead_bits`).  Gaussian smoothing
+    (a t-parameterised construct) raises; use the t-step renderers.
     """
-    if params.use_importance_rendering or params.use_gaussian_smoothing:
+    if params.use_gaussian_smoothing:
         raise NotImplementedError(
-            "slab mode v1 supports base, coloring, and shaded rendering "
-            "without smoothing/look-ahead; use golden/fast for other modes"
+            "slab mode has no Gaussian smoothing; use golden/fast for it"
         )
     if not params.use_opacity:
         raise NotImplementedError(
