@@ -136,6 +136,35 @@ def main() -> int:
         if rel > 1e-2 or not np.isfinite(b).all():
             failures.append(f"bwd {name}")
 
+    # camera cotangents: grads w.r.t. camera matrices through the Pallas
+    # path vs the jnp replay VJP
+    major, sign = slab.dominant_axis(m)
+    win = slab_kernel.window_rows(m, 32, 32, 32, major, sign)
+
+    def loss_jnp_cam(mm):
+        img = slab._render_diff_jit(scene, mm, params, 32, 32, major, sign)
+        return jnp.sum(img * w)
+
+    def loss_pal_cam(mm):
+        img = slab_kernel._render_pallas_diff_jit(
+            scene, mm, params, 32, 32, major, sign, win
+        )
+        return jnp.sum(img * w)
+
+    g_jnp = jax.grad(loss_jnp_cam)(m)
+    g_pal = jax.grad(loss_pal_cam)(m)
+    for name, a, b in zip(
+        ("view", "proj", "ivp", "pos"),
+        jax.tree_util.tree_leaves(g_jnp),
+        jax.tree_util.tree_leaves(g_pal),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        rel = np.abs(a - b).max() / scale
+        print(f"bwd camera {name}: relerr {rel:.2e} (scale {scale:.2e})")
+        if scale > 1e-9 and (rel > 2e-2 or not np.isfinite(b).all()):
+            failures.append(f"bwd camera {name}")
+
     # windowed backward on the big scene at 128^2 (d=1.2: window_rows=56)
     mw = Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0).matrices()
     w128 = jnp.cos(

@@ -202,15 +202,68 @@ def test_backward_windowed_matches_full():
     ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
     with emulate(slab_kernel, slab_bwd_kernel):
         out = slab_kernel._forward_call(PARAMS, 1, vol_perm, big.tf_lut, feats)
-        dv_full, dl_full = slab_bwd_kernel.backward(
+        dv_full, dl_full, df_full = slab_bwd_kernel.backward(
             PARAMS, 2, 1, vol_perm, big.tf_lut, feats, out, wvec, win_rows=0
         )
-        dv_win, dl_win = slab_bwd_kernel.backward(
+        dv_win, dl_win, df_win = slab_bwd_kernel.backward(
             PARAMS, 2, 1, vol_perm, big.tf_lut, feats, out, wvec, win_rows=32
         )
     assert np.abs(np.asarray(dv_full)).max() > 0
     np.testing.assert_allclose(np.asarray(dv_win), np.asarray(dv_full), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dl_win), np.asarray(dl_full), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(df_win), np.asarray(df_full), atol=1e-5)
+
+
+def test_camera_cotangents_match_jnp_replay(scene, cam):
+    """Pallas replay d_feats, pulled back through _pack_features, must
+    equal the jnp replay VJP's camera gradients."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(scene.volume, major)
+    w_img = jnp.cos(
+        jnp.arange(RES * RES * 4, dtype=jnp.float32).reshape(RES, RES, 4) * 0.1
+    )
+
+    def loss_jnp(mm):
+        img = slab._render_diff_jit(scene, mm, PARAMS, RES, RES, major, sign)
+        return jnp.sum(img * w_img)
+
+    g_ref = jax.grad(loss_jnp)(m)
+
+    def feats_of(mm):
+        return slab_kernel._chunked_feats(
+            mm, RES, RES, vol_perm.shape[0], major, sign, layout
+        )[0]
+
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    # image-space cotangent -> chunk layout (zero for missed rays)
+    w_rays = np.asarray(w_img).reshape(-1, 4)
+    w_rays = np.where(np.asarray(miss)[:, None], 0.0, w_rays)
+    order = slab_kernel._tile_order(RES, RES)
+    if order is not None:
+        w_rays = w_rays[order]
+    g_chunk = jnp.asarray(
+        w_rays.T.reshape(4, -1, slab_kernel.RAYS_PER_CHUNK).transpose(1, 0, 2)
+    )
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(PARAMS, sign, vol_perm, scene.tf_lut, feats)
+        _, _, d_feats = slab_bwd_kernel.backward(
+            PARAMS, major, sign, vol_perm, scene.tf_lut, feats, out, g_chunk
+        )
+    _, vjp_fn = jax.vjp(feats_of, m)
+    (g_pal,) = vjp_fn(d_feats)
+
+    leaves_ref = jax.tree_util.tree_leaves(g_ref)
+    leaves_pal = jax.tree_util.tree_leaves(g_pal)
+    assert max(np.abs(np.asarray(l)).max() for l in leaves_ref) > 0
+    for a, b in zip(leaves_ref, leaves_pal):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=5e-3 * scale, rtol=5e-2)
 
 
 def test_window_rows_static_choice():
@@ -242,7 +295,7 @@ def test_backward_kernels_match_autodiff(scene, cam):
 
     with emulate(slab_kernel, slab_bwd_kernel):
         out = slab_kernel._forward_call(PARAMS, sign, vol_perm, scene.tf_lut, feats)
-        d_vol, d_lut = slab_bwd_kernel.backward(
+        d_vol, d_lut, _ = slab_bwd_kernel.backward(
             PARAMS, major, sign, vol_perm, scene.tf_lut, feats, out, wvec
         )
 

@@ -26,8 +26,11 @@ static per-camera windowed y contraction (``slab_kernel.window_rows``),
 which cuts the replay matmul's contraction dim and the voxel-grad matmul's
 output rows by n_rows/win_rows.
 
-Camera cotangents are not produced here (zeros); the jnp replay VJP
-(render/slab.py) covers camera-pose optimisation.
+The replay also emits the feats cotangent (one extra dhat_y matmul per
+step): d(rows/cols slopes+intercepts) through the bilinear hats and
+d(aexp) through the opacity correction.  The feats -> camera chain
+(_pack_features) is jnp and autodiffs outside the kernel, so camera-pose
+optimisation runs fully on the Pallas path.
 """
 
 from __future__ import annotations
@@ -81,6 +84,17 @@ def _hat(coords, n, rays, bilinear, base=None):
     return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
 
 
+def _dhat(coords, n, rays, bilinear, base=None):
+    """d hat / d coord (None for the box kernel, whose derivative is 0)."""
+    if not bilinear:
+        return None
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
+    if base is not None:
+        idx = idx + base.astype(jnp.float32)
+    d = coords - idx
+    return jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
+
+
 def _replay_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC)
@@ -96,7 +110,7 @@ def _replay_kernel(
 ):
     rest = list(rest)
     occ_ref = rest.pop(0) if occupancy else None
-    lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, acc_ref = rest
+    lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, dfeat_ref, acc_ref = rest
     jb = pl.program_id(1)
 
     @pl.when((pl.program_id(0) == 0) & (jb == 0))
@@ -106,6 +120,7 @@ def _replay_kernel(
     @pl.when(jb == 0)
     def _init_acc():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
 
     # same whole-chunk skip as the forward: saturated, exited, or
     # not-yet-entered rays contribute zero cotangents, so emit zero
@@ -131,7 +146,7 @@ def _replay_kernel(
         for i in range(slab_batch):
             _replay_step(
                 feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
-                dlut_ref, acc_ref,
+                dlut_ref, dfeat_ref, acc_ref,
                 j=jb * slab_batch + i,
                 dd_row=i,
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
@@ -141,7 +156,8 @@ def _replay_kernel(
 
 
 def _replay_step(
-    feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, acc_ref,
+    feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref,
+    dfeat_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     occ_ref=None,
 ):
@@ -152,10 +168,10 @@ def _replay_step(
 
     if occ_ref is None:
         _replay_step_body(
-            feat, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
-            dd_ref, dlut_ref, acc_ref, dd_row=dd_row, slice_row=slice_row,
-            bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
-            win_rows=win_rows,
+            feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
+            dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
+            slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
+            threshold=threshold, win_rows=win_rows,
         )
         return
 
@@ -166,10 +182,10 @@ def _replay_step(
     @pl.when(occupied)
     def _do():
         _replay_step_body(
-            feat, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
-            dd_ref, dlut_ref, acc_ref, dd_row=dd_row, slice_row=slice_row,
-            bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
-            win_rows=win_rows,
+            feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
+            dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
+            slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
+            threshold=threshold, win_rows=win_rows,
         )
 
     @pl.when(jnp.logical_not(occupied))
@@ -180,8 +196,8 @@ def _replay_step(
 
 
 def _replay_step_body(
-    feat, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
-    dlut_ref, acc_ref,
+    feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
+    dlut_ref, dfeat_ref, acc_ref,
     *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
@@ -190,9 +206,11 @@ def _replay_step_body(
     if win_rows:
         r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
         hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
+        dhat_y = _dhat(rows_c, win_rows, rays, bilinear, base=r0)
         sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
     else:
         hat_y = _hat(rows_c, nr, rays, bilinear)
+        dhat_y = _dhat(rows_c, nr, rays, bilinear)
         sl = slice_ref[slice_row]
     hat_x = _hat(cols_c, nc, rays, bilinear)
     colvals = jax.lax.dot_general(
@@ -279,7 +297,49 @@ def _replay_step_body(
         axis=0,
     )  # (4, R)
     d_tf_c = jnp.sum(d_rgba * drgba_dc, axis=0, keepdims=True)  # (1, R)
-    dd_ref[0, dd_row] = d_tf_c * ln * tf_in_range.astype(jnp.float32)
+    dd = d_tf_c * ln * tf_in_range.astype(jnp.float32)
+    dd_ref[0, dd_row] = dd
+
+    # --- camera cotangents: accumulate dL/dfeats rows ------------------
+    # density depends on (rows_c, cols_c) through the hats (one extra
+    # dhat_y matmul; the cols derivative reuses colvals); alpha depends on
+    # aexp.  t/entry/exit/signok appear only in masks (zero a.e.).  The
+    # feats -> camera chain is jnp (_pack_features) and autodiffs outside.
+    zero = jnp.zeros_like(dd)
+    if dhat_y is not None:
+        from volym_tpu.ops.slab_kernel import F_CB, F_CS, F_RB, F_RS
+
+        colvals_dy = jax.lax.dot_general(
+            sl, dhat_y, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
+        dhat_x = _dhat(cols_c, nc, rays, True)
+        ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
+        rows_raw = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]
+        cols_raw = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
+        rows_in = ((rows_raw > 0.0) & (rows_raw < nr - 1.0)).astype(jnp.float32)
+        cols_in = ((cols_raw > 0.0) & (cols_raw < nc - 1.0)).astype(jnp.float32)
+        d_rows = dd * ddens_drows * rows_in
+        d_cols = dd * ddens_dcols * cols_in
+    else:
+        d_rows = d_cols = zero
+    # d alpha / d aexp = -log1ma * exp(aexp * log1ma) = log1ma * (alpha-1)
+    d_aexp = d_alpha * log1ma * (alpha - 1.0)
+    delta = jnp.concatenate(
+        [
+            d_rows * jf, d_rows,          # F_RS, F_RB
+            d_cols * jf, d_cols,          # F_CS, F_CB
+            zero, zero,                   # F_TS, F_TB (masks only)
+            zero, zero,                   # F_ENTRY, F_EXIT
+            d_aexp, zero,                 # F_AEXP, F_SIGNOK
+            zero, zero, zero,             # half vector (shading n/a here)
+            zero, zero, zero,             # F_CD, F_C2, pad
+        ],
+        axis=0,
+    )  # (16, R)
+    dfeat_ref[0] = dfeat_ref[0] + delta
 
 
 def _voxel_grad_kernel(
@@ -388,17 +448,21 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
         pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
     ]
     inputs += [b, fin, g_img]
-    d_density, d_lut = pl.pallas_call(
+    d_density, d_lut, d_feats = pl.pallas_call(
         replay,
         grid=(n_chunks, n_blocks),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
             pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
             jax.ShapeDtypeStruct(b.shape, jnp.float32),
+            jax.ShapeDtypeStruct(
+                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
+            ),
         ],
         scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
     )(*inputs)
@@ -424,4 +488,4 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
         out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
     )(feats, d_density)
 
-    return d_vol, d_lut
+    return d_vol, d_lut, d_feats

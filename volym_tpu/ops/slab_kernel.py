@@ -572,11 +572,11 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
 def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, vol_perm, lut, feats):
     """Differentiable Pallas slab march (chunked layout).
 
-    Gradients w.r.t. the permuted volume and the LUT via the two-pass
-    backward kernels (:mod:`volym_tpu.ops.slab_bwd_kernel`); the feats
-    cotangent (camera) is zero — use the jnp slab VJP for camera-pose
-    optimisation.  ``win_rows`` is the static per-camera y-window size
-    (:func:`window_rows`; 0 = contract full slices).
+    Gradients w.r.t. the permuted volume, the LUT, AND the packed feats
+    (-> camera pose, via autodiff of the jnp ``_pack_features`` chain)
+    through the two-pass backward kernels
+    (:mod:`volym_tpu.ops.slab_bwd_kernel`).  ``win_rows`` is the static
+    per-camera y-window size (:func:`window_rows`; 0 = full slices).
     """
     return _forward_call(params, sign, vol_perm, lut, feats, win_rows=win_rows)
 
@@ -590,10 +590,10 @@ def _mp_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
     vol_perm, lut, feats, out = res
-    d_vol, d_lut = slab_bwd_kernel.backward(
+    d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
         params, major, sign, vol_perm, lut, feats, out, g, win_rows=win_rows
     )
-    return d_vol, d_lut, jnp.zeros_like(feats)
+    return d_vol, d_lut, d_feats
 
 
 march_pallas.defvjp(_mp_fwd, _mp_bwd)
