@@ -94,6 +94,51 @@ def test_sharded_slab_matches_single(scene, cam):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_sharded_slab_pallas_plumbing_matches(scene, cam):
+    """backend='slab_pallas' (jnp fallback on the CPU mesh, same sharding
+    code) must equal the single-device slab render."""
+    from volym_tpu.render import slab
+
+    m = cam.matrices()
+    mesh = pmesh.make_mesh()
+    params = PARAMS.replace(use_shading=False)
+    a = np.asarray(
+        pmesh.render_sharded(scene, m, params, RES, RES, mesh, backend="slab_pallas")
+    )
+    b = np.asarray(slab.render(scene, m, params, RES, RES))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["slab", "slab_pallas"])
+def test_train_step_slab_backends(scene, cam, backend):
+    """Sharded slab train step: grads equal the unsharded slab replay."""
+    from volym_tpu.render import slab
+
+    m = cam.matrices()
+    mesh = pmesh.make_mesh()
+    fixed = PARAMS.replace(adaptive_stepping=False, use_shading=False)
+    target = jnp.asarray(slab.render(scene, m, fixed, RES, RES)) * 0.8
+
+    step = pmesh.make_train_step(
+        fixed, RES, RES, mesh, backend=backend, camera_matrices=m
+    )
+    loss_sharded, grads_sharded = step(scene, m, target)
+
+    def loss_single(s):
+        img = slab.render_diff(s, m, fixed, RES, RES)
+        return jnp.mean((img - target) ** 2)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_single)(scene)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_ref), rtol=1e-5)
+    assert float(loss_ref) > 0
+    for name in ("volume", "tf_lut"):
+        a = np.asarray(getattr(grads_ref, name))
+        b = np.asarray(getattr(grads_sharded, name))
+        scale = max(np.abs(a).max(), 1e-9)
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4, err_msg=name)
+    assert np.abs(np.asarray(grads_ref.volume)).max() > 0
+
+
 def test_host_mesh_shape():
     mesh = pmesh.make_host_mesh()
     assert mesh.devices.size == 8

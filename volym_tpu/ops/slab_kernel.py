@@ -446,9 +446,17 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
 def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout):
     """Per-ray linear coefficients of the march: sample coords, t, and the
     opacity-correction exponent as functions of the march index j."""
-    _, row_comp, col_comp = layout
     origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
     entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+    feats = features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout)
+    miss = exit_ <= entry
+    return feats, miss
+
+
+def features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout):
+    """The feats matrix from an explicit ray bundle (the sharded renderers
+    build per-shard rays themselves)."""
+    _, row_comp, col_comp = layout
 
     o_m, d_m = origin[major], dirs[:, major]
     o_r, d_r = origin[row_comp], dirs[:, row_comp]
@@ -486,8 +494,7 @@ def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout)
          half[:, 0], half[:, 1], half[:, 2], cd, c2),
     ):
         feats = feats.at[i].set(v)
-    miss = exit_ <= entry
-    return feats, miss
+    return feats
 
 
 def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None):
@@ -706,6 +713,22 @@ def _chunk_rays(mat, height, width):
         mat = jnp.pad(mat, ((0, 0), (0, pad)))
     n_chunks = mat.shape[1] // RAYS_PER_CHUNK
     return mat.reshape(rows, n_chunks, RAYS_PER_CHUNK).transpose(1, 0, 2)
+
+
+def _chunk_flat(mat):
+    """(rows, R) -> (C, rows, RAYS_PER_CHUNK), row-major (no tile order) —
+    for sharded shards whose ray layout is fixed by the partitioning."""
+    rows, r = mat.shape
+    if r % RAYS_PER_CHUNK:
+        pad = RAYS_PER_CHUNK - r % RAYS_PER_CHUNK
+        mat = jnp.pad(mat, ((0, 0), (0, pad)))
+    n_chunks = mat.shape[1] // RAYS_PER_CHUNK
+    return mat.reshape(rows, n_chunks, RAYS_PER_CHUNK).transpose(1, 0, 2)
+
+
+def _unchunk_flat(out, r):
+    """(C, 4, RAYS_PER_CHUNK) -> (r, 4), inverse of _chunk_flat's layout."""
+    return out.transpose(0, 2, 1).reshape(-1, 4)[:r]
 
 
 def _chunked_feats(camera_matrices, height, width, n_slabs, major, sign, layout):

@@ -80,11 +80,11 @@ def render_sharded(
     too — each device builds only its own rays.  ``backend="slab"`` marches
     slab-ordered (the TPU-native formulation)."""
     major = sign = 0
-    if backend == "slab":
+    if backend in ("slab", "slab_pallas"):
         from volym_tpu.render import slab as slab_mod
 
         # same mode guards as slab.render/render_diff: the slab march has no
-        # smoothing/look-ahead and always alpha-composites
+        # smoothing/look-ahead (sharded) and always alpha-composites
         if params.use_importance_rendering or params.use_gaussian_smoothing:
             raise NotImplementedError(
                 "sharded slab backend: no look-ahead/smoothing; use backend='ray'"
@@ -134,12 +134,20 @@ def _render_sharded_jit(
         origin, dirs = _rays_from_ndc(camera_matrices, ndc)
         entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
         miss = exit_ <= entry
-        if backend == "slab":
+        if backend in ("slab", "slab_pallas"):
             from volym_tpu.render import slab as slab_mod
 
             vol_perm = slab_mod.permute_volume(scene.volume, major)
             imp_perm = slab_mod.permute_volume(scene.importance, major)
-            if differentiable:
+            if backend == "slab_pallas" and jax.default_backend() == "tpu":
+                # production kernel per shard (each device marches its own
+                # ray chunk set); jnp slab fallback off-TPU keeps the same
+                # sharding plumbing testable on the CPU mesh
+                img = _pallas_shard_march(
+                    render_params, major, sign, scene,
+                    origin, dirs, entry, exit_, differentiable,
+                )
+            elif differentiable:
                 img = slab_mod.march_slabs_diff(
                     render_params, major, sign, vol_perm, imp_perm, scene.tf_lut,
                     origin, dirs, entry, jax.lax.stop_gradient(exit_),
@@ -190,34 +198,111 @@ def _rays_from_ndc(camera_matrices, ndc):
     return camera_matrices.position, d
 
 
-def make_train_step(params: RenderParams, height: int, width: int, mesh: Mesh):
+def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, differentiable):
+    """One shard's rays through the production Pallas slab kernels.
+
+    Builds the per-ray feats from the shard's own rays (row-major chunking,
+    no tile order — the shard layout is fixed by the partitioning, so the
+    windowed contraction is off) and runs the differentiable
+    :func:`volym_tpu.ops.slab_kernel.march_pallas` or the raw forward."""
+    from volym_tpu.ops import slab_kernel as sk
+    from volym_tpu.render import slab as slab_mod
+
+    layout = slab_mod._AXIS_LAYOUT[major]
+    vol_perm = slab_mod.permute_volume(scene.volume, major)
+    feats = sk.features_from_rays(
+        origin, dirs, entry, jax.lax.stop_gradient(exit_),
+        vol_perm.shape[0], major, sign, layout,
+    )
+    r = feats.shape[1]
+    fc = sk._chunk_flat(feats)
+    if differentiable:
+        out = sk.march_pallas(params, major, sign, 0, vol_perm, scene.tf_lut, fc)
+    else:
+        imp_perm = (
+            slab_mod.permute_volume(scene.importance, major)
+            if params.use_importance_coloring
+            else None
+        )
+        grad_perm = (
+            slab_mod.permute_gradient(slab_mod.gradient_volume(scene.volume), major)
+            if params.use_shading
+            else None
+        )
+        out = sk._forward_call(
+            params, sign, vol_perm, scene.tf_lut, fc, imp_perm, grad_perm
+        )
+    return sk._unchunk_flat(out, r)
+
+
+def make_train_step(
+    params: RenderParams,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    backend: str = "ray",
+    camera_matrices=None,
+):
     """Distributed inverse-rendering step (BASELINE.json config 5).
 
     Returns ``step(scene, camera_matrices, target) -> (loss, grads)`` with
     rays sharded over the mesh and scene gradients psum'd across it.  The
     psum sits *inside* the shard_mapped backward, so XLA's scheduler can
     overlap the all-reduce with the remaining backward march of later tiles.
+
+    ``backend``: ``"ray"`` (t-step replay VJP), ``"slab"`` (jnp slab replay
+    VJP), or ``"slab_pallas"`` (the production Pallas kernels; jnp slab
+    fallback off-TPU so the same plumbing runs on the CPU test mesh).  The
+    slab backends need ``camera_matrices`` at factory time for the static
+    dominant-axis choice (pass the training camera; the step itself still
+    takes per-call matrices for pose refinement around it).
     """
     fixed = params.replace(adaptive_stepping=False)
     _ray_count(height, width, mesh)
     axes = _mesh_axes(mesh)
     spec_r = P(axes)
+    major = sign = 0
+    if backend in ("slab", "slab_pallas"):
+        from volym_tpu.render import slab as slab_mod
+
+        if camera_matrices is None:
+            raise ValueError("slab train-step backends need camera_matrices")
+        if fixed.use_shading:
+            raise NotImplementedError(
+                "differentiable slab backends: shading not supported"
+            )
+        major, sign = slab_mod.dominant_axis(camera_matrices)
 
     def per_shard_loss(scene, camera_matrices, ndc, target_rows):
         origin, dirs = _rays_from_ndc(camera_matrices, ndc)
         entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
         miss = exit_ <= entry
-        img = diff.march_fixed(
-            fixed,
-            scene.volume,
-            scene.importance,
-            scene.tf_lut,
-            origin,
-            dirs,
-            entry,
-            jax.lax.stop_gradient(exit_),
-            camera_matrices.position,
-        )
+        if backend == "slab_pallas" and jax.default_backend() == "tpu":
+            img = _pallas_shard_march(
+                fixed, major, sign, scene, origin, dirs, entry, exit_, True
+            )
+        elif backend in ("slab", "slab_pallas"):
+            from volym_tpu.render import slab as slab_mod
+
+            img = slab_mod.march_slabs_diff(
+                fixed, major, sign,
+                slab_mod.permute_volume(scene.volume, major),
+                slab_mod.permute_volume(scene.importance, major),
+                scene.tf_lut, origin, dirs, entry,
+                jax.lax.stop_gradient(exit_),
+            )
+        else:
+            img = diff.march_fixed(
+                fixed,
+                scene.volume,
+                scene.importance,
+                scene.tf_lut,
+                origin,
+                dirs,
+                entry,
+                jax.lax.stop_gradient(exit_),
+                camera_matrices.position,
+            )
         miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
         img = jnp.where(miss[:, None], miss_color[None, :], img)
         # mean over the *global* pixel count: sum local, divide by global
