@@ -143,3 +143,62 @@ def test_host_mesh_shape():
     mesh = pmesh.make_host_mesh()
     assert mesh.devices.size == 8
     assert mesh.axis_names == ("host", pmesh.RAY_AXIS)
+
+
+def test_launch_env_parsing():
+    from volym_tpu.parallel import launch
+
+    assert launch.init_kwargs_from_env({}) == {}
+    env = {
+        launch.ENV_COORDINATOR: "host0:8476",
+        launch.ENV_NUM_PROCESSES: "2",
+        launch.ENV_PROCESS_ID: "1",
+    }
+    assert launch.init_kwargs_from_env(env) == {
+        "coordinator_address": "host0:8476",
+        "num_processes": 2,
+        "process_id": 1,
+    }
+    assert not launch.wants_distributed(False, {})
+    assert launch.wants_distributed(True, {})
+    assert launch.wants_distributed(False, env)
+    assert launch.wants_distributed(False, {launch.ENV_FORCE: "1"})
+
+
+def test_scaling_table_on_virtual_mesh(scene, cam):
+    """The scaling harness emits TrialResults-schema rows with efficiency."""
+    from volym_tpu.bench import harness
+
+    rows = harness.scaling_table(
+        scene, cam.matrices(), PARAMS, RES, RES,
+        device_counts=[1, 2, 8], num_trials=1, seconds=0.05,
+        log=lambda *a: None,
+    )
+    assert [r["devices"] for r in rows] == [1, 2, 8]
+    for r in rows:
+        assert r["rays_per_s"] > 0
+        assert r["scaling_efficiency"] > 0
+        assert "avg_fps" in r and "std_dev_fps" in r
+    assert rows[0]["scaling_efficiency"] == 1.0
+
+
+def test_fit_distributed_loop_runs(scene, cam):
+    """Host-mesh training loop: loss decreases over a few sharded steps."""
+    import jax.numpy as jnp
+
+    from volym_tpu.parallel import launch
+    from volym_tpu.render import slab
+    from volym_tpu.scene import Scene as S
+
+    m = cam.matrices()
+    fixed = PARAMS.replace(adaptive_stepping=False, use_shading=False)
+    target = jnp.asarray(slab.render(scene, m, fixed, RES, RES))
+    init = S(
+        volume=jnp.full_like(scene.volume, 0.2),
+        importance=scene.importance,
+        tf_lut=scene.tf_lut,
+    )
+    fitted, losses = launch.fit_distributed(
+        init, m, target, fixed, steps=5, lr=0.05, backend="slab_pallas",
+    )
+    assert losses[-1] < losses[0]

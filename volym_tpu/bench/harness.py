@@ -187,6 +187,88 @@ def benchmark_all(
     return rows
 
 
+SCALING_CSV_FIELDS = [
+    "devices",
+    "avg_total_frames",
+    "avg_total_time_ms",
+    "avg_frame_time_ms",
+    "avg_fps",
+    "std_dev_total_frames",
+    "std_dev_total_time_ms",
+    "std_dev_frame_time_ms",
+    "std_dev_fps",
+    "rays_per_s",
+    "scaling_efficiency",
+]
+
+
+def scaling_table(
+    scene,
+    camera_matrices,
+    params: RenderParams,
+    height: int,
+    width: int,
+    *,
+    device_counts=None,
+    backend: str = "ray",
+    differentiable: bool = False,
+    num_trials: int = NUM_TRIALS,
+    seconds: float = SECS_PER_TRIAL,
+    log=print,
+) -> list[dict]:
+    """rays/s vs device count (BASELINE scaling target), TrialResults stats.
+
+    Runs the tile-sharded renderer on progressively larger sub-meshes of the
+    available devices (virtual CPU devices count — the fixture SURVEY.md
+    section 4 item 4 prescribes) and reports the per-row efficiency
+    ``rays_per_s / (devices x rays_per_s_per_device_at_smallest)``.
+    """
+    from volym_tpu.parallel import mesh as pmesh
+
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [
+            n for n in (1, 2, 4, 8, 16, 32, 64) if n <= len(devices)
+        ]
+    device_counts = [n for n in device_counts if (height * width) % n == 0]
+    rows = []
+    base_per_device = None
+    for n in device_counts:
+        mesh = pmesh.make_mesh(devices[:n])
+
+        def frame():
+            force_sync(
+                pmesh.render_sharded(
+                    scene, camera_matrices, params, height, width, mesh,
+                    differentiable=differentiable, backend=backend,
+                )
+            )
+
+        tr = TrialResults()
+        frame()  # compile outside the timed region
+        for _ in range(num_trials):
+            frames, dur = run_trial(frame, seconds=seconds)
+            tr.add_trial(frames, dur)
+        stats = tr.stats()
+        rate = stats["avg_fps"] * height * width
+        if base_per_device is None:
+            base_per_device = rate / n
+        eff = rate / (base_per_device * n)
+        rows.append(
+            {
+                "devices": n,
+                **stats,
+                "rays_per_s": rate,
+                "scaling_efficiency": eff,
+            }
+        )
+        log(
+            f"scaling n={n}: {rate:,.0f} rays/s, efficiency {eff:.2f}, "
+            f"fps {stats['avg_fps']:.2f} +- {stats['std_dev_fps']:.2f}"
+        )
+    return rows
+
+
 def write_csv(rows: list[dict], path="benchmark_results.csv") -> None:
     """Reference CSV output (``src/main.rs:338-342``) + rays_per_s column."""
     if not rows:

@@ -126,6 +126,17 @@ def cmd_benchmark(args) -> int:
     cam = _camera(args)
     m = cam.matrices()
 
+    if args.scaling:
+        rows = harness.scaling_table(
+            scene, m, _params(args), args.height, args.width,
+            backend=_backend(args), num_trials=args.trials,
+            seconds=args.seconds, log=log.info,
+        )
+        out = args.output or "scaling_results.csv"
+        harness.write_csv(rows, out)
+        log.info("wrote %s (%d rows)", out, len(rows))
+        return 0
+
     def render_factory(params):
         r = make_renderer(scene, params, args.height, args.width, backend=_backend(args))
 
@@ -167,13 +178,33 @@ def cmd_fit(args) -> int:
         importance=target_scene.importance,
         tf_lut=target_scene.tf_lut,
     )
+    cb = lambda i, l: log.info("fit step %d loss %.6f", i, l) if i % 10 == 0 else None
+    if args.distributed:
+        import jax
+
+        from volym_tpu.parallel import launch
+
+        backend = {"ray": "ray", "slab": "slab", "slab_pallas": "slab_pallas"}[
+            _backend(args)
+        ]
+        fitted, losses = launch.fit_distributed(
+            init, cam.matrices(), target, params, steps=args.frames,
+            backend=backend, callback=cb,
+        )
+        log.info("loss: %.6f -> %.6f", losses[0], losses[-1])
+        if launch.is_coordinator():
+            vio.save_checkpoint(args.output or "fitted_scene.npz", {
+                "volume": fitted.volume,
+                "tf_lut": fitted.tf_lut,
+            })
+        return 0
     res = fit_scene(
         init,
         cam.matrices(),
         target,
         params,
         steps=args.frames,
-        callback=lambda i, l: log.info("fit step %d loss %.6f", i, l) if i % 10 == 0 else None,
+        callback=cb,
     )
     log.info("loss: %.6f -> %.6f", res.losses[0], res.losses[-1])
     vio.save_checkpoint(args.output or "fitted_scene.npz", {
@@ -228,6 +259,11 @@ def build_parser() -> argparse.ArgumentParser:
         )
         p.add_argument("--frames", type=int, default=100)
         p.add_argument("--output")
+        p.add_argument(
+            "--distributed", action="store_true",
+            help="multi-host run: jax.distributed.initialize from VOLYM_* "
+            "env vars (see volym_tpu/parallel/launch.py)",
+        )
 
     p_run = sub.add_parser("run", help="orbit-sweep render loop")
     p_run.add_argument("demo", nargs="?", default="simple", choices=["simple"])
@@ -237,6 +273,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_bench.add_argument("--trials", type=int, default=3)
     p_bench.add_argument("--seconds", type=float, default=2.0)
     p_bench.add_argument("--sweep-steps", type=float, nargs="*")
+    p_bench.add_argument(
+        "--scaling", action="store_true",
+        help="rays/s vs device count table instead of the parameter sweep",
+    )
     p_shot = sub.add_parser("screenshot", help="single frame -> PNG")
     common(p_shot)
     p_fit = sub.add_parser("fit", help="inverse-rendering demo")
@@ -251,6 +291,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _setup_logging(args.debug)
+    # multi-host bootstrap must run before any other JAX device use
+    from volym_tpu.parallel import launch
+
+    launch.maybe_initialize(getattr(args, "distributed", False))
     if args.command == "devtools":
         from volym_tpu import devtools
 
