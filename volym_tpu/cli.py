@@ -87,7 +87,20 @@ def cmd_run(args) -> int:
     img = None
     for i in range(args.frames):
         cam = cam.orbit(2.0, 0.0, 0.0)  # orbit sweep stands in for mouse input
-        img = render(cam.matrices())
+        if args.live_sweep and _backend(args) == "ray":
+            # live parameter mutation (the egui-panel capability,
+            # src/gui.rs:196-277): the traced-knob split means these float
+            # changes re-render WITHOUT recompiling
+            from volym_tpu.render import fast
+
+            live = params.replace(
+                density_threshold=0.05 + 0.2 * (i % 10) / 10.0,
+                raymarching_step_size=params.raymarching_step_size
+                * (1.0 + 0.5 * (i % 7) / 7.0),
+            )
+            img = fast.render(scene, cam.matrices(), live, args.height, args.width)
+        else:
+            img = render(cam.matrices())
         from volym_tpu.bench.harness import force_sync
 
         force_sync(img)
@@ -268,6 +281,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_run = sub.add_parser("run", help="orbit-sweep render loop")
     p_run.add_argument("demo", nargs="?", default="simple", choices=["simple"])
     common(p_run)
+    p_run.add_argument(
+        "--live-sweep", action="store_true",
+        help="mutate threshold/step size per frame (GUI-mutation analog; "
+        "traced knobs -> no recompile)",
+    )
     p_bench = sub.add_parser("benchmark", help="full reference sweep -> CSV")
     common(p_bench)
     p_bench.add_argument("--trials", type=int, default=3)

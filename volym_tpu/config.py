@@ -103,16 +103,46 @@ class RenderParams:
         "density_threshold",
         "raymarching_step_size",
         "early_termination_alpha",
+        "importance_check_ahead_steps",
     )
 
     def dynamic(self) -> jnp.ndarray:
         """The float knobs as a traced vector (uniform-buffer analog)."""
         return jnp.array(
-            [getattr(self, f) for f in self.DYNAMIC_FIELDS], dtype=jnp.float32
+            [float(getattr(self, f)) for f in self.DYNAMIC_FIELDS],
+            dtype=jnp.float32,
         )
+
+    def split_dynamic(self) -> tuple["RenderParams", jnp.ndarray]:
+        """(jit-static params, traced knob vector) — the per-frame uniform
+        update (``src/gpu_resources/parameters.rs:68-83``): every float the
+        reference GUI mutates live travels traced, so threshold / step-size
+        / early-alpha / ahead-steps sweeps reuse ONE compilation per flag
+        combination.  The static copy zeroes those fields; code holding it
+        must take the values from the vector (``resolved_max_steps`` is not
+        meaningful on the static copy unless ``max_steps`` is set)."""
+        static = self.replace(
+            density_threshold=0.0,
+            raymarching_step_size=0.0,
+            early_termination_alpha=0.0,
+            importance_check_ahead_steps=0,
+        )
+        return static, self.dynamic()
 
     def replace(self, **kw) -> "RenderParams":
         return dataclasses.replace(self, **kw)
+
+    def slab_static(self) -> "RenderParams":
+        """Canonical jit key for the slab renderers: fields the slab march
+        never reads (t-step size, probe count, adaptive stepping, max
+        steps) are zeroed so parameter sweeps over them reuse one
+        compilation."""
+        return self.replace(
+            raymarching_step_size=0.0,
+            importance_check_ahead_steps=0,
+            adaptive_stepping=False,
+            max_steps=None,
+        )
 
 
 #: Benchmark parameter preset (reference ``src/main.rs:180-190``).

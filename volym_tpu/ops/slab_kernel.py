@@ -863,7 +863,7 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
     major, sign = slab_mod.dominant_axis(camera_matrices)
     win = window_rows(camera_matrices, height, width, scene.volume.shape[0], major, sign)
     return _render_pallas_diff_jit(
-        scene, camera_matrices, params, height, width, major, sign, win
+        scene, camera_matrices, params.slab_static(), height, width, major, sign, win
     )
 
 
@@ -884,5 +884,5 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
     major, sign = slab_mod.dominant_axis(camera_matrices)
     win = window_rows(camera_matrices, height, width, scene.volume.shape[0], major, sign)
     return _render_pallas_jit(
-        scene, camera_matrices, params, height, width, major, sign, win
+        scene, camera_matrices, params.slab_static(), height, width, major, sign, win
     )

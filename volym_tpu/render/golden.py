@@ -40,6 +40,9 @@ CONE_ANGLE = 0.2
 # Importance-driven thresholds (``wgsl:133, 291``).
 IMPORTANT_AHEAD_THRESHOLD = 0.5
 IMPORTANCE_OPAQUE = 1.0
+#: static probe-count cap when ahead-steps travels as a traced value
+#: (the reference GUI slider range is 2..25, ``src/gui.rs:239``)
+AHEAD_CAP = 25
 
 
 def sample_density(volume, pos, ray_dir, params: RenderParams, sample_fn):
@@ -106,11 +109,16 @@ def has_important_ahead_straight(importance_grid, pos, ray_dir, max_distance, ch
     along the ray.  No bounds test — the clamp-to-edge sampler handles
     out-of-box positions (``importance.rs:122-131``).
     """
+    static_k = isinstance(check_steps, int)
+    kcap = check_steps if static_k else AHEAD_CAP
     step = (max_distance - jnp.linalg.norm(pos, axis=-1)) / check_steps  # (R,)
-    ks = jnp.arange(1, check_steps + 1, dtype=jnp.float32)  # (K,)
+    ks = jnp.arange(1, kcap + 1, dtype=jnp.float32)  # (K,)
     p = pos[..., None, :] + ray_dir[..., None, :] * (step[..., None] * ks)[..., None]
     imp = interp.sample_nearest(importance_grid, p)  # (R, K)
-    return jnp.any(imp >= IMPORTANT_AHEAD_THRESHOLD, axis=-1)
+    hits = imp >= IMPORTANT_AHEAD_THRESHOLD
+    if not static_k:
+        hits = hits & (ks <= check_steps)
+    return jnp.any(hits, axis=-1)
 
 
 def has_important_ahead_cone(importance_grid, pos, ray_dir, max_distance, check_steps):
@@ -120,9 +128,11 @@ def has_important_ahead_cone(importance_grid, pos, ray_dir, max_distance, check_
     out-of-bounds samples: the box is convex, so in-bounds samples along a
     straight probe form a prefix.
     """
+    static_k = isinstance(check_steps, int)
+    kcap = check_steps if static_k else AHEAD_CAP
     step = (max_distance - jnp.linalg.norm(pos, axis=-1)) / check_steps  # (R,)
     dirs = cone_directions(ray_dir)  # (R, S, 3)
-    ks = jnp.arange(1, check_steps + 1, dtype=jnp.float32)  # (K,)
+    ks = jnp.arange(1, kcap + 1, dtype=jnp.float32)  # (K,)
     # (R, S, K, 3)
     p = (
         pos[..., None, None, :]
@@ -130,15 +140,30 @@ def has_important_ahead_cone(importance_grid, pos, ray_dir, max_distance, check_
     )
     in_bounds = jnp.all((p >= 0.0) & (p <= 1.0), axis=-1)
     imp = interp.sample_nearest(importance_grid, p)
-    return jnp.any(in_bounds & (imp >= IMPORTANT_AHEAD_THRESHOLD), axis=(-2, -1))
+    hits = in_bounds & (imp >= IMPORTANT_AHEAD_THRESHOLD)
+    if not static_k:
+        hits = hits & (ks <= check_steps)
+    return jnp.any(hits, axis=(-2, -1))
 
 
-def make_step_fn(scene, origin, directions, exit_, cam_pos, params: RenderParams):
+def make_step_fn(scene, origin, directions, exit_, cam_pos, params: RenderParams, dyn=None):
     """Build the per-iteration state update shared by the scan (golden) and
-    while_loop (fast) drivers.  State: (t, step, acc_c, acc_a, done)."""
+    while_loop (fast) drivers.  State: (t, step, acc_c, acc_a, done).
+
+    ``dyn``: traced knob vector from :meth:`RenderParams.split_dynamic`
+    (threshold, step size, early alpha, ahead steps) — the per-frame
+    uniform-update analog; ``None`` reads the (static) params floats."""
     sample_fn = interp.make_sampler(params.interpolation)
-    base_step = params.raymarching_step_size
-    min_step = params.min_step_size
+    if dyn is None:
+        threshold = params.density_threshold
+        base_step = params.raymarching_step_size
+        early_alpha = params.early_termination_alpha
+        ahead_steps = params.importance_check_ahead_steps
+    else:
+        threshold, base_step, early_alpha, ahead_steps = (
+            dyn[0], dyn[1], dyn[2], dyn[3],
+        )
+    min_step = base_step * 0.25
     use_alpha_static = params.use_opacity or params.use_importance_coloring
 
     def vol_sample(p):
@@ -146,7 +171,7 @@ def make_step_fn(scene, origin, directions, exit_, cam_pos, params: RenderParams
 
     def active_mask(carry):
         t, step, acc_c, acc_a, done = carry
-        return (t < exit_) & (acc_a < params.early_termination_alpha) & ~done
+        return (t < exit_) & (acc_a < early_alpha) & ~done
 
     def step_fn(carry):
         t, step, acc_c, acc_a, done = carry
@@ -158,11 +183,13 @@ def make_step_fn(scene, origin, directions, exit_, cam_pos, params: RenderParams
 
         # Adaptive step (wgsl:262-269); fixed-step mode for the
         # differentiable path (SURVEY.md section 7 hard part (a)).
-        dense = density >= params.density_threshold
+        dense = density >= threshold
         if params.adaptive_stepping:
             new_step = jnp.where(dense, min_step, jnp.minimum(base_step, step * 1.5))
         else:
-            new_step = jnp.full_like(step, base_step)
+            new_step = jnp.broadcast_to(
+                jnp.asarray(base_step, jnp.float32), step.shape
+            )
 
         skip = ~dense  # wgsl:271-274
 
@@ -172,13 +199,11 @@ def make_step_fn(scene, origin, directions, exit_, cam_pos, params: RenderParams
             if params.use_importance_rendering:
                 if params.use_cone_importance_check:
                     ahead = has_important_ahead_cone(
-                        scene.importance, pos, directions, exit_,
-                        params.importance_check_ahead_steps,
+                        scene.importance, pos, directions, exit_, ahead_steps
                     )
                 else:
                     ahead = has_important_ahead_straight(
-                        scene.importance, pos, directions, exit_,
-                        params.importance_check_ahead_steps,
+                        scene.importance, pos, directions, exit_, ahead_steps
                     )
                 skip = skip | ((importance < IMPORTANCE_OPAQUE) & ahead)  # wgsl:291-294
             color_alpha = lut_sample(scene.tf_lut, density)  # wgsl:297-303
@@ -207,11 +232,12 @@ def make_step_fn(scene, origin, directions, exit_, cam_pos, params: RenderParams
     return step_fn, active_mask
 
 
-def init_state(entry, params: RenderParams):
+def init_state(entry, params: RenderParams, base_step=None):
     r = entry.shape[0]
+    step0 = params.raymarching_step_size if base_step is None else base_step
     return (
         entry,
-        jnp.full((r,), params.raymarching_step_size, jnp.float32),
+        jnp.broadcast_to(jnp.asarray(step0, jnp.float32), (r,)),
         jnp.zeros((r, 3), jnp.float32),
         jnp.zeros((r,), jnp.float32),
         jnp.zeros((r,), bool),

@@ -524,7 +524,9 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
             "False) mode (wgsl:319-323) needs the t-step renderers"
         )
     major, sign = dominant_axis(camera_matrices)
-    return _render_diff_jit(scene, camera_matrices, params, height, width, major, sign)
+    return _render_diff_jit(
+        scene, camera_matrices, params.slab_static(), height, width, major, sign
+    )
 
 
 def permute_gradient(grad, major: int):
@@ -571,4 +573,6 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
             "False) mode (wgsl:319-323) needs the t-step renderers"
         )
     major, sign = dominant_axis(camera_matrices)
-    return _render_jit(scene, camera_matrices, params, height, width, major, sign)
+    return _render_jit(
+        scene, camera_matrices, params.slab_static(), height, width, major, sign
+    )
