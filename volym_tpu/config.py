@@ -69,10 +69,12 @@ class RenderParams:
     #: ``wgsl:306-311``; toggleable here because the differentiable
     #: inverse-rendering objective usually wants the unshaded integral).
     use_shading: bool = True
-    #: Slab-kernel forward at DEFAULT (bf16-class) MXU precision: ~2.3x
-    #: faster sampling matmuls at ~1e-2 image error (the volume data is
-    #: 8-bit anyway).  Exact (HIGHEST, ~1e-4) when False.  Forward only —
-    #: gradients always run exact.
+    #: Slab-kernel fast-math v2: the density contraction (and hence the
+    #: threshold mask) always runs EXACT; the auxiliary matmuls (shading
+    #: gradient field, importance) drop to DEFAULT (bf16-class) MXU
+    #: precision.  Image error is bounded ~1e-3 (no mask flips), unlike
+    #: the v1 preview mode that also quantised the density.  Forward only
+    #: — gradients always run exact.
     fast_math: bool = False
 
     def __post_init__(self):

@@ -322,8 +322,15 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     # not on loaded values): the density slice, optionally 3 gradient-field
     # channels (volume filter), and the importance slice (always
     # nearest/box, importance.rs:122-131).
+    # fast_math v2: the density contraction stays EXACT (HIGHEST) so the
+    # threshold mask never flips; only the auxiliary grids (shading
+    # gradient field, importance) run at the reduced precision
     grids = [
-        (lambda w=None: slice_ref[slice_row] if w is None else slice_ref[slice_row, w, :], vol_hat)
+        (
+            lambda w=None: slice_ref[slice_row] if w is None else slice_ref[slice_row, w, :],
+            vol_hat,
+            jax.lax.Precision.HIGHEST,
+        )
     ]
     if grad_ref is not None:
         for ch in range(3):
@@ -333,11 +340,16 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
                     if w is None
                     else grad_ref[ch, slice_row, w, :],
                     vol_hat,
+                    precision,
                 )
             )
     if imp_ref is not None:
         grids.append(
-            (lambda w=None: imp_ref[slice_row] if w is None else imp_ref[slice_row, w, :], boxk)
+            (
+                lambda w=None: imp_ref[slice_row] if w is None else imp_ref[slice_row, w, :],
+                boxk,
+                precision,
+            )
         )
 
     def y_iota(n):
@@ -357,9 +369,9 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
             [
                 jax.lax.dot_general(
                     g(w), k(rows_c, idx), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=precision,
+                    preferred_element_type=jnp.float32, precision=prec,
                 )
-                for g, k in grids
+                for g, k, prec in grids
             ]
         )  # (G, NC, R)
     else:
@@ -368,9 +380,9 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
             [
                 jax.lax.dot_general(
                     g(), k(rows_c, idx), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=precision,
+                    preferred_element_type=jnp.float32, precision=prec,
                 )
-                for g, k in grids
+                for g, k, prec in grids
             ]
         )
 
