@@ -32,3 +32,18 @@ def test_debug_matrix_channels():
     # step-count heat: rays through the box take more steps than misses
     assert img[..., 3].max() > 0
     assert img[..., 3].max() <= 1.0
+
+
+def test_step_count_histogram():
+    scene = Scene.synthetic("sphere", side=16)
+    cam = Camera(aspect=1.0, distance=1.1).orbit(30.0, 20.0, 0.0)
+    params = RenderParams(
+        use_gaussian_smoothing=False, raymarching_step_size=0.1,
+        max_steps=32, use_shading=False,
+    )
+    edges, hist = debug_vis.step_count_histogram(
+        scene, cam.matrices(), params, 8, 8, bins=8
+    )
+    assert hist.sum() == 64  # every ray lands in a bucket
+    assert len(edges) == 9
+    assert hist[1:].sum() > 0  # some rays actually march

@@ -69,6 +69,27 @@ def _backend(args):
     return getattr(args, "renderer", "ray")
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _maybe_profile(args):
+    """jax.profiler capture around a timed region (SURVEY.md section 5:
+    the tracing-layer analog of the reference's tracing spans)."""
+    profile_dir = getattr(args, "profile", None)
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(profile_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        log.info("wrote profiler trace to %s", profile_dir)
+
+
 def cmd_run(args) -> int:
     """Offline analog of the interactive loop (``src/event_loop.rs:94-157``):
     render N frames along an orbit sweep, log FPS once per second
@@ -85,6 +106,8 @@ def cmd_run(args) -> int:
     cam = _camera(args)
     frames, t_last, n_last = 0, time.perf_counter(), 0
     img = None
+    ctx = _maybe_profile(args)
+    ctx.__enter__()
     for i in range(args.frames):
         cam = cam.orbit(2.0, 0.0, 0.0)  # orbit sweep stands in for mouse input
         if args.live_sweep and _backend(args) == "ray":
@@ -109,6 +132,7 @@ def cmd_run(args) -> int:
         if now - t_last >= 1.0:
             log.info("FPS: %.1f", (frames - n_last) / (now - t_last))
             t_last, n_last = now, frames
+    ctx.__exit__(None, None, None)
     path = vio.save_screenshot(img, ".")
     log.info("saved %s", path)
     return 0
@@ -158,15 +182,26 @@ def cmd_benchmark(args) -> int:
 
         return frame
 
-    rows = harness.benchmark_all(
-        render_factory,
-        num_trials=args.trials,
-        seconds=args.seconds,
-        height=args.height,
-        width=args.width,
-        step_sizes=tuple(args.sweep_steps) if args.sweep_steps else harness.STEP_SIZES,
-        log=log.info,
-    )
+    if args.step_histogram:
+        from volym_tpu.render import debug_vis
+
+        edges, hist = debug_vis.step_count_histogram(
+            scene, m, _params(args).replace(adaptive_stepping=True),
+            args.height, args.width,
+        )
+        for lo, hi, n in zip(edges[:-1], edges[1:], hist):
+            log.info("steps %4d-%4d: %d rays", int(lo), int(hi), int(n))
+
+    with _maybe_profile(args):
+        rows = harness.benchmark_all(
+            render_factory,
+            num_trials=args.trials,
+            seconds=args.seconds,
+            height=args.height,
+            width=args.width,
+            step_sizes=tuple(args.sweep_steps) if args.sweep_steps else harness.STEP_SIZES,
+            log=log.info,
+        )
     harness.write_csv(rows, args.output or "benchmark_results.csv")
     log.info("wrote %s (%d rows)", args.output or "benchmark_results.csv", len(rows))
     return 0
@@ -277,6 +312,11 @@ def build_parser() -> argparse.ArgumentParser:
             help="multi-host run: jax.distributed.initialize from VOLYM_* "
             "env vars (see volym_tpu/parallel/launch.py)",
         )
+        p.add_argument(
+            "--profile", metavar="DIR",
+            help="capture a jax.profiler trace of the main loop into DIR "
+            "(view with tensorboard/xprof)",
+        )
 
     p_run = sub.add_parser("run", help="orbit-sweep render loop")
     p_run.add_argument("demo", nargs="?", default="simple", choices=["simple"])
@@ -294,6 +334,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_bench.add_argument(
         "--scaling", action="store_true",
         help="rays/s vs device count table instead of the parameter sweep",
+    )
+    p_bench.add_argument(
+        "--step-histogram", action="store_true",
+        help="print the per-ray march-length histogram before the sweep",
     )
     p_shot = sub.add_parser("screenshot", help="single frame -> PNG")
     common(p_shot)

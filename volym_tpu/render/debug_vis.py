@@ -79,3 +79,24 @@ def debug_matrix(scene, camera_matrices, params: RenderParams, height: int, widt
     dir_rgb = dirs * 0.5 + 0.5  # like writing ray_direction to the debug texture
     heat = count.astype(jnp.float32) / num_steps
     return jnp.concatenate([dir_rgb, heat[:, None]], axis=-1).reshape(height, width, 4)
+
+
+def step_counts(scene, camera_matrices, params: RenderParams, height: int, width: int):
+    """Per-ray march iteration counts (the data behind debug_matrix's heat
+    channel) as an (H, W) int array."""
+    img = debug_matrix(scene, camera_matrices, params, height, width)
+    num_steps = params.resolved_max_steps()
+    return (jnp.round(img[..., 3] * num_steps)).astype(jnp.int32)
+
+
+def step_count_histogram(scene, camera_matrices, params: RenderParams, height: int, width: int, bins: int = 16):
+    """March-length histogram (SURVEY.md section 5 observability): how many
+    rays terminate after how many iterations — the early-termination /
+    empty-space-skipping effectiveness view the reference lacked.
+
+    Returns (edges, counts) numpy arrays."""
+    import numpy as np
+
+    counts = np.asarray(step_counts(scene, camera_matrices, params, height, width))
+    hist, edges = np.histogram(counts, bins=bins, range=(0, params.resolved_max_steps()))
+    return edges, hist
