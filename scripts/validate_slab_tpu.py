@@ -71,6 +71,11 @@ def main() -> int:
     # fast_math: documented preview-mode bound (threshold-boundary flips)
     check_fwd("fwd fast_math", scene, m, params.replace(fast_math=True), 32, tol=0.5)
 
+    # Gaussian smoothing (slab-axis stencil) vs the jnp slab golden
+    for interp in ("trilinear", "nearest"):
+        p = params.replace(use_gaussian_smoothing=True, interpolation=interp)
+        check_fwd(f"fwd gaussian {interp}", scene, m, p, 32)
+    # smoothing + look-ahead combined runs
     # importance-driven look-ahead (straight + cone) vs the jnp slab golden
     import jax.numpy as jnp2
 

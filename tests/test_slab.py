@@ -223,6 +223,123 @@ def test_slab_lookahead_cone_runs():
     assert np.abs(img - base).max() > 0.05  # cone skip engaged
 
 
+def test_slab_smoothing_constant_volume_exact(cam):
+    """On a constant-density volume, Gaussian smoothing is the identity
+    (masked-tap renormalisation included)."""
+    side = 16
+    vol = np.full((side, side, side), 0.5, np.float32)
+    from volym_tpu.scene import Scene as S
+
+    sc = S(
+        volume=jnp.asarray(vol),
+        importance=jnp.zeros((side,) * 3, jnp.float32),
+        tf_lut=Scene.synthetic("sphere", side=8).tf_lut,
+    )
+    m = cam.matrices()
+    a = np.asarray(slab.render(sc, m, PARAMS, RES, RES))
+    b = np.asarray(
+        slab.render(sc, m, PARAMS.replace(use_gaussian_smoothing=True), RES, RES)
+    )
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_slab_smoothing_blurs_noise(scene, cam):
+    """Smoothing changes the image on a structured volume and stays finite."""
+    m = cam.matrices()
+    p = PARAMS.replace(use_gaussian_smoothing=True)
+    a = np.asarray(slab.render(scene, m, PARAMS, RES, RES))
+    b = np.asarray(slab.render(scene, m, p, RES, RES))
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() > 1e-4
+
+
+def test_smoothed_densities_matches_loop_oracle(scene, cam):
+    """Vectorised smoothed_densities vs a literal numpy-loop transcription
+    of the slab-stencil spec, for a few (step, ray) entries."""
+    import math
+
+    from volym_tpu.render import rays as rays_mod
+    from volym_tpu.render.golden import (
+        GAUSSIAN_KERNEL_SIZE,
+        GAUSSIAN_SIGMA,
+        GAUSSIAN_STEP,
+    )
+
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    vol_perm = slab.permute_volume(scene.volume, major)
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    got = np.asarray(
+        slab.smoothed_densities(vol_perm, origin, dirs, major, sign, PARAMS)
+    )
+    n = vol_perm.shape[0]
+    _, row_comp, col_comp = slab._AXIS_LAYOUT[major]
+    vp = np.asarray(vol_perm)
+    o = np.asarray(origin)
+    dnp = np.asarray(dirs)
+    ks = list(range(n) if sign > 0 else range(n - 1, -1, -1))
+
+    def bilin(sl2d, rc, cc):
+        rc = min(max(rc, 0.0), n - 1.0)
+        cc = min(max(cc, 0.0), n - 1.0)
+        r0, c0 = int(np.floor(rc)), int(np.floor(cc))
+        r1, c1 = min(r0 + 1, n - 1), min(c0 + 1, n - 1)
+        tr, tc = rc - r0, cc - c0
+        return (
+            sl2d[r0, c0] * (1 - tr) * (1 - tc)
+            + sl2d[r0, c1] * (1 - tr) * tc
+            + sl2d[r1, c0] * tr * (1 - tc)
+            + sl2d[r1, c1] * tr * tc
+        )
+
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        r = int(rng.integers(0, RES * RES))
+        mi = int(rng.integers(0, n))
+        d = dnp[r]
+        dm = d[major] if abs(d[major]) > 1e-12 else 1e-12
+        dt = (1.0 / n) * sign / dm
+
+        def coords(step_idx):
+            k = ks[step_idx]
+            z = (k + 0.5) / n
+            t = (z - o[major]) / dm
+            return (
+                (o[row_comp] + t * d[row_comp]) * n - 0.5,
+                (o[col_comp] + t * d[col_comp]) * n - 0.5,
+            )
+
+        def d_at(step_idx):
+            step_idx = min(max(step_idx, 0), n - 1)
+            rc, cc = coords(step_idx)
+            return bilin(vp[ks[step_idx]], rc, cc)
+
+        total = wsum = 0.0
+        for i in range(-GAUSSIAN_KERNEL_SIZE, GAUSSIAN_KERNEL_SIZE + 1):
+            delta = i * GAUSSIAN_STEP
+            w = math.exp(-(delta**2) / (2 * GAUSSIAN_SIGMA**2))
+            u = delta / dt
+            rc, cc = coords(mi)
+            rt = rc + u * dt * d[row_comp] * n
+            ct = cc + u * dt * d[col_comp] * n
+            st = mi + u
+            if not (
+                -0.5 <= rt <= n - 0.5
+                and -0.5 <= ct <= n - 0.5
+                and -0.5 <= st <= n - 0.5
+            ):
+                continue
+            tap = 0.0
+            for off in range(-slab.SMOOTH_HALO, slab.SMOOTH_HALO + 1):
+                ker = max(0.0, 1.0 - abs(u - off))
+                if ker:
+                    tap += ker * d_at(mi + off)
+            total += w * tap
+            wsum += w
+        expect = total / wsum if wsum > 0 else 0.0
+        np.testing.assert_allclose(got[mi, r], expect, atol=2e-5)
+
+
 def test_gradient_volume_matches_reference_estimator(scene):
     """gradient_volume at voxel centres == central differences of the
     trilinear field at +-GRADIENT_OFFSET (the wgsl:181-188 stencil)."""

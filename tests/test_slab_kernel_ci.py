@@ -157,6 +157,25 @@ def test_lookahead_matches_jnp_golden(cone):
     assert (err > 1e-3).mean() <= 0.01, f"max err {err.max()}"
 
 
+@pytest.mark.parametrize("interp", ["trilinear", "nearest"])
+def test_gaussian_smoothing_matches_jnp_golden(scene, cam, interp):
+    """Pallas batch-amortised smoothing stencil == jnp smoothed_densities.
+
+    (With the nearest filter at side 16 every tap rounds to the centre
+    slab, so smoothing is correctly the identity there; the trilinear
+    case must visibly engage.)"""
+    m = cam.matrices()
+    p = PARAMS.replace(use_gaussian_smoothing=True, interpolation=interp)
+    got = _emu_forward(scene, m, p, RES, RES)
+    want = np.asarray(slab.render(scene, m, p, RES, RES))
+    if interp == "trilinear":
+        base = np.asarray(
+            slab.render(scene, m, p.replace(use_gaussian_smoothing=False), RES, RES)
+        )
+        assert np.abs(want - base).max() > 1e-4, "smoothing not engaged"
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def _banded_feats(rng=None):
     """One crafted ray chunk whose slab-rows footprint stays in a narrow
     band ([20, 38) over all 64 slabs) so a 32-row window provably covers

@@ -73,8 +73,11 @@ def _march_kernel(
     march_sign: int = 1,
     occupancy: bool = False,
     lookahead: bool = False,
+    smoothing: bool = False,
 ):
     rest = list(rest)
+    prev_ref = rest.pop(0) if smoothing else None
+    next_ref = rest.pop(0) if smoothing else None
     occ_ref = rest.pop(0) if occupancy else None
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
     grad_ref = rest.pop(0) if shading else None
@@ -107,6 +110,48 @@ def _march_kernel(
 
     @pl.when(chunk_active | (J == 0))
     def _steps():
+        feat = feat_ref[0]
+        smooth_rows = None
+        if smoothing:
+            # Batch-amortised Gaussian smoothing: plain density rows for
+            # march offsets [-HALO, sb + HALO) from the prev/cur/next
+            # slice blocks, then each sub-step's smoothed density is a
+            # per-ray slab-axis stencil over them (see render/slab.py
+            # smoothed_densities, the jnp spec).  Volume-edge offsets
+            # fall back to the clamped edge row (clamp-to-edge semantics).
+            def local_row(i):
+                return i if march_sign > 0 else slab_batch - 1 - i
+
+            def drow(block_ref, i_local, off):
+                jf = (J * slab_batch + off).astype(jnp.float32)
+                return _density_row(
+                    block_ref, local_row(i_local), feat, jf,
+                    bilinear=bilinear, win_rows=win_rows, precision=precision,
+                )
+
+            d_cur = [drow(slice_ref, i, i) for i in range(slab_batch)]
+            d_next = []
+            for h in range(SMOOTH_HALO):
+                off = slab_batch + h
+                jj = J * slab_batch + off
+                cand = drow(next_ref, h, off)
+                d_next.append(
+                    jnp.where(jj <= num_steps - 1, cand, d_cur[slab_batch - 1])
+                )
+            d_prev = []
+            for h in range(SMOOTH_HALO):
+                off = -SMOOTH_HALO + h  # -3, -2, -1
+                jj = J * slab_batch + off
+                cand = drow(prev_ref, slab_batch + off, off)
+                d_prev.append(jnp.where(jj >= 0, cand, d_cur[0]))
+            d_rows = d_prev + d_cur + d_next
+            smooth_rows = [
+                _smooth_row(
+                    feat, (J * slab_batch + i).astype(jnp.float32), d_rows, i,
+                    num_steps, bilinear,
+                )
+                for i in range(slab_batch)
+            ]
         for i in range(slab_batch):
             # march index; the slice block holds slab_batch physical slabs
             # (reversed within the block when marching back-to-front)
@@ -117,6 +162,7 @@ def _march_kernel(
                 bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
                 precision=precision, win_rows=win_rows, occ_ref=occ_ref,
                 coloring=coloring, ahead_ref=ahead_ref, ahead_row=i,
+                density_override=None if smooth_rows is None else smooth_rows[i],
             )
 
 
@@ -182,6 +228,97 @@ def _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc):
         & (bx <= chi)
     )
     return jnp.any((ob > 0.5) & inside) & jnp.any(active)
+
+
+def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precision):
+    """One plain density row (1, R): bilinear/nearest slice sample at the
+    ray crossings of march step jf (the sampling core of _march_step_body,
+    reused by the Gaussian-smoothing stencil)."""
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+    rays = feat.shape[-1]
+    rows_c = jnp.clip(
+        feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :], 0.0, nr - 1.0
+    )
+    cols_c = jnp.clip(
+        feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :], 0.0, nc - 1.0
+    )
+    t = feat[F_TS : F_TS + 1, :] * jf + feat[F_TB : F_TB + 1, :]
+
+    def iota(n, base=None):
+        v = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
+        return v if base is None else v + base.astype(jnp.float32)
+
+    def hat(coords, idx):
+        d = coords - idx
+        if bilinear:
+            return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+        return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+
+    if win_rows:
+        r0 = _window_start(feat, t, rows_c, nr, win_rows)
+        hat_y = hat(rows_c, iota(win_rows, r0))
+        sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
+    else:
+        hat_y = hat(rows_c, iota(nr))
+        sl = slice_ref[slice_row]
+    colvals = jax.lax.dot_general(
+        sl, hat_y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return jnp.sum(colvals * hat(cols_c, iota(nc)), axis=0, keepdims=True)
+
+
+#: slab-axis stencil half-width of the resampled Gaussian taps (see
+#: render/slab.py smoothed_densities — the jnp spec of this math)
+SMOOTH_HALO = 3
+
+
+def _smooth_row(feat, jf, d_rows, i, num_steps, bilinear):
+    """Gaussian-smoothed density at sub-step i from the batch's plain
+    density rows d_rows[off + SMOOTH_HALO] covering march offsets
+    [-SMOOTH_HALO, slab_batch + SMOOTH_HALO)."""
+    import math as _math
+
+    from volym_tpu.render.golden import (
+        GAUSSIAN_KERNEL_SIZE,
+        GAUSSIAN_SIGMA,
+        GAUSSIAN_STEP,
+    )
+
+    ts = feat[F_TS : F_TS + 1, :]
+    rs = feat[F_RS : F_RS + 1, :]
+    cs = feat[F_CS : F_CS + 1, :]
+    rows_raw = rs * jf + feat[F_RB : F_RB + 1, :]
+    cols_raw = cs * jf + feat[F_CB : F_CB + 1, :]
+    # rows/cols per (1, R); bounds from the feats' own resolution: slopes
+    # are in texel units so nr == num_steps for the cubic grids the slab
+    # path assumes
+    n = jnp.float32(num_steps)
+    total = jnp.zeros_like(rows_raw)
+    wsum = jnp.zeros_like(rows_raw)
+    for tap in range(-GAUSSIAN_KERNEL_SIZE, GAUSSIAN_KERNEL_SIZE + 1):
+        delta = tap * GAUSSIAN_STEP
+        w = _math.exp(-(delta * delta) / (2.0 * GAUSSIAN_SIGMA * GAUSSIAN_SIGMA))
+        u = delta / ts  # (1, R) march-index offset, per-ray constant
+        rt = rows_raw + u * rs
+        ct = cols_raw + u * cs
+        st = jf + u
+        in_box = (
+            (rt >= -0.5) & (rt <= n - 0.5)
+            & (ct >= -0.5) & (ct <= n - 0.5)
+            & (st >= -0.5) & (st <= n - 0.5)
+        ).astype(jnp.float32)
+        tap_v = jnp.zeros_like(rows_raw)
+        for off in range(-SMOOTH_HALO, SMOOTH_HALO + 1):
+            d = u - off
+            if bilinear:
+                ker = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+            else:
+                ker = ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+            tap_v = tap_v + ker * d_rows[i + off + SMOOTH_HALO]
+        total = total + w * in_box * tap_v
+        wsum = wsum + w * in_box
+    return total / jnp.where(wsum > 0.0, wsum, 1.0)
 
 
 #: group width of the two-level transfer-function lookup (see lut_groups)
@@ -267,7 +404,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0, density_override=None):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -288,6 +425,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             out_ref, slice_row=slice_row, bilinear=bilinear,
             early_alpha=early_alpha, threshold=threshold, precision=precision,
             win_rows=win_rows, coloring=coloring, ahead=ahead,
+            density_override=density_override,
         )
     else:
         occupied = _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc)
@@ -299,11 +437,11 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
                 out_ref, slice_row=slice_row, bilinear=bilinear,
                 early_alpha=early_alpha, threshold=threshold,
                 precision=precision, win_rows=win_rows, coloring=coloring,
-                ahead=ahead,
+                ahead=ahead, density_override=density_override,
             )
 
 
-def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None):
+def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
 
@@ -324,14 +462,19 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     # nearest/box, importance.rs:122-131).
     # fast_math v2: the density contraction stays EXACT (HIGHEST) so the
     # threshold mask never flips; only the auxiliary grids (shading
-    # gradient field, importance) run at the reduced precision
-    grids = [
-        (
-            lambda w=None: slice_ref[slice_row] if w is None else slice_ref[slice_row, w, :],
-            vol_hat,
-            jax.lax.Precision.HIGHEST,
+    # gradient field, importance) run at the reduced precision.  With a
+    # density_override (Gaussian smoothing precomputed the rows) the
+    # density grid drops out entirely.
+    grids = []
+    if density_override is None:
+        grids.append(
+            (
+                lambda w=None: slice_ref[slice_row] if w is None else slice_ref[slice_row, w, :],
+                vol_hat,
+                jax.lax.Precision.HIGHEST,
+            )
         )
-    ]
+    grad_base = len(grids)
     if grad_ref is not None:
         for ch in range(3):
             grids.append(
@@ -361,7 +504,9 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     # is STATIC (host-side, per camera — see :func:`window_rows`); only its
     # start is dynamic per (chunk, slab).  A lax.cond between sizes would
     # execute both branches under Mosaic's predication and save nothing.
-    if win_rows:
+    if not grids:
+        colvals = None
+    elif win_rows:
         r0 = _window_start(feat, t, rows_c, nr, win_rows)
         idx = y_iota(win_rows) + r0.astype(jnp.float32)
         w = pl.ds(r0, win_rows)
@@ -387,7 +532,10 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         )
 
     hat_x = vol_hat(cols_c, y_iota(nc))  # (NC, R)
-    density = jnp.sum(colvals[0] * hat_x, axis=0, keepdims=True)
+    if density_override is None:
+        density = jnp.sum(colvals[0] * hat_x, axis=0, keepdims=True)
+    else:
+        density = density_override
 
     imp = (
         jnp.sum(colvals[colvals.shape[0] - 1] * boxk(cols_c, y_iota(nc)), axis=0, keepdims=True)
@@ -413,9 +561,9 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         # eye == -ray_dir exactly, so the half vector is a per-ray feature
         from volym_tpu.render.shading import AMBIENT, DIFFUSE, SHININESS, SPECULAR
 
-        gx = jnp.sum(colvals[1] * hat_x, axis=0, keepdims=True)
-        gy = jnp.sum(colvals[2] * hat_x, axis=0, keepdims=True)
-        gz = jnp.sum(colvals[3] * hat_x, axis=0, keepdims=True)
+        gx = jnp.sum(colvals[grad_base + 0] * hat_x, axis=0, keepdims=True)
+        gy = jnp.sum(colvals[grad_base + 1] * hat_x, axis=0, keepdims=True)
+        gz = jnp.sum(colvals[grad_base + 2] * hat_x, axis=0, keepdims=True)
         sq = gx * gx + gy * gy + gz * gz
         nonzero = sq > 0.0
         inv_norm = jax.lax.rsqrt(jnp.where(nonzero, sq, 1.0))
@@ -520,10 +668,15 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     coloring = params.use_importance_coloring
     lookahead = ahead is not None
     shading = params.use_shading
-    occupancy = nr % OCC_BLOCK == 0 and nc % OCC_BLOCK == 0
-    # the gradient block is 3x the slice size; cap the batch so the
-    # double-buffered blocks fit VMEM when shading
-    sb = 2 if shading else SLAB_BATCH
+    smoothing = params.use_gaussian_smoothing
+    # smoothing raises values across slabs, so the raw-density occupancy
+    # mask is not a sound skip condition for it
+    occupancy = (
+        nr % OCC_BLOCK == 0 and nc % OCC_BLOCK == 0 and not smoothing
+    )
+    # the gradient block is 3x the slice size (and smoothing streams 3
+    # slice blocks); cap the batch so the double-buffered blocks fit VMEM
+    sb = 2 if shading else (4 if smoothing else SLAB_BATCH)
     if n_slabs % sb:
         sb = 1
     n_blocks = n_slabs // sb
@@ -543,6 +696,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         march_sign=sign,
         occupancy=occupancy,
         lookahead=lookahead,
+        smoothing=smoothing,
     )
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_blocks - 1 - j, 0, 0)
@@ -553,6 +707,25 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         slice_spec,
     ]
     inputs = [feats, vol_perm]
+    if smoothing:
+        # previous / next MARCH blocks (clamped at the sweep ends) for the
+        # slab-axis smoothing stencil's halo rows
+        if sign > 0:
+            prev_index = lambda c, j: (jnp.maximum(j - 1, 0), 0, 0)
+            next_index = lambda c, j: (jnp.minimum(j + 1, n_blocks - 1), 0, 0)
+        else:
+            prev_index = lambda c, j: (n_blocks - 1 - jnp.maximum(j - 1, 0), 0, 0)
+            next_index = lambda c, j: (
+                n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
+            )
+        in_specs.append(
+            pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), prev_index)
+        )
+        inputs.append(vol_perm)
+        in_specs.append(
+            pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), next_index)
+        )
+        inputs.append(vol_perm)
     if occupancy:
         occ = occupancy_grid(vol_perm, params.density_threshold)
         in_specs.append(
@@ -883,11 +1056,8 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
     """Pallas slab-marching render -> (H, W, 4).
 
     Importance-driven look-ahead (straight and cone) runs via the reverse
-    pre-pass (:mod:`volym_tpu.ops.lookahead_kernel`)."""
-    if params.use_gaussian_smoothing:
-        raise NotImplementedError(
-            "slab kernel has no Gaussian smoothing; use golden/fast for it"
-        )
+    pre-pass (:mod:`volym_tpu.ops.lookahead_kernel`); Gaussian smoothing
+    via the batch-amortised slab-axis stencil (see _march_kernel)."""
     if not params.use_opacity:
         raise NotImplementedError(
             "slab kernels always alpha-composite; first-hit (use_opacity="

@@ -239,6 +239,87 @@ def lookahead_bits(
     return ahead
 
 
+#: slab-axis stencil half-width for resampled Gaussian taps: |u| =
+#: 0.01 / dt <= 0.01 * 256 = 2.56 slabs, hat support +-1 -> 3
+SMOOTH_HALO = 3
+
+
+def smoothed_densities(vol_perm, origin, dirs, major: int, sign: int, params):
+    """(n_slabs, R) Gaussian-smoothed density at every march step.
+
+    The reference smooths along the ray with 5 taps at t-offsets
+    i*0.005, i in [-2, 2] (``wgsl:44-75``), masked to in-box positions and
+    renormalised.  Slab-native formulation: a tap at t_j + delta lies on
+    the ray between slab crossings, and the tap's offset in march-index
+    units ``u = delta / dt`` is per-ray CONSTANT — so each tap is a 1D
+    hat (trilinear) or box (nearest) combination of the march's own
+    plain density rows, and smoothing becomes a 7-row stencil over
+    D(j-3..j+3) instead of new 3D samples.  (The between-crossing lerp
+    linearises the field along the ray — the same discretisation order
+    as the march itself; the t-step golden keeps the exact 3D taps.)
+    """
+    import math as _math
+
+    from volym_tpu.render.golden import (
+        GAUSSIAN_KERNEL_SIZE,
+        GAUSSIAN_SIGMA,
+        GAUSSIAN_STEP,
+    )
+
+    n_slabs, n_rows, n_cols = vol_perm.shape
+    _, row_comp, col_comp = _AXIS_LAYOUT[major]
+    o_m, d_m = origin[major], dirs[:, major]
+    safe_dm = jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
+    dt = (1.0 / n_slabs) * sign / safe_dm  # signed t per march step (>0 ok)
+
+    ks = jnp.arange(n_slabs, dtype=jnp.float32)
+    if sign < 0:
+        ks = ks[::-1]
+    vol_march = vol_perm[ks.astype(jnp.int32)]
+    z_m = (ks + 0.5) / n_slabs
+    t_m = (z_m[:, None] - o_m) / safe_dm  # (M, R)
+    rows_all = (origin[row_comp] + t_m * dirs[:, row_comp]) * n_rows - 0.5
+    cols_all = (origin[col_comp] + t_m * dirs[:, col_comp]) * n_cols - 0.5
+    # per-march-step coordinate slopes (affine in the march index)
+    slope_r = dt * dirs[:, row_comp] * n_rows  # (R,)
+    slope_c = dt * dirs[:, col_comp] * n_cols
+
+    bilinear = params.interpolation == Interpolation.TRILINEAR
+    sample2d = _bilinear_slice if bilinear else _nearest_slice
+    d_all = jax.vmap(sample2d)(
+        vol_march,
+        jnp.clip(rows_all, 0.0, n_rows - 1.0),
+        jnp.clip(cols_all, 0.0, n_cols - 1.0),
+    )  # (M, R) plain densities
+
+    m_idx = jnp.arange(n_slabs)
+    total = jnp.zeros_like(d_all)
+    wsum = jnp.zeros_like(d_all)
+    for i in range(-GAUSSIAN_KERNEL_SIZE, GAUSSIAN_KERNEL_SIZE + 1):
+        delta = i * GAUSSIAN_STEP
+        w = _math.exp(-(delta * delta) / (2.0 * GAUSSIAN_SIGMA * GAUSSIAN_SIGMA))
+        u = delta / dt  # (R,) march-index offset, per-ray constant
+        row_tap = rows_all + u[None, :] * slope_r[None, :]
+        col_tap = cols_all + u[None, :] * slope_c[None, :]
+        slab_tap = m_idx[:, None].astype(jnp.float32) + u[None, :]
+        in_box = (
+            (row_tap >= -0.5) & (row_tap <= n_rows - 0.5)
+            & (col_tap >= -0.5) & (col_tap <= n_cols - 0.5)
+            & (slab_tap >= -0.5) & (slab_tap <= n_slabs - 0.5)
+        )
+        tap = jnp.zeros_like(d_all)
+        for o in range(-SMOOTH_HALO, SMOOTH_HALO + 1):
+            if bilinear:
+                ker = jnp.maximum(0.0, 1.0 - jnp.abs(u - o))  # (R,)
+            else:
+                ker = ((u - o >= -0.5) & (u - o < 0.5)).astype(jnp.float32)
+            d_sh = d_all[jnp.clip(m_idx + o, 0, n_slabs - 1)]
+            tap = tap + ker[None, :] * d_sh
+        total = total + w * in_box * tap
+        wsum = wsum + w * in_box
+    return total / jnp.where(wsum > 0.0, wsum, 1.0)
+
+
 def march_slabs(
     vol_perm,
     imp_perm,
@@ -285,6 +366,11 @@ def march_slabs(
     else:
         ahead_bits = jnp.zeros((n_slabs, dirs.shape[0]), bool)
 
+    if params.use_gaussian_smoothing:
+        smooth_all = smoothed_densities(vol_perm, origin, dirs, major, sign, params)
+    else:
+        smooth_all = jnp.zeros((n_slabs, 1), jnp.float32)  # unused dummy
+
     sample2d = (
         _bilinear_slice
         if params.interpolation == Interpolation.TRILINEAR
@@ -311,7 +397,7 @@ def march_slabs(
         return jnp.where(nonzero, shaded, rgb)
 
     def body(carry, x):
-        k, ahead_k = x
+        k, ahead_k, smooth_k = x
         acc_c, acc_a = carry
         z_plane = (k + 0.5) / n_slabs
         t = (z_plane - o_m) / d_m  # (R,)
@@ -321,7 +407,10 @@ def march_slabs(
         rows_c = (o_r + t * d_r) * n_rows - 0.5
         cols_c = (o_c + t * d_c) * n_cols - 0.5
         sl = jax.lax.dynamic_index_in_dim(vol_perm, k.astype(jnp.int32), keepdims=False)
-        density = sample2d(sl, rows_c, cols_c)
+        if params.use_gaussian_smoothing:
+            density = smooth_k  # precomputed slab-stencil Gaussian taps
+        else:
+            density = sample2d(sl, rows_c, cols_c)
 
         dense = density >= params.density_threshold
         if lookahead:
@@ -361,7 +450,7 @@ def march_slabs(
 
     r = dirs.shape[0]
     init = (jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.float32))
-    (acc_c, acc_a), _ = jax.lax.scan(body, init, (ks, ahead_bits))
+    (acc_c, acc_a), _ = jax.lax.scan(body, init, (ks, ahead_bits, smooth_all))
     return jnp.concatenate([acc_c, acc_a[:, None]], axis=-1)
 
 
@@ -560,13 +649,9 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
 
     Shading uses the precomputed :func:`gradient_volume` estimator.
     Importance-driven look-ahead (straight and cone) uses the slab-native
-    continuum formulation (:func:`lookahead_bits`).  Gaussian smoothing
-    (a t-parameterised construct) raises; use the t-step renderers.
+    continuum formulation (:func:`lookahead_bits`); Gaussian smoothing
+    uses the slab-stencil resampling (:func:`smoothed_densities`).
     """
-    if params.use_gaussian_smoothing:
-        raise NotImplementedError(
-            "slab mode has no Gaussian smoothing; use golden/fast for it"
-        )
     if not params.use_opacity:
         raise NotImplementedError(
             "slab mode always alpha-composites; the first-hit (use_opacity="
