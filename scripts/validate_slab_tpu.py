@@ -141,6 +141,26 @@ def main() -> int:
         if rel > 1e-2 or not np.isfinite(b).all():
             failures.append(f"bwd {name}")
 
+    # coloring-mode gradients: d_importance vs the jnp replay VJP
+    p_col = params.replace(use_importance_coloring=True)
+    imp_field = jnp2.asarray((np.asarray(scene.volume) > 0.3) * 0.8, jnp2.float32)
+    col_scene = Scene(volume=scene.volume, importance=imp_field, tf_lut=scene.tf_lut)
+
+    def loss_col(render_fn, imp):
+        img = render_fn(
+            Scene(scene.volume, imp, scene.tf_lut), m, p_col, 32, 32
+        )
+        return jnp.sum(img * w)
+
+    gi_jnp = jax.grad(lambda i: loss_col(slab.render_diff, i))(imp_field)
+    gi_pal = jax.grad(lambda i: loss_col(slab_kernel.render_diff, i))(imp_field)
+    a, bb = np.asarray(gi_jnp), np.asarray(gi_pal)
+    scale = max(np.abs(a).max(), 1e-9)
+    rel = np.abs(a - bb).max() / scale
+    print(f"bwd coloring d_importance: relerr {rel:.2e} (scale {scale:.2e})")
+    if rel > 1e-2 or not np.isfinite(bb).all():
+        failures.append("bwd coloring d_importance")
+
     # camera cotangents: grads w.r.t. camera matrices through the Pallas
     # path vs the jnp replay VJP
     major, sign = slab.dominant_axis(m)

@@ -344,3 +344,54 @@ def test_backward_kernels_match_autodiff(scene, cam):
             b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
         )
     assert np.abs(np.asarray(ga_vol)).max() > 0
+
+
+def test_coloring_backward_matches_autodiff(scene, cam):
+    """Pallas coloring replay: d_importance (+ zero d_vol) vs autodiff of
+    the jnp slab golden."""
+    from volym_tpu.render import rays as rays_mod
+
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    p = PARAMS.replace(use_importance_coloring=True)
+    vol_perm = slab.permute_volume(scene.volume, major)
+    # a non-trivial importance field (box-filtered -> piecewise constant)
+    imp = jnp.asarray(
+        (np.asarray(scene.volume) > 0.3).astype(np.float32) * 0.8
+    )
+    imp_perm = slab.permute_volume(imp, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.07
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(
+            p, sign, vol_perm, scene.tf_lut, feats, imp_perm=imp_perm
+        )
+        d_imp, d_feats = slab_bwd_kernel.backward_coloring(
+            p, major, sign, vol_perm, imp_perm, feats, out, wvec
+        )
+
+    order = slab_kernel._tile_order(RES, RES)
+    w_rays = np.asarray(wvec).transpose(0, 2, 1).reshape(-1, 4)[: RES * RES]
+    w_img = w_rays[np.argsort(order)] if order is not None else w_rays
+
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    def loss(vp, ip):
+        img = slab.march_slabs(
+            vp, ip, scene.tf_lut, origin, dirs, entry, exit_, major, sign, p
+        )
+        return jnp.sum(img * jnp.asarray(w_img))
+
+    ga_vol, ga_imp = jax.grad(loss, argnums=(0, 1))(vol_perm, imp_perm)
+    assert np.abs(np.asarray(ga_vol)).max() < 1e-6  # zero a.e. in this mode
+    a, b = np.asarray(ga_imp), np.asarray(d_imp)
+    scale = max(np.abs(a).max(), 1e-6)
+    assert scale > 1e-5
+    np.testing.assert_allclose(b, a, atol=3e-3 * scale, rtol=2e-2)

@@ -107,8 +107,10 @@ def _replay_kernel(
     slab_batch: int = 1,
     march_sign: int = 1,
     occupancy: bool = False,
+    coloring: bool = False,
 ):
     rest = list(rest)
+    imp_ref = rest.pop(0) if coloring else None
     occ_ref = rest.pop(0) if occupancy else None
     lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, dfeat_ref, acc_ref = rest
     jb = pl.program_id(1)
@@ -152,6 +154,7 @@ def _replay_kernel(
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 bilinear=bilinear, early_alpha=early_alpha,
                 threshold=threshold, win_rows=win_rows, occ_ref=occ_ref,
+                imp_ref=imp_ref,
             )
 
 
@@ -159,7 +162,7 @@ def _replay_step(
     feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref,
     dfeat_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
-    occ_ref=None,
+    occ_ref=None, imp_ref=None,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
@@ -171,7 +174,7 @@ def _replay_step(
             feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
             slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
-            threshold=threshold, win_rows=win_rows,
+            threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
         )
         return
 
@@ -185,7 +188,7 @@ def _replay_step(
             feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
             slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
-            threshold=threshold, win_rows=win_rows,
+            threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
         )
 
     @pl.when(jnp.logical_not(occupied))
@@ -199,6 +202,7 @@ def _replay_step_body(
     feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
     dlut_ref, dfeat_ref, acc_ref,
     *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
+    imp_ref=None,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
@@ -219,10 +223,36 @@ def _replay_step_body(
     )
     density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
 
-    b = lut_ref[:]  # grouped LUT (4G, NI) — see slab_kernel.lut_groups
-    n_groups = b.shape[0] // 4
-    rgba, onehot, diff, tri_o, tf_c_raw, ln = fwd_mod._tf_lookup(b, density, rays)
-    tf_in_range = (tf_c_raw > 0.0) & (tf_c_raw < ln - 1.0)  # clip grad mask
+    if imp_ref is not None:
+        # importance-coloring mode: rgba from the (box-filtered) importance
+        # sample; density only gates the threshold mask (zero gradient)
+        bhx = _hat(cols_c, nc, rays, False)
+        if win_rows:
+            bhy = _hat(rows_c, win_rows, rays, False, base=r0)
+            isl = imp_ref[slice_row, pl.ds(r0, win_rows), :]
+        else:
+            bhy = _hat(rows_c, nr, rays, False)
+            isl = imp_ref[slice_row]
+        icolvals = jax.lax.dot_general(
+            isl, bhy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        imp = jnp.sum(icolvals * bhx, axis=0, keepdims=True)  # (1, R)
+        rgba = jnp.concatenate(
+            [
+                jnp.minimum(imp * 1.5, 1.0),
+                (1.0 - imp) * 1.2,
+                jnp.full_like(imp, 0.2),
+                imp,
+            ],
+            axis=0,
+        )
+    else:
+        b = lut_ref[:]  # grouped LUT (4G, NI) — see slab_kernel.lut_groups
+        n_groups = b.shape[0] // 4
+        rgba, onehot, diff, tri_o, tf_c_raw, ln = fwd_mod._tf_lookup(b, density, rays)
+        tf_in_range = (tf_c_raw > 0.0) & (tf_c_raw < ln - 1.0)  # clip grad mask
 
     acc = acc_ref[:]
     acc_a = acc[3:4, :]
@@ -267,38 +297,47 @@ def _replay_step_body(
 
     d_rgba = jnp.concatenate([d_rgb, d_a], axis=0)  # (4, R)
 
-    # grouped-LUT gradient: dB[(ch,g), i] += onehot[g,r] d_rgba[ch,r] tri_o[i,r]
-    # (folded back onto the LUT by fold_lut_groups_grad in backward())
-    p = jnp.concatenate(
-        [onehot * d_rgba[ch : ch + 1, :] for ch in range(4)], axis=0
-    )  # (4G, R)
-    dlut_ref[:] = dlut_ref[:] + jax.lax.dot_general(
-        p, tri_o, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
+    if imp_ref is not None:
+        # importance cotangent: rgba = (min(1.5i, 1), 1.2(1-i), .2, i)
+        dd = (
+            d_rgba[0:1, :] * jnp.where(imp * 1.5 < 1.0, 1.5, 0.0)
+            - d_rgba[1:2, :] * 1.2
+            + d_rgba[3:4, :]
+        )
+        dd_ref[0, dd_row] = dd
+    else:
+        # grouped-LUT gradient: dB[(ch,g), i] += onehot[g,r] d_rgba[ch,r] tri_o[i,r]
+        # (folded back onto the LUT by fold_lut_groups_grad in backward())
+        p = jnp.concatenate(
+            [onehot * d_rgba[ch : ch + 1, :] for ch in range(4)], axis=0
+        )  # (4G, R)
+        dlut_ref[:] = dlut_ref[:] + jax.lax.dot_general(
+            p, tri_o, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
 
-    # density cotangent through the TF hat: d tri/d tf_c = -sign(diff)
-    # where |diff| < 1 (diff is the within-group offset minus the entry
-    # index; d offset/d tf_c = 1)
-    dtri_o = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
-    zd = jax.lax.dot_general(
-        b, dtri_o, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )  # (4G, R)
-    drgba_dc = jnp.concatenate(
-        [
-            jnp.sum(
-                onehot * zd[ch * n_groups : (ch + 1) * n_groups],
-                axis=0,
-                keepdims=True,
-            )
-            for ch in range(4)
-        ],
-        axis=0,
-    )  # (4, R)
-    d_tf_c = jnp.sum(d_rgba * drgba_dc, axis=0, keepdims=True)  # (1, R)
-    dd = d_tf_c * ln * tf_in_range.astype(jnp.float32)
-    dd_ref[0, dd_row] = dd
+        # density cotangent through the TF hat: d tri/d tf_c = -sign(diff)
+        # where |diff| < 1 (diff is the within-group offset minus the entry
+        # index; d offset/d tf_c = 1)
+        dtri_o = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+        zd = jax.lax.dot_general(
+            b, dtri_o, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )  # (4G, R)
+        drgba_dc = jnp.concatenate(
+            [
+                jnp.sum(
+                    onehot * zd[ch * n_groups : (ch + 1) * n_groups],
+                    axis=0,
+                    keepdims=True,
+                )
+                for ch in range(4)
+            ],
+            axis=0,
+        )  # (4, R)
+        d_tf_c = jnp.sum(d_rgba * drgba_dc, axis=0, keepdims=True)  # (1, R)
+        dd = d_tf_c * ln * tf_in_range.astype(jnp.float32)
+        dd_ref[0, dd_row] = dd
 
     # --- camera cotangents: accumulate dL/dfeats rows ------------------
     # density depends on (rows_c, cols_c) through the hats (one extra
@@ -306,7 +345,7 @@ def _replay_step_body(
     # aexp.  t/entry/exit/signok appear only in masks (zero a.e.).  The
     # feats -> camera chain is jnp (_pack_features) and autodiffs outside.
     zero = jnp.zeros_like(dd)
-    if dhat_y is not None:
+    if dhat_y is not None and imp_ref is None:
         from volym_tpu.ops.slab_kernel import F_CB, F_CS, F_RB, F_RS
 
         colvals_dy = jax.lax.dot_general(
@@ -489,3 +528,97 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
     )(feats, d_density)
 
     return d_vol, d_lut, d_feats
+
+
+def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0):
+    """Both backward passes for the importance-coloring mode.
+
+    Returns ``(d_imp_perm, d_feats)``: rgba comes from the box-filtered
+    importance sample, so the cotangent scatters into the IMPORTANCE grid
+    (box hats in pass 2); the volume/LUT gradients are zero a.e. (density
+    only gates the threshold mask).
+    """
+    from volym_tpu.config import Interpolation
+
+    n_chunks = feats.shape[0]
+    n_slabs, nr, nc = vol_perm.shape
+    bilinear = params.interpolation == Interpolation.TRILINEAR
+    sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
+    n_blocks = n_slabs // sb
+    # dummy grouped LUT — the coloring replay never reads it
+    b = jnp.zeros((4 * (256 // fwd_mod.TF_GROUP), fwd_mod.TF_GROUP + 1), jnp.float32)
+
+    slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
+        lambda c, j: (n_blocks - 1 - j, 0, 0)
+    )
+    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+    replay = partial(
+        _replay_kernel,
+        bilinear=bilinear,
+        early_alpha=params.early_termination_alpha,
+        threshold=params.density_threshold,
+        win_rows=win_rows,
+        slab_batch=sb,
+        march_sign=sign,
+        occupancy=occupancy,
+        coloring=True,
+    )
+    in_specs = [
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((sb, nr, nc), slab_index),
+        pl.BlockSpec((sb, nr, nc), slab_index),
+    ]
+    inputs = [feats, vol_perm, imp_perm]
+    if occupancy:
+        occ = fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+        in_specs.append(
+            pl.BlockSpec(
+                (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slab_index
+            )
+        )
+        inputs.append(occ)
+    in_specs += [
+        pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+    ]
+    inputs += [b, fin, g_img]
+    d_imp_steps, _dlut, d_feats = pl.pallas_call(
+        replay,
+        grid=(n_chunks, n_blocks),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
+            pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct(b.shape, jnp.float32),
+            jax.ShapeDtypeStruct(
+                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+    )(*inputs)
+
+    # pass 2 with BOX hats: the importance grid is nearest-filtered
+    vox = partial(
+        _voxel_grad_kernel, bilinear=False, nr=nr, nc=nc,
+        win_rows=win_rows, slab_batch=sb, march_sign=sign,
+    )
+    phys_index = (lambda j, c: (j, 0, 0)) if sign > 0 else (
+        lambda j, c: (n_blocks - 1 - j, 0, 0)
+    )
+    d_imp = pl.pallas_call(
+        vox,
+        grid=(n_blocks, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)),
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((sb, nr, nc), phys_index),
+        out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
+    )(feats, d_imp_steps)
+
+    return d_imp, d_feats

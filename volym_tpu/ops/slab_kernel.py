@@ -791,6 +791,42 @@ def _mp_bwd(params, major, sign, win_rows, res, g):
 march_pallas.defvjp(_mp_fwd, _mp_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, feats):
+    """Differentiable Pallas slab march, importance-coloring mode.
+
+    Gradients w.r.t. the (box-filtered) importance grid and the feats
+    (-> camera); the volume/LUT gradients are zero a.e. (density only
+    gates the threshold mask), matching autodiff of the jnp slab golden.
+    """
+    return _forward_call(
+        params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
+        imp_perm=imp_perm, win_rows=win_rows,
+    )
+
+
+def _mpc_fwd(params, major, sign, win_rows, vol_perm, imp_perm, feats):
+    out = _forward_call(
+        params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
+        imp_perm=imp_perm, win_rows=win_rows,
+    )
+    return out, (vol_perm, imp_perm, feats, out)
+
+
+def _mpc_bwd(params, major, sign, win_rows, res, g):
+    from volym_tpu.ops import slab_bwd_kernel
+
+    vol_perm, imp_perm, feats, out = res
+    d_imp, d_feats = slab_bwd_kernel.backward_coloring(
+        params, major, sign, vol_perm, imp_perm, feats, out, g,
+        win_rows=win_rows,
+    )
+    return jnp.zeros_like(vol_perm), d_imp, d_feats
+
+
+march_pallas_coloring.defvjp(_mpc_fwd, _mpc_bwd)
+
+
 _win_cache: dict = {}
 
 
@@ -1028,18 +1064,28 @@ def _render_pallas_diff_jit(
     feats, miss, r = _chunked_feats(
         camera_matrices, height, width, vol_perm.shape[0], major, sign, layout
     )
-    out = march_pallas(params, major, sign, win_rows, vol_perm, scene.tf_lut, feats)
+    if params.use_importance_coloring:
+        imp_perm = slab_mod.permute_volume(scene.importance, major)
+        out = march_pallas_coloring(
+            params, major, sign, win_rows, vol_perm, imp_perm, feats
+        )
+    else:
+        out = march_pallas(
+            params, major, sign, win_rows, vol_perm, scene.tf_lut, feats
+        )
     return _assemble(out, miss, r, height, width)
 
 
 def render_diff(scene, camera_matrices, params: RenderParams, height: int, width: int):
     """Differentiable Pallas slab render: Pallas forward AND backward.
 
-    dL/dvolume and dL/dTF only (camera grads: use the jnp slab path)."""
+    Gradients w.r.t. the volume, TF LUT, camera matrices, and (in the
+    importance-coloring mode) the importance grid."""
     if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
-        raise NotImplementedError("slab kernel v1: base rendering only")
-    if params.use_importance_coloring:
-        raise NotImplementedError("slab kernel v1: importance coloring not yet wired")
+        raise NotImplementedError(
+            "differentiable slab kernel: base and coloring modes "
+            "(look-ahead/smoothing/shading are forward-only)"
+        )
     if not params.use_opacity:
         raise NotImplementedError(
             "slab kernels always alpha-composite; first-hit (use_opacity="
