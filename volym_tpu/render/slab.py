@@ -23,9 +23,12 @@ This file is the jnp *golden* implementation of the slab semantics
 Pallas kernel is validated against, and the CPU reference required by
 BASELINE.json for the production fast path.
 
-Limitations (v1, by construction): rays whose dominant-axis direction
+Limitations (by construction): rays whose dominant-axis direction
 component opposes the camera forward axis (possible at extreme fov) are
-rendered empty; importance look-ahead modes fall back to the t-step path.
+rendered empty.  All reference render modes (coloring, shading, Gaussian
+smoothing, importance look-ahead) run slab-natively — see
+:func:`lookahead_bits` and :func:`smoothed_densities` for the two
+t-parameterised constructs' slab formulations.
 """
 
 from __future__ import annotations
@@ -464,7 +467,7 @@ def march_slabs(
 # ----------------------------------------------------------------------
 
 
-def _slab_step_f(params, major, n_slabs, slab_idx_f, sl, isl, lut, origin, dirs):
+def _slab_step_f(params, major, n_slabs, slab_idx_f, sl, isl, lut, origin, dirs, gsl=None):
     """Differentiable per-slab quantities: (rgb, alpha), aux density."""
     _, row_comp, col_comp = _AXIS_LAYOUT[major]
     n_rows, n_cols = sl.shape
@@ -487,9 +490,35 @@ def _slab_step_f(params, major, n_slabs, slab_idx_f, sl, isl, lut, origin, dirs)
         color_alpha = importance_to_color(imp)
     else:
         color_alpha = lut_sample(lut, density)
+    rgb = color_alpha[..., :3]
+    if params.use_shading:
+        # same Blinn-Phong-from-gradient-field as march_slabs._shade;
+        # jax.vjp in the replay machine-derives its backward (incl. the
+        # sampling-position chain)
+        from volym_tpu.render.shading import (
+            AMBIENT, DIFFUSE, LIGHT_DIR, SHININESS, SPECULAR, safe_normalize,
+        )
+
+        light = jnp.asarray(LIGHT_DIR, jnp.float32)
+        light = light / jnp.linalg.norm(light)
+        half = -dirs + light[None, :]
+        half = half / jnp.linalg.norm(half, axis=-1, keepdims=True)
+        g = jnp.stack(
+            [sample2d(gsl[c], rows_c, cols_c) for c in range(3)], axis=-1
+        )
+        n, nonzero = safe_normalize(g)
+        diffuse = jnp.maximum(
+            0.0, jnp.sum(n * light[None, :], axis=-1, keepdims=True)
+        )
+        spec = (
+            jnp.maximum(0.0, jnp.sum(half * n, axis=-1, keepdims=True))
+            ** SHININESS
+        )
+        shaded = rgb * (AMBIENT + DIFFUSE * diffuse) + SPECULAR * spec
+        rgb = jnp.where(nonzero, shaded, rgb)
     aexp = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12) * 100.0
     alpha = 1.0 - jnp.power(1.0 - color_alpha[..., 3], aexp)
-    return (color_alpha[..., :3], alpha), (density, t)
+    return (rgb, alpha), (density, t)
 
 
 def _slab_mask(params, density, t, entry, exit_, sign_ok, acc_a):
@@ -503,23 +532,26 @@ def _slab_mask(params, density, t, entry, exit_, sign_ok, acc_a):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def march_slabs_diff(params, major, sign, vol_perm, imp_perm, lut, origin, dirs, entry, exit_):
+def march_slabs_diff(params, major, sign, vol_perm, imp_perm, lut, origin, dirs, entry, exit_, grad_perm=None):
     """Differentiable slab march -> (R, 4); grads w.r.t. the permuted
-    volume, importance, LUT, and the camera (origin/dirs/entry)."""
+    volume, importance, LUT, the camera (origin/dirs/entry), and — when
+    shading — the precomputed gradient field ``grad_perm``."""
     return march_slabs(
-        vol_perm, imp_perm, lut, origin, dirs, entry, exit_, major, sign, params
+        vol_perm, imp_perm, lut, origin, dirs, entry, exit_, major, sign,
+        params, grad_perm,
     )
 
 
-def _msd_fwd(params, major, sign, vol_perm, imp_perm, lut, origin, dirs, entry, exit_):
+def _msd_fwd(params, major, sign, vol_perm, imp_perm, lut, origin, dirs, entry, exit_, grad_perm=None):
     img = march_slabs(
-        vol_perm, imp_perm, lut, origin, dirs, entry, exit_, major, sign, params
+        vol_perm, imp_perm, lut, origin, dirs, entry, exit_, major, sign,
+        params, grad_perm,
     )
-    return img, (vol_perm, imp_perm, lut, origin, dirs, entry, exit_, img)
+    return img, (vol_perm, imp_perm, lut, origin, dirs, entry, exit_, grad_perm, img)
 
 
 def _msd_bwd(params, major, sign, res, g):
-    vol_perm, imp_perm, lut, origin, dirs, entry, exit_, img = res
+    vol_perm, imp_perm, lut, origin, dirs, entry, exit_, grad_perm, img = res
     g_c, g_a = g[:, :3], g[:, 3]
     fin_c, fin_a = img[:, :3], img[:, 3]
     n_slabs = vol_perm.shape[0]
@@ -531,19 +563,35 @@ def _msd_bwd(params, major, sign, res, g):
         ks = ks[::-1]
 
     def body(carry, k):
-        acc_c, acc_a, dvol, dimp, dlut, dorigin, ddirs = carry
+        acc_c, acc_a, dvol, dimp, dlut, dorigin, ddirs, dgrad = carry
         ki = k.astype(jnp.int32)
         sl = jax.lax.dynamic_index_in_dim(vol_perm, ki, keepdims=False)
         isl = jax.lax.dynamic_index_in_dim(imp_perm, ki, keepdims=False)
 
-        def f(sl_, isl_, lut_, origin_, dirs_):
-            return _slab_step_f(
-                params, major, n_slabs, k, sl_, isl_, lut_, origin_, dirs_
+        if params.use_shading:
+            gsl = jax.lax.dynamic_index_in_dim(
+                grad_perm, ki, axis=1, keepdims=False
             )
 
-        ((rgb, alpha), f_vjp, (density, t)) = jax.vjp(
-            f, sl, isl, lut, origin, dirs, has_aux=True
-        )
+            def f(sl_, isl_, lut_, origin_, dirs_, gsl_):
+                return _slab_step_f(
+                    params, major, n_slabs, k, sl_, isl_, lut_, origin_,
+                    dirs_, gsl_,
+                )
+
+            ((rgb, alpha), f_vjp, (density, t)) = jax.vjp(
+                f, sl, isl, lut, origin, dirs, gsl, has_aux=True
+            )
+        else:
+
+            def f(sl_, isl_, lut_, origin_, dirs_):
+                return _slab_step_f(
+                    params, major, n_slabs, k, sl_, isl_, lut_, origin_, dirs_
+                )
+
+            ((rgb, alpha), f_vjp, (density, t)) = jax.vjp(
+                f, sl, isl, lut, origin, dirs, has_aux=True
+            )
         m = _slab_mask(params, density, t, entry, exit_, sign_ok, acc_a)
         beta = alpha * m
         t_k = 1.0 - acc_a
@@ -562,13 +610,18 @@ def _msd_bwd(params, major, sign, res, g):
         )
         d_alpha = jnp.where(m, d_beta, 0.0)
 
-        d_sl, d_isl, d_lut_g, d_origin_g, d_dirs_g = f_vjp((d_rgb, d_alpha))
+        outs = f_vjp((d_rgb, d_alpha))
+        if params.use_shading:
+            d_sl, d_isl, d_lut_g, d_origin_g, d_dirs_g, d_gsl = outs
+            dgrad = dgrad.at[:, ki].add(d_gsl)
+        else:
+            d_sl, d_isl, d_lut_g, d_origin_g, d_dirs_g = outs
         dvol = dvol.at[ki].add(d_sl)
         dimp = dimp.at[ki].add(d_isl)
         dlut = dlut + d_lut_g
         dorigin = dorigin + d_origin_g
         ddirs = ddirs + d_dirs_g
-        return (new_acc_c, new_acc_a, dvol, dimp, dlut, dorigin, ddirs), None
+        return (new_acc_c, new_acc_a, dvol, dimp, dlut, dorigin, ddirs, dgrad), None
 
     r = dirs.shape[0]
     init = (
@@ -579,9 +632,14 @@ def _msd_bwd(params, major, sign, res, g):
         jnp.zeros_like(lut),
         jnp.zeros_like(origin),
         jnp.zeros_like(dirs),
+        jnp.zeros_like(grad_perm) if params.use_shading else jnp.zeros((0,)),
     )
-    (_, _, dvol, dimp, dlut, dorigin, ddirs), _ = jax.lax.scan(body, init, ks)
-    return (dvol, dimp, dlut, dorigin, ddirs, jnp.zeros_like(entry), jnp.zeros_like(exit_))
+    (_, _, dvol, dimp, dlut, dorigin, ddirs, dgrad), _ = jax.lax.scan(body, init, ks)
+    d_grad_perm = dgrad if params.use_shading else None
+    return (
+        dvol, dimp, dlut, dorigin, ddirs,
+        jnp.zeros_like(entry), jnp.zeros_like(exit_), d_grad_perm,
+    )
 
 
 march_slabs_diff.defvjp(_msd_fwd, _msd_bwd)
@@ -591,12 +649,18 @@ march_slabs_diff.defvjp(_msd_fwd, _msd_bwd)
 def _render_diff_jit(scene, camera_matrices, params, height, width, major, sign):
     vol_perm = permute_volume(scene.volume, major)
     imp_perm = permute_volume(scene.importance, major)
+    # gradient_volume is jnp, so d(grad_perm) chains back to the volume
+    grad_perm = (
+        permute_gradient(gradient_volume(scene.volume), major)
+        if params.use_shading
+        else None
+    )
     origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
     entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
     miss = exit_ <= entry
     img = march_slabs_diff(
         params, major, sign, vol_perm, imp_perm, scene.tf_lut, origin, dirs,
-        entry, jax.lax.stop_gradient(exit_),
+        entry, jax.lax.stop_gradient(exit_), grad_perm,
     )
     miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
     img = jnp.where(miss[:, None], miss_color[None, :], img)
@@ -604,9 +668,12 @@ def _render_diff_jit(scene, camera_matrices, params, height, width, major, sign)
 
 
 def render_diff(scene, camera_matrices, params: RenderParams, height: int, width: int):
-    """Differentiable slab render (custom replay VJP)."""
-    if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
-        raise NotImplementedError("slab mode v1: base/coloring, no shading/smoothing")
+    """Differentiable slab render (custom replay VJP): base, coloring,
+    and shaded modes (look-ahead/smoothing are forward-only)."""
+    if params.use_importance_rendering or params.use_gaussian_smoothing:
+        raise NotImplementedError(
+            "differentiable slab: look-ahead/smoothing are forward-only"
+        )
     if not params.use_opacity:
         raise NotImplementedError(
             "slab mode always alpha-composites; the first-hit (use_opacity="
