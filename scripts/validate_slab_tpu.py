@@ -141,6 +141,28 @@ def main() -> int:
         if rel > 1e-2 or not np.isfinite(b).all():
             failures.append(f"bwd {name}")
 
+    # shaded-mode gradients: Blinn-Phong chain (volume via the gradient
+    # field, LUT, camera half vectors) vs the jnp replay VJP
+    p_sh = params.replace(use_shading=True)
+
+    def loss_sh(render_fn, vol, lut):
+        img = render_fn(Scene(vol, scene.importance, lut), m, p_sh, 32, 32)
+        return jnp.sum(img * w)
+
+    ga_sh = jax.grad(lambda v, l: loss_sh(slab.render_diff, v, l), argnums=(0, 1))(
+        scene.volume, scene.tf_lut
+    )
+    gp_sh = jax.grad(
+        lambda v, l: loss_sh(slab_kernel.render_diff, v, l), argnums=(0, 1)
+    )(scene.volume, scene.tf_lut)
+    for name, a, b in zip(("d_volume", "d_lut"), ga_sh, gp_sh):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        rel = np.abs(a - b).max() / scale
+        print(f"bwd shaded {name}: relerr {rel:.2e}")
+        if rel > 1e-2 or not np.isfinite(b).all():
+            failures.append(f"bwd shaded {name}")
+
     # coloring-mode gradients: d_importance vs the jnp replay VJP
     p_col = params.replace(use_importance_coloring=True)
     imp_field = jnp2.asarray((np.asarray(scene.volume) > 0.3) * 0.8, jnp2.float32)
@@ -166,29 +188,31 @@ def main() -> int:
     major, sign = slab.dominant_axis(m)
     win = slab_kernel.window_rows(m, 32, 32, 32, major, sign)
 
-    def loss_jnp_cam(mm):
-        img = slab._render_diff_jit(scene, mm, params, 32, 32, major, sign)
-        return jnp.sum(img * w)
+    for cam_tag, cam_p in (("", params), ("shaded ", p_sh)):
 
-    def loss_pal_cam(mm):
-        img = slab_kernel._render_pallas_diff_jit(
-            scene, mm, params, 32, 32, major, sign, win
-        )
-        return jnp.sum(img * w)
+        def loss_jnp_cam(mm, cam_p=cam_p):
+            img = slab._render_diff_jit(scene, mm, cam_p, 32, 32, major, sign)
+            return jnp.sum(img * w)
 
-    g_jnp = jax.grad(loss_jnp_cam)(m)
-    g_pal = jax.grad(loss_pal_cam)(m)
-    for name, a, b in zip(
-        ("view", "proj", "ivp", "pos"),
-        jax.tree_util.tree_leaves(g_jnp),
-        jax.tree_util.tree_leaves(g_pal),
-    ):
-        a, b = np.asarray(a), np.asarray(b)
-        scale = max(np.abs(a).max(), 1e-9)
-        rel = np.abs(a - b).max() / scale
-        print(f"bwd camera {name}: relerr {rel:.2e} (scale {scale:.2e})")
-        if scale > 1e-9 and (rel > 2e-2 or not np.isfinite(b).all()):
-            failures.append(f"bwd camera {name}")
+        def loss_pal_cam(mm, cam_p=cam_p):
+            img = slab_kernel._render_pallas_diff_jit(
+                scene, mm, cam_p, 32, 32, major, sign, win
+            )
+            return jnp.sum(img * w)
+
+        g_jnp = jax.grad(loss_jnp_cam)(m)
+        g_pal = jax.grad(loss_pal_cam)(m)
+        for name, a, b in zip(
+            ("view", "proj", "ivp", "pos"),
+            jax.tree_util.tree_leaves(g_jnp),
+            jax.tree_util.tree_leaves(g_pal),
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-9)
+            rel = np.abs(a - b).max() / scale
+            print(f"bwd {cam_tag}camera {name}: relerr {rel:.2e} (scale {scale:.2e})")
+            if scale > 1e-9 and (rel > 2e-2 or not np.isfinite(b).all()):
+                failures.append(f"bwd {cam_tag}camera {name}")
 
     # windowed backward on the big scene at 128^2 (d=1.2: window_rows=56)
     mw = Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0).matrices()

@@ -110,13 +110,15 @@ def test_sharded_slab_pallas_plumbing_matches(scene, cam):
 
 
 @pytest.mark.parametrize("backend", ["slab", "slab_pallas"])
-def test_train_step_slab_backends(scene, cam, backend):
-    """Sharded slab train step: grads equal the unsharded slab replay."""
+@pytest.mark.parametrize("shading", [False, True])
+def test_train_step_slab_backends(scene, cam, backend, shading):
+    """Sharded slab train step: grads equal the unsharded slab replay
+    (base and Blinn-Phong-shaded modes)."""
     from volym_tpu.render import slab
 
     m = cam.matrices()
     mesh = pmesh.make_mesh()
-    fixed = PARAMS.replace(adaptive_stepping=False, use_shading=False)
+    fixed = PARAMS.replace(adaptive_stepping=False, use_shading=shading)
     target = jnp.asarray(slab.render(scene, m, fixed, RES, RES)) * 0.8
 
     step = pmesh.make_train_step(

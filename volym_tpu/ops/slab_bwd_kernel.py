@@ -49,6 +49,9 @@ from volym_tpu.ops.slab_kernel import (
     F_CS,
     F_ENTRY,
     F_EXIT,
+    F_HX,
+    F_HY,
+    F_HZ,
     F_RB,
     F_RS,
     F_SIGNOK,
@@ -98,7 +101,8 @@ def _dhat(coords, n, rays, bilinear, base=None):
 def _replay_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC)
-    *rest,      # [occ_ref if occupancy] lut_ref(B), fin_ref, gimg_ref,
+    *rest,      # [imp_ref if coloring] [occ_ref if occupancy]
+                # [grad_ref if shading] lut_ref(B), fin_ref, gimg_ref,
                 # dd_ref, dlut_ref, acc_ref (scratch)
     bilinear: bool,
     early_alpha: float,
@@ -108,10 +112,12 @@ def _replay_kernel(
     march_sign: int = 1,
     occupancy: bool = False,
     coloring: bool = False,
+    shading: bool = False,
 ):
     rest = list(rest)
     imp_ref = rest.pop(0) if coloring else None
     occ_ref = rest.pop(0) if occupancy else None
+    grad_ref = rest.pop(0) if shading else None
     lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, dfeat_ref, acc_ref = rest
     jb = pl.program_id(1)
 
@@ -154,7 +160,7 @@ def _replay_kernel(
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 bilinear=bilinear, early_alpha=early_alpha,
                 threshold=threshold, win_rows=win_rows, occ_ref=occ_ref,
-                imp_ref=imp_ref,
+                imp_ref=imp_ref, grad_ref=grad_ref,
             )
 
 
@@ -162,7 +168,7 @@ def _replay_step(
     feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref,
     dfeat_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
-    occ_ref=None, imp_ref=None,
+    occ_ref=None, imp_ref=None, grad_ref=None,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
@@ -175,6 +181,7 @@ def _replay_step(
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
             slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
+            grad_ref=grad_ref,
         )
         return
 
@@ -189,6 +196,7 @@ def _replay_step(
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
             slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
+            grad_ref=grad_ref,
         )
 
     @pl.when(jnp.logical_not(occupied))
@@ -202,7 +210,7 @@ def _replay_step_body(
     feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
     dlut_ref, dfeat_ref, acc_ref,
     *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
-    imp_ref=None,
+    imp_ref=None, grad_ref=None,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
@@ -222,6 +230,29 @@ def _replay_step_body(
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
+
+    if grad_ref is not None:
+        # shaded replay: re-sample the precomputed gradient field with the
+        # same hats (forward: slab_kernel._march_step_body shading branch)
+        g_colvals = []
+        g_samp = []
+        for ch in range(3):
+            if win_rows:
+                gsl = grad_ref[ch, slice_row, pl.ds(r0, win_rows), :]
+            else:
+                gsl = grad_ref[ch, slice_row]
+            cv = jax.lax.dot_general(
+                gsl, hat_y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            g_colvals.append(cv)
+            g_samp.append(jnp.sum(cv * hat_x, axis=0, keepdims=True))
+        gx, gy, gz = g_samp
+        g_sq = gx * gx + gy * gy + gz * gz
+        g_nonzero = g_sq > 0.0
+        inv_norm = jax.lax.rsqrt(jnp.where(g_nonzero, g_sq, 1.0))
+        n_x, n_y, n_z = gx * inv_norm, gy * inv_norm, gz * inv_norm
 
     if imp_ref is not None:
         # importance-coloring mode: rgba from the (box-filtered) importance
@@ -254,6 +285,25 @@ def _replay_step_body(
         rgba, onehot, diff, tri_o, tf_c_raw, ln = fwd_mod._tf_lookup(b, density, rays)
         tf_in_range = (tf_c_raw > 0.0) & (tf_c_raw < ln - 1.0)  # clip grad mask
 
+    rgb_comp = rgba[:3, :]
+    if grad_ref is not None:
+        # Blinn-Phong forward (wgsl:190-211; mirrors the fwd kernel exactly)
+        from volym_tpu.render.shading import AMBIENT, DIFFUSE, SHININESS, SPECULAR
+
+        inv_sqrt3 = 0.57735026
+        s_diff = (n_x + n_y + n_z) * inv_sqrt3
+        diffuse = jnp.maximum(0.0, s_diff)
+        h_x = feat[F_HX : F_HX + 1, :]
+        h_y = feat[F_HY : F_HY + 1, :]
+        h_z = feat[F_HZ : F_HZ + 1, :]
+        hdotn = h_x * n_x + h_y * n_y + h_z * n_z
+        spec_base = jnp.maximum(0.0, hdotn)
+        spec = spec_base ** SHININESS
+        shade_f = AMBIENT + DIFFUSE * diffuse
+        rgb_comp = jnp.where(
+            g_nonzero, rgb_comp * shade_f + SPECULAR * spec, rgb_comp
+        )
+
     acc = acc_ref[:]
     acc_a = acc[3:4, :]
     valid = (
@@ -277,7 +327,7 @@ def _replay_step_body(
     fin = fin_ref[0]
     fin_c, fin_a = fin[:3, :], fin[3:4, :]
 
-    new_acc_c = acc[:3, :] + rgba[:3, :] * w
+    new_acc_c = acc[:3, :] + rgb_comp * w
     new_acc_a = acc_a + w
     acc_ref[:3, :] = new_acc_c
     acc_ref[3:4, :] = new_acc_a
@@ -285,15 +335,46 @@ def _replay_step_body(
     suf_c = fin_c - new_acc_c
     suf_a = fin_a - new_acc_a
 
-    d_rgb = g_c * w  # (3, R)
+    d_rgb = g_c * w  # (3, R) — cotangent on the COMPOSITED rgb
     inv = 1.0 / jnp.maximum(1.0 - beta, _EPS)
     d_beta = (
-        t_k * (jnp.sum(g_c * rgba[:3, :], axis=0, keepdims=True) + g_a)
+        t_k * (jnp.sum(g_c * rgb_comp, axis=0, keepdims=True) + g_a)
         - (jnp.sum(g_c * suf_c, axis=0, keepdims=True) + g_a * suf_a) * inv
     )
     d_alpha = d_beta * mf
     # d alpha / d a = aexp * (1-a)^(aexp-1)
     d_a = d_alpha * aexp * jnp.exp((aexp - 1.0) * log1ma)
+
+    if grad_ref is not None:
+        # chain the shading: rgb_comp = nonzero ? tf_rgb*shade_f + S*spec
+        #                                       : tf_rgb
+        from volym_tpu.render.shading import DIFFUSE, SHININESS, SPECULAR
+
+        nzf = g_nonzero.astype(jnp.float32)
+        d_rgb_tf = d_rgb * jnp.where(g_nonzero, shade_f, 1.0)
+        d_diffuse = (
+            jnp.sum(d_rgb * rgba[:3, :], axis=0, keepdims=True) * DIFFUSE * nzf
+        )
+        d_spec = jnp.sum(d_rgb, axis=0, keepdims=True) * SPECULAR * nzf
+        d_hdotn = jnp.where(
+            hdotn > 0.0,
+            d_spec * SHININESS * spec_base ** (SHININESS - 1.0),
+            0.0,
+        )
+        d_sdiff = jnp.where(s_diff > 0.0, d_diffuse, 0.0)
+        d_nx = d_sdiff * inv_sqrt3 + d_hdotn * h_x
+        d_ny = d_sdiff * inv_sqrt3 + d_hdotn * h_y
+        d_nz = d_sdiff * inv_sqrt3 + d_hdotn * h_z
+        # n = g * rsqrt(|g|^2): dn/dg = inv_norm * (I - n n^T)
+        n_dot_dn = n_x * d_nx + n_y * d_ny + n_z * d_nz
+        d_gx = inv_norm * (d_nx - n_x * n_dot_dn) * nzf
+        d_gy = inv_norm * (d_ny - n_y * n_dot_dn) * nzf
+        d_gz = inv_norm * (d_nz - n_z * n_dot_dn) * nzf
+        # half-vector cotangents (-> camera dirs via _pack_features)
+        d_half_x = d_hdotn * n_x
+        d_half_y = d_hdotn * n_y
+        d_half_z = d_hdotn * n_z
+        d_rgb = d_rgb_tf
 
     d_rgba = jnp.concatenate([d_rgb, d_a], axis=0)  # (4, R)
 
@@ -337,7 +418,12 @@ def _replay_step_body(
         )  # (4, R)
         d_tf_c = jnp.sum(d_rgba * drgba_dc, axis=0, keepdims=True)  # (1, R)
         dd = d_tf_c * ln * tf_in_range.astype(jnp.float32)
-        dd_ref[0, dd_row] = dd
+        if grad_ref is not None:
+            # rows 0..3: density cotangent + the 3 gradient-field channel
+            # cotangents (scattered by _voxel_grad_shaded_kernel)
+            dd_ref[0, dd_row] = jnp.concatenate([dd, d_gx, d_gy, d_gz], axis=0)
+        else:
+            dd_ref[0, dd_row] = dd
 
     # --- camera cotangents: accumulate dL/dfeats rows ------------------
     # density depends on (rows_c, cols_c) through the hats (one extra
@@ -362,10 +448,32 @@ def _replay_step_body(
         cols_in = ((cols_raw > 0.0) & (cols_raw < nc - 1.0)).astype(jnp.float32)
         d_rows = dd * ddens_drows * rows_in
         d_cols = dd * ddens_dcols * cols_in
+        if grad_ref is not None:
+            # the gradient-field samples also ride (rows_c, cols_c): one
+            # extra dhat_y matmul per channel (dhat_x reuses g_colvals)
+            d_gs = (d_gx, d_gy, d_gz)
+            for ch in range(3):
+                if win_rows:
+                    gsl = grad_ref[ch, slice_row, pl.ds(r0, win_rows), :]
+                else:
+                    gsl = grad_ref[ch, slice_row]
+                g_cv_dy = jax.lax.dot_general(
+                    gsl, dhat_y, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                dg_drows = jnp.sum(g_cv_dy * hat_x, axis=0, keepdims=True)
+                dg_dcols = jnp.sum(g_colvals[ch] * dhat_x, axis=0, keepdims=True)
+                d_rows = d_rows + d_gs[ch] * dg_drows * rows_in
+                d_cols = d_cols + d_gs[ch] * dg_dcols * cols_in
     else:
         d_rows = d_cols = zero
     # d alpha / d aexp = -log1ma * exp(aexp * log1ma) = log1ma * (alpha-1)
     d_aexp = d_alpha * log1ma * (alpha - 1.0)
+    if grad_ref is not None:
+        dh_x, dh_y, dh_z = d_half_x, d_half_y, d_half_z
+    else:
+        dh_x = dh_y = dh_z = zero
     delta = jnp.concatenate(
         [
             d_rows * jf, d_rows,          # F_RS, F_RB
@@ -373,7 +481,7 @@ def _replay_step_body(
             zero, zero,                   # F_TS, F_TB (masks only)
             zero, zero,                   # F_ENTRY, F_EXIT
             d_aexp, zero,                 # F_AEXP, F_SIGNOK
-            zero, zero, zero,             # half vector (shading n/a here)
+            dh_x, dh_y, dh_z,             # F_HX..F_HZ (Blinn-Phong half)
             zero, zero, zero,             # F_CD, F_C2, pad
         ],
         axis=0,
@@ -432,6 +540,176 @@ def _voxel_grad_kernel(
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
+
+
+def _voxel_grad_shaded_kernel(
+    feat_ref,   # (1, 16, R)
+    dd_ref,     # (1, sb, 4, R): density + 3 gradient-channel cotangents
+    dvol_ref,   # (sb, NR, NC) out, revisited over chunks
+    dgrad_ref,  # (3, sb, NR, NC) out, revisited over chunks
+    *,
+    bilinear: bool,
+    nr: int,
+    nc: int,
+    win_rows: int = 0,
+    slab_batch: int = 1,
+    march_sign: int = 1,
+):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        dvol_ref[:] = jnp.zeros_like(dvol_ref)
+        dgrad_ref[:] = jnp.zeros_like(dgrad_ref)
+
+    jb = pl.program_id(0)
+    feat = feat_ref[0]
+    rays = feat.shape[-1]
+
+    for i in range(slab_batch):
+        j = jb * slab_batch + i
+        slice_row = i if march_sign > 0 else slab_batch - 1 - i
+        dd4 = dd_ref[0, i]  # (4, R)
+        jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+
+        @pl.when(jnp.any(dd4 != 0.0))
+        def _accumulate(jf=jf, dd4=dd4, slice_row=slice_row):
+            rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+            hat_x = _hat(cols_c, nc, rays, bilinear)
+            if win_rows:
+                r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+                hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
+                w = pl.ds(r0, win_rows)
+            else:
+                hat_y = _hat(rows_c, nr, rays, bilinear)
+                w = slice(None)
+
+            def outer(dd_row):
+                return jax.lax.dot_general(
+                    hat_y, hat_x * dd_row, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            dvol_ref[slice_row, w, :] = dvol_ref[slice_row, w, :] + outer(
+                dd4[0:1]
+            )
+            for ch in range(3):
+                dgrad_ref[ch, slice_row, w, :] = dgrad_ref[
+                    ch, slice_row, w, :
+                ] + outer(dd4[ch + 1 : ch + 2])
+
+
+def backward_shaded(
+    params, major, sign, vol_perm, grad_perm, lut, feats, fin, g_img,
+    win_rows=0,
+):
+    """Both backward passes for the Blinn-Phong-shaded mode.
+
+    Returns ``(d_vol_perm, d_grad_perm, d_lut, d_feats)``: the replay
+    re-samples the precomputed gradient field (``slab.gradient_volume``)
+    with the same hats and chains the shading analytically — the field
+    cotangent scatters back into ``grad_perm`` (-> the volume through the
+    jnp ``gradient_volume`` chain outside), the half-vector cotangent
+    lands in the F_HX..F_HZ feats rows (-> camera dirs).
+    """
+    from volym_tpu.config import Interpolation
+
+    n_chunks = feats.shape[0]
+    n_slabs, nr, nc = vol_perm.shape
+    bilinear = params.interpolation == Interpolation.TRILINEAR
+    # mirror the forward's shading batch: the grad block is 3x a slice
+    sb = 2 if n_slabs % 2 == 0 else 1
+    n_blocks = n_slabs // sb
+    b = fwd_mod.lut_groups(lut)
+
+    slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
+        lambda c, j: (n_blocks - 1 - j, 0, 0)
+    )
+    grad_index = (lambda c, j: (0, j, 0, 0)) if sign > 0 else (
+        lambda c, j: (0, n_blocks - 1 - j, 0, 0)
+    )
+    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+    replay = partial(
+        _replay_kernel,
+        bilinear=bilinear,
+        early_alpha=params.early_termination_alpha,
+        threshold=params.density_threshold,
+        win_rows=win_rows,
+        slab_batch=sb,
+        march_sign=sign,
+        occupancy=occupancy,
+        shading=True,
+    )
+    in_specs = [
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((sb, nr, nc), slab_index),
+    ]
+    inputs = [feats, vol_perm]
+    if occupancy:
+        occ = fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+        in_specs.append(
+            pl.BlockSpec(
+                (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slab_index
+            )
+        )
+        inputs.append(occ)
+    in_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
+    inputs.append(grad_perm)
+    in_specs += [
+        pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+    ]
+    inputs += [b, fin, g_img]
+    dd4, d_lut, d_feats = pl.pallas_call(
+        replay,
+        grid=(n_chunks, n_blocks),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
+            pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, n_slabs, 4, RAYS_PER_CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct(b.shape, jnp.float32),
+            jax.ShapeDtypeStruct(
+                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+    )(*inputs)
+    d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
+
+    vox = partial(
+        _voxel_grad_shaded_kernel, bilinear=bilinear, nr=nr, nc=nc,
+        win_rows=win_rows, slab_batch=sb, march_sign=sign,
+    )
+    phys_index = (lambda j, c: (j, 0, 0)) if sign > 0 else (
+        lambda j, c: (n_blocks - 1 - j, 0, 0)
+    )
+    phys_grad_index = (lambda j, c: (0, j, 0, 0)) if sign > 0 else (
+        lambda j, c: (0, n_blocks - 1 - j, 0, 0)
+    )
+    d_vol, d_grad = pl.pallas_call(
+        vox,
+        grid=(n_blocks, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)),
+            pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((sb, nr, nc), phys_index),
+            pl.BlockSpec((3, sb, nr, nc), phys_grad_index),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32),
+        ],
+    )(feats, dd4)
+
+    return d_vol, d_grad, d_lut, d_feats
 
 
 def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):

@@ -792,6 +792,42 @@ march_pallas.defvjp(_mp_fwd, _mp_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def march_pallas_shaded(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats):
+    """Differentiable Pallas slab march, Blinn-Phong-shaded mode.
+
+    Gradients w.r.t. the permuted volume, the precomputed gradient field
+    (-> the volume again through the jnp :func:`slab.gradient_volume`
+    chain outside), the LUT, and the feats (-> camera, incl. the
+    half-vector rows)."""
+    return _forward_call(
+        params, sign, vol_perm, lut, feats, grad_perm=grad_perm,
+        win_rows=win_rows,
+    )
+
+
+def _mps_fwd(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats):
+    out = _forward_call(
+        params, sign, vol_perm, lut, feats, grad_perm=grad_perm,
+        win_rows=win_rows,
+    )
+    return out, (vol_perm, grad_perm, lut, feats, out)
+
+
+def _mps_bwd(params, major, sign, win_rows, res, g):
+    from volym_tpu.ops import slab_bwd_kernel
+
+    vol_perm, grad_perm, lut, feats, out = res
+    d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
+        params, major, sign, vol_perm, grad_perm, lut, feats, out, g,
+        win_rows=win_rows,
+    )
+    return d_vol, d_grad, d_lut, d_feats
+
+
+march_pallas_shaded.defvjp(_mps_fwd, _mps_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, feats):
     """Differentiable Pallas slab march, importance-coloring mode.
 
@@ -1069,6 +1105,15 @@ def _render_pallas_diff_jit(
         out = march_pallas_coloring(
             params, major, sign, win_rows, vol_perm, imp_perm, feats
         )
+    elif params.use_shading:
+        # gradient_volume is jnp, so d(grad_perm) chains back to the volume
+        grad_perm = slab_mod.permute_gradient(
+            slab_mod.gradient_volume(scene.volume), major
+        )
+        out = march_pallas_shaded(
+            params, major, sign, win_rows, vol_perm, grad_perm,
+            scene.tf_lut, feats,
+        )
     else:
         out = march_pallas(
             params, major, sign, win_rows, vol_perm, scene.tf_lut, feats
@@ -1079,12 +1124,18 @@ def _render_pallas_diff_jit(
 def render_diff(scene, camera_matrices, params: RenderParams, height: int, width: int):
     """Differentiable Pallas slab render: Pallas forward AND backward.
 
-    Gradients w.r.t. the volume, TF LUT, camera matrices, and (in the
-    importance-coloring mode) the importance grid."""
-    if params.use_importance_rendering or params.use_gaussian_smoothing or params.use_shading:
+    Gradients w.r.t. the volume, TF LUT, camera matrices, the importance
+    grid (importance-coloring mode), and — when shading — the Blinn-Phong
+    chain (volume via the gradient field + camera half vectors)."""
+    if params.use_importance_rendering or params.use_gaussian_smoothing:
         raise NotImplementedError(
-            "differentiable slab kernel: base and coloring modes "
-            "(look-ahead/smoothing/shading are forward-only)"
+            "differentiable slab kernel: base, coloring and shaded modes "
+            "(look-ahead/smoothing are forward-only)"
+        )
+    if params.use_importance_coloring and params.use_shading:
+        raise NotImplementedError(
+            "differentiable slab kernel: coloring+shading combined needs "
+            "the jnp slab replay (render.slab.render_diff)"
         )
     if not params.use_opacity:
         raise NotImplementedError(

@@ -93,10 +93,6 @@ def render_sharded(
             raise NotImplementedError(
                 "sharded slab backend always alpha-composites; use backend='ray'"
             )
-        if differentiable and params.use_shading:
-            raise NotImplementedError(
-                "differentiable slab backend: shading not supported"
-            )
         # host-side static choice (camera matrices are host state)
         major, sign = slab_mod.dominant_axis(camera_matrices)
     return _render_sharded_jit(
@@ -148,9 +144,16 @@ def _render_sharded_jit(
                     origin, dirs, entry, exit_, differentiable,
                 )
             elif differentiable:
+                grad_perm = (
+                    slab_mod.permute_gradient(
+                        slab_mod.gradient_volume(scene.volume), major
+                    )
+                    if render_params.use_shading
+                    else None
+                )
                 img = slab_mod.march_slabs_diff(
                     render_params, major, sign, vol_perm, imp_perm, scene.tf_lut,
-                    origin, dirs, entry, jax.lax.stop_gradient(exit_),
+                    origin, dirs, entry, jax.lax.stop_gradient(exit_), grad_perm,
                 )
             else:
                 grad_perm = (
@@ -217,7 +220,17 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
     r = feats.shape[1]
     fc = sk._chunk_flat(feats)
     if differentiable:
-        out = sk.march_pallas(params, major, sign, 0, vol_perm, scene.tf_lut, fc)
+        if params.use_shading:
+            grad_perm = slab_mod.permute_gradient(
+                slab_mod.gradient_volume(scene.volume), major
+            )
+            out = sk.march_pallas_shaded(
+                params, major, sign, 0, vol_perm, grad_perm, scene.tf_lut, fc
+            )
+        else:
+            out = sk.march_pallas(
+                params, major, sign, 0, vol_perm, scene.tf_lut, fc
+            )
     else:
         imp_perm = (
             slab_mod.permute_volume(scene.importance, major)
@@ -267,10 +280,6 @@ def make_train_step(
 
         if camera_matrices is None:
             raise ValueError("slab train-step backends need camera_matrices")
-        if fixed.use_shading:
-            raise NotImplementedError(
-                "differentiable slab backends: shading not supported"
-            )
         major, sign = slab_mod.dominant_axis(camera_matrices)
 
     def per_shard_loss(scene, camera_matrices, ndc, target_rows):
@@ -284,12 +293,19 @@ def make_train_step(
         elif backend in ("slab", "slab_pallas"):
             from volym_tpu.render import slab as slab_mod
 
+            grad_perm = (
+                slab_mod.permute_gradient(
+                    slab_mod.gradient_volume(scene.volume), major
+                )
+                if fixed.use_shading
+                else None
+            )
             img = slab_mod.march_slabs_diff(
                 fixed, major, sign,
                 slab_mod.permute_volume(scene.volume, major),
                 slab_mod.permute_volume(scene.importance, major),
                 scene.tf_lut, origin, dirs, entry,
-                jax.lax.stop_gradient(exit_),
+                jax.lax.stop_gradient(exit_), grad_perm,
             )
         else:
             img = diff.march_fixed(
