@@ -221,8 +221,12 @@ def cmd_fit(args) -> int:
     params = _params(args).replace(adaptive_stepping=False)
     target = golden.render(target_scene, cam.matrices(), params, args.height, args.width)
 
+    # init must clear the hard density threshold or the renderer masks every
+    # sample and the fit has exactly-zero gradients (flat loss forever)
     init = Scene(
-        volume=jnp.full_like(target_scene.volume, 0.1),
+        volume=jnp.full_like(
+            target_scene.volume, max(0.15, params.density_threshold + 0.03)
+        ),
         importance=target_scene.importance,
         tf_lut=target_scene.tf_lut,
     )
@@ -289,11 +293,12 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(
             "--gaussian", action=argparse.BooleanOptionalAction, default=True,
             help="Gaussian-smoothed sampling (reference default ON, "
-            "src/state.rs:46); --no-gaussian for the slab renderers",
+            "src/state.rs:46); forward-only in the slab renderers — "
+            "--no-gaussian for fit/differentiable runs",
         )
         p.add_argument(
             "--no-shading", action="store_true",
-            help="disable Blinn-Phong shading (required for the slab renderers)",
+            help="disable Blinn-Phong shading",
         )
         p.add_argument("--importance", action="store_true")
         p.add_argument("--cone", action="store_true")
