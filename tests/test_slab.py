@@ -2,6 +2,7 @@
 the Pallas kernel in interpreter mode (SURVEY.md section 4 items 1-3)."""
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -498,3 +499,96 @@ def test_slab_render_diff_shading_runs(scene, cam):
     g = jax.grad(loss)(scene.volume)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+@pytest.mark.parametrize("interp", ["trilinear", "nearest"])
+def test_slab_smoothing_vjp_matches_autodiff(scene, cam, interp):
+    """Gaussian-smoothed replay VJP == plain autodiff through march_slabs
+    (density chained through smoothed_densities)."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    from volym_tpu.render import rays as rays_mod
+
+    params = PARAMS.replace(use_gaussian_smoothing=True, interpolation=interp)
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+    wvec = jnp.cos(jnp.arange(RES * RES * 4, dtype=jnp.float32).reshape(-1, 4) * 0.1)
+
+    def loss(fn, vol, lut, o, d):
+        vp = slab.permute_volume(vol, major)
+        ip = slab.permute_volume(scene.importance, major)
+        img = fn(vp, ip, lut, o, d)
+        return jnp.sum(img * wvec)
+
+    auto = lambda vp, ip, l, o, d: slab.march_slabs(
+        vp, ip, l, o, d, entry, exit_, major, sign, params
+    )
+    cust = lambda vp, ip, l, o, d: slab.march_slabs_diff(
+        params, major, sign, vp, ip, l, o, d, entry, exit_
+    )
+    args = (scene.volume, scene.tf_lut, origin, dirs)
+    g_auto = jax.grad(partial(loss, auto), argnums=(0, 1, 2, 3))(*args)
+    g_cust = jax.grad(partial(loss, cust), argnums=(0, 1, 2, 3))(*args)
+    for name, a, b in zip(("volume", "tf_lut", "origin", "dirs"), g_auto, g_cust):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name)
+    assert np.abs(np.asarray(g_auto[0])).max() > 0
+
+
+@pytest.mark.parametrize("cone", [False, True])
+def test_slab_lookahead_vjp_matches_autodiff(cone):
+    """Look-ahead replay VJP == plain autodiff through march_slabs (the
+    gate is comparisons-only, so grads flow through unskipped samples)."""
+    from volym_tpu import Camera
+    from volym_tpu.render import rays as rays_mod
+    from volym_tpu.scene import Scene as S
+
+    side = 16
+    vol = np.full((side, side, side), 0.45, np.float32)
+    imp = np.zeros((side, side, side), np.float32)
+    vol[10:13, 4:12, 4:12] = 0.9
+    imp[10:13, 4:12, 4:12] = 1.0
+    sc = S(
+        volume=jnp.asarray(vol), importance=jnp.asarray(imp),
+        tf_lut=Scene.synthetic("sphere", side=8).tf_lut,
+    )
+    m = Camera(aspect=1.0, distance=1.3).orbit(10.0, 5.0, 0.0).matrices()
+    major, sign = slab.dominant_axis(m)
+    params = PARAMS.replace(
+        use_importance_rendering=True, use_cone_importance_check=cone
+    )
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+    wvec = jnp.cos(jnp.arange(RES * RES * 4, dtype=jnp.float32).reshape(-1, 4) * 0.1)
+
+    vp = slab.permute_volume(sc.volume, major)
+    ip = slab.permute_volume(sc.importance, major)
+    base = slab.march_slabs(
+        vp, ip, sc.tf_lut, origin, dirs, entry, exit_, major, sign,
+        PARAMS,
+    )
+    la = slab.march_slabs(
+        vp, ip, sc.tf_lut, origin, dirs, entry, exit_, major, sign, params
+    )
+    assert np.abs(np.asarray(la) - np.asarray(base)).max() > 0.05, "not engaged"
+
+    def loss(fn, vol, lut):
+        vpp = slab.permute_volume(vol, major)
+        img = fn(vpp, lut)
+        return jnp.sum(img * wvec)
+
+    auto = lambda vpp, l: slab.march_slabs(
+        vpp, ip, l, origin, dirs, entry, exit_, major, sign, params
+    )
+    cust = lambda vpp, l: slab.march_slabs_diff(
+        params, major, sign, vpp, ip, l, origin, dirs, entry, exit_
+    )
+    args = (sc.volume, sc.tf_lut)
+    g_auto = jax.grad(partial(loss, auto), argnums=(0, 1))(*args)
+    g_cust = jax.grad(partial(loss, cust), argnums=(0, 1))(*args)
+    for name, a, b in zip(("volume", "tf_lut"), g_auto, g_cust):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name)
+    assert np.abs(np.asarray(g_auto[0])).max() > 0

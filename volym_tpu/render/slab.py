@@ -467,8 +467,13 @@ def march_slabs(
 # ----------------------------------------------------------------------
 
 
-def _slab_step_f(params, major, n_slabs, slab_idx_f, sl, isl, lut, origin, dirs, gsl=None):
-    """Differentiable per-slab quantities: (rgb, alpha), aux density."""
+def _slab_step_f(params, major, n_slabs, slab_idx_f, sl, isl, lut, origin, dirs, gsl=None, density_override=None):
+    """Differentiable per-slab quantities: (rgb, alpha), aux density.
+
+    ``density_override``: traced Gaussian-smoothed densities for this step
+    (from :func:`smoothed_densities`); the slice sample drops out and the
+    override's cotangent is returned by the surrounding ``jax.vjp``.
+    """
     _, row_comp, col_comp = _AXIS_LAYOUT[major]
     n_rows, n_cols = sl.shape
     o_m, d_m = origin[major], dirs[:, major]
@@ -482,7 +487,10 @@ def _slab_step_f(params, major, n_slabs, slab_idx_f, sl, isl, lut, origin, dirs,
         if params.interpolation == Interpolation.TRILINEAR
         else _nearest_slice
     )
-    density = sample2d(sl, rows_c, cols_c)
+    if density_override is not None:
+        density = density_override
+    else:
+        density = sample2d(sl, rows_c, cols_c)
     if params.use_importance_coloring:
         from volym_tpu.render.golden import importance_to_color
 
@@ -518,7 +526,7 @@ def _slab_step_f(params, major, n_slabs, slab_idx_f, sl, isl, lut, origin, dirs,
         rgb = jnp.where(nonzero, shaded, rgb)
     aexp = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12) * 100.0
     alpha = 1.0 - jnp.power(1.0 - color_alpha[..., 3], aexp)
-    return (rgb, alpha), (density, t)
+    return (rgb, alpha), (density, t, rows_c, cols_c)
 
 
 def _slab_mask(params, density, t, entry, exit_, sign_ok, acc_a):
@@ -535,7 +543,14 @@ def _slab_mask(params, density, t, entry, exit_, sign_ok, acc_a):
 def march_slabs_diff(params, major, sign, vol_perm, imp_perm, lut, origin, dirs, entry, exit_, grad_perm=None):
     """Differentiable slab march -> (R, 4); grads w.r.t. the permuted
     volume, importance, LUT, the camera (origin/dirs/entry), and — when
-    shading — the precomputed gradient field ``grad_perm``."""
+    shading — the precomputed gradient field ``grad_perm``.
+
+    All render modes differentiate: Gaussian smoothing chains through
+    :func:`smoothed_densities` (the replay accumulates the per-step
+    smoothed-density cotangent and pulls it back in one VJP), and the
+    importance look-ahead gate — built purely from comparisons — is a
+    zero-gradient mask a.e., exactly as autodiff of :func:`march_slabs`
+    treats it (straight-through on the skipped samples)."""
     return march_slabs(
         vol_perm, imp_perm, lut, origin, dirs, entry, exit_, major, sign,
         params, grad_perm,
@@ -562,25 +577,72 @@ def _msd_bwd(params, major, sign, res, g):
     if sign < 0:
         ks = ks[::-1]
 
-    def body(carry, k):
-        acc_c, acc_a, dvol, dimp, dlut, dorigin, ddirs, dgrad = carry
+    lookahead = (
+        params.use_importance_rendering and not params.use_importance_coloring
+    )
+    if lookahead:
+        ahead_all = lookahead_bits(
+            imp_perm, origin, dirs, entry, exit_, major, sign,
+            cone=params.use_cone_importance_check,
+        )
+    else:
+        ahead_all = jnp.zeros((n_slabs, 1), bool)
+
+    smoothing = params.use_gaussian_smoothing
+    if smoothing:
+        smooth_all, smooth_vjp = jax.vjp(
+            lambda vp, o, d: smoothed_densities(vp, o, d, major, sign, params),
+            vol_perm, origin, dirs,
+        )
+    else:
+        smooth_all = jnp.zeros((n_slabs, 1), jnp.float32)
+
+    r = dirs.shape[0]
+
+    def body(carry, x):
+        k, ahead_k, smooth_k = x
+        acc_c, acc_a, dvol, dimp, dlut, dorigin, ddirs, dgrad, dsmooth = carry
         ki = k.astype(jnp.int32)
         sl = jax.lax.dynamic_index_in_dim(vol_perm, ki, keepdims=False)
         isl = jax.lax.dynamic_index_in_dim(imp_perm, ki, keepdims=False)
+        ov = smooth_k if smoothing else None
 
         if params.use_shading:
             gsl = jax.lax.dynamic_index_in_dim(
                 grad_perm, ki, axis=1, keepdims=False
             )
+            if smoothing:
 
-            def f(sl_, isl_, lut_, origin_, dirs_, gsl_):
+                def f(sl_, isl_, lut_, origin_, dirs_, gsl_, ov_):
+                    return _slab_step_f(
+                        params, major, n_slabs, k, sl_, isl_, lut_, origin_,
+                        dirs_, gsl_, ov_,
+                    )
+
+                ((rgb, alpha), f_vjp, aux) = jax.vjp(
+                    f, sl, isl, lut, origin, dirs, gsl, ov, has_aux=True
+                )
+            else:
+
+                def f(sl_, isl_, lut_, origin_, dirs_, gsl_):
+                    return _slab_step_f(
+                        params, major, n_slabs, k, sl_, isl_, lut_, origin_,
+                        dirs_, gsl_,
+                    )
+
+                ((rgb, alpha), f_vjp, aux) = jax.vjp(
+                    f, sl, isl, lut, origin, dirs, gsl, has_aux=True
+                )
+        elif smoothing:
+
+            def f(sl_, isl_, lut_, origin_, dirs_, ov_):
                 return _slab_step_f(
                     params, major, n_slabs, k, sl_, isl_, lut_, origin_,
-                    dirs_, gsl_,
+                    dirs_, None, ov_,
                 )
 
-            ((rgb, alpha), f_vjp, (density, t)) = jax.vjp(
-                f, sl, isl, lut, origin, dirs, gsl, has_aux=True
+            ((rgb, alpha), f_vjp, aux) = jax.vjp(
+                f, sl, isl, lut, origin, dirs, ov, has_aux=True
             )
         else:
 
@@ -589,10 +651,16 @@ def _msd_bwd(params, major, sign, res, g):
                     params, major, n_slabs, k, sl_, isl_, lut_, origin_, dirs_
                 )
 
-            ((rgb, alpha), f_vjp, (density, t)) = jax.vjp(
+            ((rgb, alpha), f_vjp, aux) = jax.vjp(
                 f, sl, isl, lut, origin, dirs, has_aux=True
             )
+        density, t, rows_c, cols_c = aux
         m = _slab_mask(params, density, t, entry, exit_, sign_ok, acc_a)
+        if lookahead:
+            # skip-if-important-ahead (march_slabs): pure comparisons,
+            # zero gradient — replicate the forward mask exactly
+            imp_here = _nearest_slice(isl, rows_c, cols_c)
+            m = m & ~((imp_here < IMPORTANCE_OPAQUE) & ahead_k)
         beta = alpha * m
         t_k = 1.0 - acc_a
         w = t_k * beta
@@ -610,20 +678,22 @@ def _msd_bwd(params, major, sign, res, g):
         )
         d_alpha = jnp.where(m, d_beta, 0.0)
 
-        outs = f_vjp((d_rgb, d_alpha))
+        outs = list(f_vjp((d_rgb, d_alpha)))
+        if smoothing:
+            dsmooth = dsmooth.at[ki].add(outs.pop())
         if params.use_shading:
-            d_sl, d_isl, d_lut_g, d_origin_g, d_dirs_g, d_gsl = outs
-            dgrad = dgrad.at[:, ki].add(d_gsl)
-        else:
-            d_sl, d_isl, d_lut_g, d_origin_g, d_dirs_g = outs
+            dgrad = dgrad.at[:, ki].add(outs.pop())
+        d_sl, d_isl, d_lut_g, d_origin_g, d_dirs_g = outs
         dvol = dvol.at[ki].add(d_sl)
         dimp = dimp.at[ki].add(d_isl)
         dlut = dlut + d_lut_g
         dorigin = dorigin + d_origin_g
         ddirs = ddirs + d_dirs_g
-        return (new_acc_c, new_acc_a, dvol, dimp, dlut, dorigin, ddirs, dgrad), None
+        return (
+            new_acc_c, new_acc_a, dvol, dimp, dlut, dorigin, ddirs, dgrad,
+            dsmooth,
+        ), None
 
-    r = dirs.shape[0]
     init = (
         jnp.zeros((r, 3), jnp.float32),
         jnp.zeros((r,), jnp.float32),
@@ -633,8 +703,21 @@ def _msd_bwd(params, major, sign, res, g):
         jnp.zeros_like(origin),
         jnp.zeros_like(dirs),
         jnp.zeros_like(grad_perm) if params.use_shading else jnp.zeros((0,)),
+        jnp.zeros((n_slabs, r), jnp.float32) if smoothing else jnp.zeros((0,)),
     )
-    (_, _, dvol, dimp, dlut, dorigin, ddirs, dgrad), _ = jax.lax.scan(body, init, ks)
+    ahead_xs = ahead_all if lookahead else jnp.zeros((n_slabs, 1), bool)
+    smooth_xs = smooth_all if smoothing else jnp.zeros((n_slabs, 1), jnp.float32)
+    (
+        (_, _, dvol, dimp, dlut, dorigin, ddirs, dgrad, dsmooth), _
+    ) = jax.lax.scan(body, init, (ks, ahead_xs, smooth_xs))
+    if smoothing:
+        # dsmooth is indexed by PHYSICAL slab k (ki scatter); smoothed_
+        # densities returns march order — map back before the pullback
+        ks_int = ks.astype(jnp.int32)
+        dv_s, do_s, dd_s = smooth_vjp(dsmooth[ks_int])
+        dvol = dvol + dv_s
+        dorigin = dorigin + do_s
+        ddirs = ddirs + dd_s
     d_grad_perm = dgrad if params.use_shading else None
     return (
         dvol, dimp, dlut, dorigin, ddirs,
@@ -668,12 +751,10 @@ def _render_diff_jit(scene, camera_matrices, params, height, width, major, sign)
 
 
 def render_diff(scene, camera_matrices, params: RenderParams, height: int, width: int):
-    """Differentiable slab render (custom replay VJP): base, coloring,
-    and shaded modes (look-ahead/smoothing are forward-only)."""
-    if params.use_importance_rendering or params.use_gaussian_smoothing:
-        raise NotImplementedError(
-            "differentiable slab: look-ahead/smoothing are forward-only"
-        )
+    """Differentiable slab render (custom replay VJP): every render mode —
+    base, coloring, shading, Gaussian smoothing (chained through
+    :func:`smoothed_densities`), and importance look-ahead (zero-gradient
+    gate, as autodiff of the forward treats it)."""
     if not params.use_opacity:
         raise NotImplementedError(
             "slab mode always alpha-composites; the first-hit (use_opacity="
