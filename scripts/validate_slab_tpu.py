@@ -183,6 +183,39 @@ def main() -> int:
     if rel > 1e-2 or not np.isfinite(bb).all():
         failures.append("bwd coloring d_importance")
 
+    # look-ahead-gated gradients (straight + cone, base and shaded) vs the
+    # jnp replay VJP — the gate is a zero-gradient mask, so d_volume/d_lut
+    # must match under the same gating
+    for cone in (False, True):
+        for sh in (False, True):
+            p_la = params.replace(
+                use_importance_rendering=True,
+                use_cone_importance_check=cone,
+                use_shading=sh,
+            )
+
+            def loss_la(render_fn, vol, lut, p_la=p_la):
+                img = render_fn(
+                    Scene(vol, la_scene.importance, lut), m_la, p_la, 32, 32
+                )
+                return jnp.sum(img * w)
+
+            ga_la = jax.grad(
+                lambda v, l: loss_la(slab.render_diff, v, l), argnums=(0, 1)
+            )(la_scene.volume, scene.tf_lut)
+            gp_la = jax.grad(
+                lambda v, l: loss_la(slab_kernel.render_diff, v, l),
+                argnums=(0, 1),
+            )(la_scene.volume, scene.tf_lut)
+            for name, a, b in zip(("d_volume", "d_lut"), ga_la, gp_la):
+                a, b = np.asarray(a), np.asarray(b)
+                scale = max(np.abs(a).max(), 1e-9)
+                rel = np.abs(a - b).max() / scale
+                tag = f"bwd lookahead cone={cone} shaded={sh} {name}"
+                print(f"{tag}: relerr {rel:.2e}")
+                if rel > 1e-2 or not np.isfinite(b).all():
+                    failures.append(tag)
+
     # camera cotangents: grads w.r.t. camera matrices through the Pallas
     # path vs the jnp replay VJP
     major, sign = slab.dominant_axis(m)

@@ -507,3 +507,90 @@ def test_coloring_backward_matches_autodiff(scene, cam):
     scale = max(np.abs(a).max(), 1e-6)
     assert scale > 1e-5
     np.testing.assert_allclose(b, a, atol=3e-3 * scale, rtol=2e-2)
+
+
+@pytest.mark.parametrize("shading", [False, True])
+def test_lookahead_backward_matches_autodiff(shading):
+    """Look-ahead-gated Pallas replay (base and shaded): gradients vs
+    autodiff of the jnp slab golden under the same gate."""
+    from volym_tpu.ops import lookahead_kernel
+    from volym_tpu.render import rays as rays_mod
+
+    sc = _lookahead_scene()
+    m = Camera(aspect=1.0, distance=1.3).orbit(10.0, 5.0, 0.0).matrices()
+    p = PARAMS.replace(use_importance_rendering=True, use_shading=shading)
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(sc.volume, major)
+    imp_perm = slab.permute_volume(sc.importance, major)
+    grad_perm = (
+        slab.permute_gradient(slab.gradient_volume(sc.volume), major)
+        if shading
+        else None
+    )
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.1
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+
+    with emulate(slab_kernel, slab_bwd_kernel, lookahead_kernel):
+        ahead = lookahead_kernel.lookahead_call(sign, imp_perm, feats)
+        out = slab_kernel._forward_call(
+            p, sign, vol_perm, sc.tf_lut, feats, imp_perm=imp_perm,
+            grad_perm=grad_perm, ahead=ahead,
+        )
+        if shading:
+            d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
+                p, major, sign, vol_perm, grad_perm, sc.tf_lut, feats, out,
+                wvec, imp_perm=imp_perm, ahead=ahead,
+            )
+        else:
+            d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
+                p, major, sign, vol_perm, sc.tf_lut, feats, out, wvec,
+                imp_perm=imp_perm, ahead=ahead,
+            )
+
+    order = slab_kernel._tile_order(RES, RES)
+    w_rays = np.asarray(wvec).transpose(0, 2, 1).reshape(-1, 4)[: RES * RES]
+    w_img = w_rays[np.argsort(order)] if order is not None else w_rays
+
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    def loss(vp, lut, *gp):
+        img = slab.march_slabs(
+            vp, imp_perm, lut, origin, dirs, entry, exit_, major, sign, p,
+            *gp,
+        )
+        return jnp.sum(img * jnp.asarray(w_img))
+
+    # the gate must actually engage (otherwise this test is the base test)
+    gated = np.asarray(
+        slab.march_slabs(
+            vol_perm, imp_perm, sc.tf_lut, origin, dirs, entry, exit_, major,
+            sign, p, grad_perm,
+        )
+    )
+    ungated = np.asarray(
+        slab.march_slabs(
+            vol_perm, imp_perm, sc.tf_lut, origin, dirs, entry, exit_, major,
+            sign, p.replace(use_importance_rendering=False), grad_perm,
+        )
+    )
+    assert np.abs(gated - ungated).max() > 0.05, "look-ahead not engaged"
+
+    args = (vol_perm, sc.tf_lut) + ((grad_perm,) if shading else ())
+    grads = jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+    ga_vol, ga_lut = grads[0], grads[1]
+    pairs = [("d_vol", ga_vol, d_vol), ("d_lut", ga_lut, d_lut)]
+    if shading:
+        pairs.append(("d_grad", grads[2], d_grad))
+    for name, a, b in pairs:
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
+        )
+    assert np.abs(np.asarray(ga_vol)).max() > 0

@@ -98,12 +98,62 @@ def _dhat(coords, n, rays, bilinear, base=None):
     return jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
 
 
+def _smooth_row_dts(feat, jf, d_rows, i, num_steps, bilinear):
+    """d(smoothed density)/d(F_TS) at sub-step i — the transpose of
+    :func:`slab_kernel._smooth_row`'s dependence on the per-ray tap offset
+    ``u = delta / ts``: the in-box masks and ``wsum`` are indicators (zero
+    gradient a.e.), so only the stencil kernel ``ker(u - off)`` chains,
+    with ``du/dts = -delta / ts**2``.  Box (nearest) kernels have zero
+    derivative -> returns zeros."""
+    import math as _math
+
+    from volym_tpu.render.golden import (
+        GAUSSIAN_KERNEL_SIZE,
+        GAUSSIAN_SIGMA,
+        GAUSSIAN_STEP,
+    )
+
+    ts = feat[F_TS : F_TS + 1, :]
+    if not bilinear:
+        return jnp.zeros_like(ts)
+    rs = feat[F_RS : F_RS + 1, :]
+    cs = feat[F_CS : F_CS + 1, :]
+    rows_raw = rs * jf + feat[F_RB : F_RB + 1, :]
+    cols_raw = cs * jf + feat[F_CB : F_CB + 1, :]
+    n = jnp.float32(num_steps)
+    total = jnp.zeros_like(rows_raw)
+    dtotal_dts = jnp.zeros_like(rows_raw)
+    wsum = jnp.zeros_like(rows_raw)
+    for tap in range(-GAUSSIAN_KERNEL_SIZE, GAUSSIAN_KERNEL_SIZE + 1):
+        delta = tap * GAUSSIAN_STEP
+        w = _math.exp(-(delta * delta) / (2.0 * GAUSSIAN_SIGMA * GAUSSIAN_SIGMA))
+        u = delta / ts
+        rt = rows_raw + u * rs
+        ct = cols_raw + u * cs
+        st = jf + u
+        in_box = (
+            (rt >= -0.5) & (rt <= n - 0.5)
+            & (ct >= -0.5) & (ct <= n - 0.5)
+            & (st >= -0.5) & (st <= n - 0.5)
+        ).astype(jnp.float32)
+        du_dts = -delta / (ts * ts)
+        dtap_du = jnp.zeros_like(rows_raw)
+        for off in range(-fwd_mod.SMOOTH_HALO, fwd_mod.SMOOTH_HALO + 1):
+            d = u - off
+            dker = jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
+            dtap_du = dtap_du + dker * d_rows[i + off + fwd_mod.SMOOTH_HALO]
+        dtotal_dts = dtotal_dts + w * in_box * dtap_du * du_dts
+        wsum = wsum + w * in_box
+    return dtotal_dts / jnp.where(wsum > 0.0, wsum, 1.0)
+
+
 def _replay_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC)
-    *rest,      # [imp_ref if coloring] [occ_ref if occupancy]
-                # [grad_ref if shading] lut_ref(B), fin_ref, gimg_ref,
-                # dd_ref, dlut_ref, acc_ref (scratch)
+    *rest,      # [prev_ref, next_ref if smoothing]
+                # [imp_ref if coloring|lookahead] [occ_ref if occupancy]
+                # [grad_ref if shading] [ahead_ref if lookahead] lut_ref(B),
+                # fin_ref, gimg_ref, dd_ref, dlut_ref, acc_ref (scratch)
     bilinear: bool,
     early_alpha: float,
     threshold: float,
@@ -113,11 +163,17 @@ def _replay_kernel(
     occupancy: bool = False,
     coloring: bool = False,
     shading: bool = False,
+    lookahead: bool = False,
+    smoothing: bool = False,
+    num_steps: int = 0,
 ):
     rest = list(rest)
-    imp_ref = rest.pop(0) if coloring else None
+    prev_ref = rest.pop(0) if smoothing else None
+    next_ref = rest.pop(0) if smoothing else None
+    imp_ref = rest.pop(0) if (coloring or lookahead) else None
     occ_ref = rest.pop(0) if occupancy else None
     grad_ref = rest.pop(0) if shading else None
+    ahead_ref = rest.pop(0) if lookahead else None
     lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, dfeat_ref, acc_ref = rest
     jb = pl.program_id(1)
 
@@ -151,6 +207,57 @@ def _replay_kernel(
 
     @pl.when(chunk_active)
     def _active_block():
+        feat = feat_ref[0]
+        smooth_rows = dts_rows = None
+        if smoothing:
+            # mirror the forward's batch-amortised stencil (_march_kernel):
+            # plain density rows for march offsets [-HALO, sb + HALO) from
+            # the prev/cur/next blocks, then per-sub-step smoothed density
+            # AND its d/dF_TS (the tap offsets u = delta/ts are the only
+            # smooth-weight dependence on the feats that isn't a mask)
+            jbv = pl.program_id(1)
+
+            def local_row(i):
+                return i if march_sign > 0 else slab_batch - 1 - i
+
+            def drow(block_ref, i_local, off):
+                jf = (jbv * slab_batch + off).astype(jnp.float32)
+                return fwd_mod._density_row(
+                    block_ref, local_row(i_local), feat, jf,
+                    bilinear=bilinear, win_rows=win_rows,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            d_cur = [drow(slice_ref, i, i) for i in range(slab_batch)]
+            d_next = []
+            for h in range(fwd_mod.SMOOTH_HALO):
+                off = slab_batch + h
+                jj = jbv * slab_batch + off
+                cand = drow(next_ref, h, off)
+                d_next.append(
+                    jnp.where(jj <= num_steps - 1, cand, d_cur[slab_batch - 1])
+                )
+            d_prev = []
+            for h in range(fwd_mod.SMOOTH_HALO):
+                off = -fwd_mod.SMOOTH_HALO + h
+                jj = jbv * slab_batch + off
+                cand = drow(prev_ref, slab_batch + off, off)
+                d_prev.append(jnp.where(jj >= 0, cand, d_cur[0]))
+            d_rows = d_prev + d_cur + d_next
+            smooth_rows = [
+                fwd_mod._smooth_row(
+                    feat, (jbv * slab_batch + i).astype(jnp.float32), d_rows,
+                    i, num_steps, bilinear,
+                )
+                for i in range(slab_batch)
+            ]
+            dts_rows = [
+                _smooth_row_dts(
+                    feat, (jbv * slab_batch + i).astype(jnp.float32), d_rows,
+                    i, num_steps, bilinear,
+                )
+                for i in range(slab_batch)
+            ]
         for i in range(slab_batch):
             _replay_step(
                 feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
@@ -160,7 +267,10 @@ def _replay_kernel(
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 bilinear=bilinear, early_alpha=early_alpha,
                 threshold=threshold, win_rows=win_rows, occ_ref=occ_ref,
-                imp_ref=imp_ref, grad_ref=grad_ref,
+                imp_ref=imp_ref, grad_ref=grad_ref, coloring=coloring,
+                ahead=ahead_ref[0, i] if lookahead else None,
+                density_override=None if smooth_rows is None else smooth_rows[i],
+                dsmooth_dts=None if dts_rows is None else dts_rows[i],
             )
 
 
@@ -168,7 +278,8 @@ def _replay_step(
     feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref,
     dfeat_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
-    occ_ref=None, imp_ref=None, grad_ref=None,
+    occ_ref=None, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
+    density_override=None, dsmooth_dts=None,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
@@ -181,7 +292,8 @@ def _replay_step(
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
             slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
-            grad_ref=grad_ref,
+            grad_ref=grad_ref, coloring=coloring, ahead=ahead,
+            density_override=density_override, dsmooth_dts=dsmooth_dts,
         )
         return
 
@@ -196,7 +308,8 @@ def _replay_step(
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
             slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
-            grad_ref=grad_ref,
+            grad_ref=grad_ref, coloring=coloring, ahead=ahead,
+            density_override=density_override, dsmooth_dts=dsmooth_dts,
         )
 
     @pl.when(jnp.logical_not(occupied))
@@ -210,7 +323,8 @@ def _replay_step_body(
     feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
     dlut_ref, dfeat_ref, acc_ref,
     *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
-    imp_ref=None, grad_ref=None,
+    imp_ref=None, grad_ref=None, coloring=False, ahead=None,
+    density_override=None, dsmooth_dts=None,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
@@ -225,11 +339,17 @@ def _replay_step_body(
         dhat_y = _dhat(rows_c, nr, rays, bilinear)
         sl = slice_ref[slice_row]
     hat_x = _hat(cols_c, nc, rays, bilinear)
-    colvals = jax.lax.dot_general(
-        sl, hat_y, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
-    density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
+    if density_override is None:
+        colvals = jax.lax.dot_general(
+            sl, hat_y, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
+    else:
+        # Gaussian smoothing: the block pre-computed the smoothed density
+        # (and its d/dF_TS); the plain-row hats chain runs in pass 2b
+        density = density_override
 
     if grad_ref is not None:
         # shaded replay: re-sample the precomputed gradient field with the
@@ -255,8 +375,8 @@ def _replay_step_body(
         n_x, n_y, n_z = gx * inv_norm, gy * inv_norm, gz * inv_norm
 
     if imp_ref is not None:
-        # importance-coloring mode: rgba from the (box-filtered) importance
-        # sample; density only gates the threshold mask (zero gradient)
+        # box-filtered importance sample: the coloring rgba source and/or
+        # the look-ahead gate (both nearest-filtered, importance.rs:122-131)
         bhx = _hat(cols_c, nc, rays, False)
         if win_rows:
             bhy = _hat(rows_c, win_rows, rays, False, base=r0)
@@ -270,6 +390,7 @@ def _replay_step_body(
             precision=jax.lax.Precision.HIGHEST,
         )
         imp = jnp.sum(icolvals * bhx, axis=0, keepdims=True)  # (1, R)
+    if coloring:
         rgba = jnp.concatenate(
             [
                 jnp.minimum(imp * 1.5, 1.0),
@@ -312,6 +433,12 @@ def _replay_step_body(
         & (t < feat[F_EXIT : F_EXIT + 1, :])
     )
     m = valid & (density >= threshold) & (acc_a < early_alpha)
+    if ahead is not None:
+        # skip-if-important-ahead (wgsl:286-296): replicate the forward
+        # gate exactly — pure comparisons, zero gradient
+        from volym_tpu.render.slab import IMPORTANCE_OPAQUE
+
+        m = m & jnp.logical_not((imp < IMPORTANCE_OPAQUE) & (ahead > 0.5))
     mf = m.astype(jnp.float32)
 
     a = rgba[3:4, :]
@@ -378,7 +505,7 @@ def _replay_step_body(
 
     d_rgba = jnp.concatenate([d_rgb, d_a], axis=0)  # (4, R)
 
-    if imp_ref is not None:
+    if coloring:
         # importance cotangent: rgba = (min(1.5i, 1), 1.2(1-i), .2, i)
         dd = (
             d_rgba[0:1, :] * jnp.where(imp * 1.5 < 1.0, 1.5, 0.0)
@@ -431,23 +558,28 @@ def _replay_step_body(
     # aexp.  t/entry/exit/signok appear only in masks (zero a.e.).  The
     # feats -> camera chain is jnp (_pack_features) and autodiffs outside.
     zero = jnp.zeros_like(dd)
-    if dhat_y is not None and imp_ref is None:
+    if dhat_y is not None and not coloring:
         from volym_tpu.ops.slab_kernel import F_CB, F_CS, F_RB, F_RS
 
-        colvals_dy = jax.lax.dot_general(
-            sl, dhat_y, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
         dhat_x = _dhat(cols_c, nc, rays, True)
-        ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
         rows_raw = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]
         cols_raw = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
         rows_in = ((rows_raw > 0.0) & (rows_raw < nr - 1.0)).astype(jnp.float32)
         cols_in = ((cols_raw > 0.0) & (cols_raw < nc - 1.0)).astype(jnp.float32)
-        d_rows = dd * ddens_drows * rows_in
-        d_cols = dd * ddens_dcols * cols_in
+        if density_override is None:
+            colvals_dy = jax.lax.dot_general(
+                sl, dhat_y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
+            ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
+            d_rows = dd * ddens_drows * rows_in
+            d_cols = dd * ddens_dcols * cols_in
+        else:
+            # smoothed density: each plain row's hats chain runs in pass 2b
+            # (the cotangent of plain row k mixes FUTURE steps' dd)
+            d_rows = d_cols = zero
         if grad_ref is not None:
             # the gradient-field samples also ride (rows_c, cols_c): one
             # extra dhat_y matmul per channel (dhat_x reuses g_colvals)
@@ -474,11 +606,16 @@ def _replay_step_body(
         dh_x, dh_y, dh_z = d_half_x, d_half_y, d_half_z
     else:
         dh_x = dh_y = dh_z = zero
+    # F_TS carries the Gaussian-smoothing tap-offset chain (u = delta/ts);
+    # otherwise ts/tb appear only in masks (zero gradient a.e.)
+    d_ts = dd * dsmooth_dts if dsmooth_dts is not None else zero
+    if coloring and dsmooth_dts is not None:
+        d_ts = zero  # coloring ignores density; no TF chain to the taps
     delta = jnp.concatenate(
         [
             d_rows * jf, d_rows,          # F_RS, F_RB
             d_cols * jf, d_cols,          # F_CS, F_CB
-            zero, zero,                   # F_TS, F_TB (masks only)
+            d_ts, zero,                   # F_TS, F_TB
             zero, zero,                   # F_ENTRY, F_EXIT
             d_aexp, zero,                 # F_AEXP, F_SIGNOK
             dh_x, dh_y, dh_z,             # F_HX..F_HZ (Blinn-Phong half)
@@ -602,7 +739,7 @@ def _voxel_grad_shaded_kernel(
 
 def backward_shaded(
     params, major, sign, vol_perm, grad_perm, lut, feats, fin, g_img,
-    win_rows=0,
+    win_rows=0, imp_perm=None, ahead=None,
 ):
     """Both backward passes for the Blinn-Phong-shaded mode.
 
@@ -612,9 +749,11 @@ def backward_shaded(
     cotangent scatters back into ``grad_perm`` (-> the volume through the
     jnp ``gradient_volume`` chain outside), the half-vector cotangent
     lands in the F_HX..F_HZ feats rows (-> camera dirs).
+    ``imp_perm``/``ahead`` enable the look-ahead gate (zero-gradient mask).
     """
     from volym_tpu.config import Interpolation
 
+    lookahead = ahead is not None
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
@@ -640,12 +779,16 @@ def backward_shaded(
         march_sign=sign,
         occupancy=occupancy,
         shading=True,
+        lookahead=lookahead,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         pl.BlockSpec((sb, nr, nc), slab_index),
     ]
     inputs = [feats, vol_perm]
+    if lookahead:
+        in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
+        inputs.append(imp_perm)
     if occupancy:
         occ = fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
         in_specs.append(
@@ -656,6 +799,11 @@ def backward_shaded(
         inputs.append(occ)
     in_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
     inputs.append(grad_perm)
+    if lookahead:
+        in_specs.append(
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0))
+        )
+        inputs.append(ahead)
     in_specs += [
         pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
         pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
@@ -712,7 +860,7 @@ def backward_shaded(
     return d_vol, d_grad, d_lut, d_feats
 
 
-def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
+def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, imp_perm=None, ahead=None):
     """Run both backward passes.
 
     Args:
@@ -720,11 +868,15 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
       fin:   (C, 4, RAYS) forward output (residual).
       g_img: (C, 4, RAYS) upstream cotangent.
       win_rows: static y-window size (0 = full slices).
+      imp_perm/ahead: permuted importance grid + (C, n_slabs, 1, R) ahead
+        bits — enables the importance-driven look-ahead gate in the replay
+        (a zero-gradient mask; both inputs get no cotangent).
     Returns:
-      (d_vol_perm, d_lut).
+      (d_vol_perm, d_lut, d_feats).
     """
     from volym_tpu.config import Interpolation
 
+    lookahead = ahead is not None
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
@@ -745,12 +897,16 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
         slab_batch=sb,
         march_sign=sign,
         occupancy=occupancy,
+        lookahead=lookahead,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         pl.BlockSpec((sb, nr, nc), slab_index),
     ]
     inputs = [feats, vol_perm]
+    if lookahead:
+        in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
+        inputs.append(imp_perm)
     if occupancy:
         occ = fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
         in_specs.append(
@@ -759,6 +915,11 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0):
             )
         )
         inputs.append(occ)
+    if lookahead:
+        in_specs.append(
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0))
+        )
+        inputs.append(ahead)
     in_specs += [
         pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
         pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),

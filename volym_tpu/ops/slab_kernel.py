@@ -792,6 +792,58 @@ march_pallas.defvjp(_mp_fwd, _mp_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def march_pallas_lookahead(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm):
+    """Differentiable Pallas slab march with the importance-driven
+    look-ahead gate (straight or cone — the gate semantics live in the
+    precomputed ``ahead`` bits from
+    :func:`volym_tpu.ops.lookahead_kernel.lookahead_call`), optionally
+    Blinn-Phong shaded (``grad_perm`` non-None).
+
+    The gate is built purely from comparisons, so it is a zero-gradient
+    mask a.e. — exactly how autodiff of the jnp slab golden treats it
+    (``render/slab.py:march_slabs_diff``).  Gradients flow w.r.t. the
+    volume, LUT, feats (-> camera) and the gradient field through the
+    gated samples; the importance grid and the ahead bits get zero
+    cotangents."""
+    return _forward_call(
+        params, sign, vol_perm, lut, feats, imp_perm=imp_perm,
+        grad_perm=grad_perm, win_rows=win_rows, ahead=ahead,
+    )
+
+
+def _mpl_fwd(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm):
+    out = _forward_call(
+        params, sign, vol_perm, lut, feats, imp_perm=imp_perm,
+        grad_perm=grad_perm, win_rows=win_rows, ahead=ahead,
+    )
+    return out, (vol_perm, imp_perm, lut, feats, ahead, grad_perm, out)
+
+
+def _mpl_bwd(params, major, sign, win_rows, res, g):
+    from volym_tpu.ops import slab_bwd_kernel
+
+    vol_perm, imp_perm, lut, feats, ahead, grad_perm, out = res
+    if grad_perm is None:
+        d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
+            params, major, sign, vol_perm, lut, feats, out, g,
+            win_rows=win_rows, imp_perm=imp_perm, ahead=ahead,
+        )
+        d_grad = None
+    else:
+        d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
+            params, major, sign, vol_perm, grad_perm, lut, feats, out, g,
+            win_rows=win_rows, imp_perm=imp_perm, ahead=ahead,
+        )
+    return (
+        d_vol, jnp.zeros_like(imp_perm), d_lut, d_feats,
+        jnp.zeros_like(ahead), d_grad,
+    )
+
+
+march_pallas_lookahead.defvjp(_mpl_fwd, _mpl_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def march_pallas_shaded(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats):
     """Differentiable Pallas slab march, Blinn-Phong-shaded mode.
 
@@ -1100,10 +1152,48 @@ def _render_pallas_diff_jit(
     feats, miss, r = _chunked_feats(
         camera_matrices, height, width, vol_perm.shape[0], major, sign, layout
     )
+    lookahead = (
+        params.use_importance_rendering and not params.use_importance_coloring
+    )
     if params.use_importance_coloring:
         imp_perm = slab_mod.permute_volume(scene.importance, major)
         out = march_pallas_coloring(
             params, major, sign, win_rows, vol_perm, imp_perm, feats
+        )
+    elif lookahead:
+        from volym_tpu.ops import lookahead_kernel
+
+        # the ahead bits are a zero-gradient gate (pure comparisons), so
+        # the pre-pass runs on stop_gradient'ed inputs — no transpose rule
+        # needed for its pallas_call
+        imp_perm = slab_mod.permute_volume(scene.importance, major)
+        sg_feats = jax.lax.stop_gradient(feats)
+        cone_feats = (
+            _chunk_rays(
+                _pack_cone_features(
+                    jax.lax.stop_gradient(camera_matrices), height, width,
+                    vol_perm.shape[0], major, sign, layout,
+                ),
+                height,
+                width,
+            )
+            if params.use_cone_importance_check
+            else None
+        )
+        ahead = lookahead_kernel.lookahead_call(
+            sign, jax.lax.stop_gradient(imp_perm), sg_feats, cone_feats,
+            win_rows,
+        )
+        grad_perm = (
+            slab_mod.permute_gradient(
+                slab_mod.gradient_volume(scene.volume), major
+            )
+            if params.use_shading
+            else None
+        )
+        out = march_pallas_lookahead(
+            params, major, sign, win_rows, vol_perm, imp_perm,
+            scene.tf_lut, feats, ahead, grad_perm,
         )
     elif params.use_shading:
         # gradient_volume is jnp, so d(grad_perm) chains back to the volume
@@ -1126,11 +1216,13 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
 
     Gradients w.r.t. the volume, TF LUT, camera matrices, the importance
     grid (importance-coloring mode), and — when shading — the Blinn-Phong
-    chain (volume via the gradient field + camera half vectors)."""
-    if params.use_importance_rendering or params.use_gaussian_smoothing:
+    chain (volume via the gradient field + camera half vectors).
+    Importance-driven look-ahead (straight + cone) differentiates as a
+    zero-gradient gate, matching the jnp slab replay."""
+    if params.use_gaussian_smoothing:
         raise NotImplementedError(
-            "differentiable slab kernel: base, coloring and shaded modes "
-            "(look-ahead/smoothing are forward-only)"
+            "differentiable slab kernel: Gaussian smoothing is forward-only"
+            " — the jnp slab replay (render.slab.render_diff) smooths"
         )
     if params.use_importance_coloring and params.use_shading:
         raise NotImplementedError(
