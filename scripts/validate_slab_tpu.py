@@ -75,6 +75,25 @@ def main() -> int:
     for interp in ("trilinear", "nearest"):
         p = params.replace(use_gaussian_smoothing=True, interpolation=interp)
         check_fwd(f"fwd gaussian {interp}", scene, m, p, 32)
+    check_fwd(
+        "fwd gaussian+shading", scene, m,
+        params.replace(use_gaussian_smoothing=True, use_shading=True), 32,
+    )
+    # Large-N smoothing: the stencil's tap offsets scale with the slab
+    # count (|u| <= 0.01*N), so only a 256^3 grid exercises the +-2/+-3
+    # halo rows (prev/next-block reads) at all — THE regression check for
+    # the smoothing batch layout
+    big256 = Scene.synthetic("sphere", side=256)
+    m256 = Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0).matrices()
+    check_fwd(
+        "fwd gaussian 256^3 (halo rows)", big256, m256,
+        params.replace(use_gaussian_smoothing=True), 64, frac=2e-3,
+    )
+    check_fwd(
+        "fwd gaussian+shading 256^3", big256, m256,
+        params.replace(use_gaussian_smoothing=True, use_shading=True), 64,
+        frac=2e-3,
+    )
     # smoothing + look-ahead combined runs
     # importance-driven look-ahead (straight + cone) vs the jnp slab golden
     import jax.numpy as jnp2
@@ -183,6 +202,70 @@ def main() -> int:
     if rel > 1e-2 or not np.isfinite(bb).all():
         failures.append("bwd coloring d_importance")
 
+    # Gaussian-smoothed gradients: replay + stencil transpose + pass 2b
+    # (rows/cols chain) vs the jnp replay VJP
+    p_sm = params.replace(use_gaussian_smoothing=True, use_shading=False)
+
+    def loss_sm(render_fn, vol, lut):
+        img = render_fn(Scene(vol, scene.importance, lut), m, p_sm, 32, 32)
+        return jnp.sum(img * w)
+
+    ga_sm = jax.grad(lambda v, l: loss_sm(slab.render_diff, v, l), argnums=(0, 1))(
+        scene.volume, scene.tf_lut
+    )
+    gp_sm = jax.grad(
+        lambda v, l: loss_sm(slab_kernel.render_diff, v, l), argnums=(0, 1)
+    )(scene.volume, scene.tf_lut)
+    for name, a, b in zip(("d_volume", "d_lut"), ga_sm, gp_sm):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        rel = np.abs(a - b).max() / scale
+        print(f"bwd smoothed {name}: relerr {rel:.2e}")
+        if rel > 1e-2 or not np.isfinite(b).all():
+            failures.append(f"bwd smoothed {name}")
+
+    # smoothing + shading combined backward
+    p_smsh = params.replace(use_gaussian_smoothing=True, use_shading=True)
+
+    def loss_smsh(render_fn, vol, lut):
+        img = render_fn(Scene(vol, scene.importance, lut), m, p_smsh, 32, 32)
+        return jnp.sum(img * w)
+
+    ga_x = jax.grad(
+        lambda v, l: loss_smsh(slab.render_diff, v, l), argnums=(0, 1)
+    )(scene.volume, scene.tf_lut)
+    gp_x = jax.grad(
+        lambda v, l: loss_smsh(slab_kernel.render_diff, v, l), argnums=(0, 1)
+    )(scene.volume, scene.tf_lut)
+    for name, a, b in zip(("d_volume", "d_lut"), ga_x, gp_x):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        rel = np.abs(a - b).max() / scale
+        print(f"bwd smoothed+shaded {name}: relerr {rel:.2e}")
+        if rel > 1e-2 or not np.isfinite(b).all():
+            failures.append(f"bwd smoothed+shaded {name}")
+
+    # smoothing + coloring: the smoothed density moves only the mask
+    p_smcol = params.replace(
+        use_gaussian_smoothing=True, use_importance_coloring=True
+    )
+    imp_f = jnp2.asarray((np.asarray(scene.volume) > 0.3) * 0.8, jnp2.float32)
+
+    def loss_smcol(render_fn, imp_v):
+        img = render_fn(
+            Scene(scene.volume, imp_v, scene.tf_lut), m, p_smcol, 32, 32
+        )
+        return jnp.sum(img * w)
+
+    gi_a = jax.grad(lambda i: loss_smcol(slab.render_diff, i))(imp_f)
+    gi_b = jax.grad(lambda i: loss_smcol(slab_kernel.render_diff, i))(imp_f)
+    a, bb = np.asarray(gi_a), np.asarray(gi_b)
+    scale = max(np.abs(a).max(), 1e-9)
+    rel = np.abs(a - bb).max() / scale
+    print(f"bwd smoothed+coloring d_importance: relerr {rel:.2e}")
+    if rel > 1e-2 or not np.isfinite(bb).all():
+        failures.append("bwd smoothed+coloring d_importance")
+
     # look-ahead-gated gradients (straight + cone, base and shaded) vs the
     # jnp replay VJP — the gate is a zero-gradient mask, so d_volume/d_lut
     # must match under the same gating
@@ -221,7 +304,7 @@ def main() -> int:
     major, sign = slab.dominant_axis(m)
     win = slab_kernel.window_rows(m, 32, 32, 32, major, sign)
 
-    for cam_tag, cam_p in (("", params), ("shaded ", p_sh)):
+    for cam_tag, cam_p in (("", params), ("shaded ", p_sh), ("smoothed ", p_sm)):
 
         def loss_jnp_cam(mm, cam_p=cam_p):
             img = slab._render_diff_jit(scene, mm, cam_p, 32, 32, major, sign)

@@ -133,6 +133,7 @@ EMU_PL = SimpleNamespace(
 
 EMU_PLTPU = SimpleNamespace(
     VMEM=lambda shape, dtype: SimpleNamespace(shape=shape, dtype=dtype),
+    CompilerParams=lambda **kw: SimpleNamespace(**kw),
 )
 
 

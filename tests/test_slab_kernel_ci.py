@@ -594,3 +594,206 @@ def test_lookahead_backward_matches_autodiff(shading):
             b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
         )
     assert np.abs(np.asarray(ga_vol)).max() > 0
+
+
+@pytest.mark.parametrize("interp", ["trilinear", "nearest"])
+def test_smoothing_backward_matches_autodiff(scene, cam, interp):
+    """Gaussian-smoothed Pallas backward (replay + stencil transpose +
+    voxel-grad) vs autodiff of the jnp slab golden."""
+    from volym_tpu.render import rays as rays_mod
+
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    p = PARAMS.replace(use_gaussian_smoothing=True, interpolation=interp)
+    vol_perm = slab.permute_volume(scene.volume, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.1
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(p, sign, vol_perm, scene.tf_lut, feats)
+        d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
+            p, major, sign, vol_perm, scene.tf_lut, feats, out, wvec
+        )
+
+    order = slab_kernel._tile_order(RES, RES)
+    w_rays = np.asarray(wvec).transpose(0, 2, 1).reshape(-1, 4)[: RES * RES]
+    w_img = w_rays[np.argsort(order)] if order is not None else w_rays
+
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    def loss(vp, lut):
+        img = slab.march_slabs(
+            vp, slab.permute_volume(scene.importance, major), lut, origin,
+            dirs, entry, exit_, major, sign, p,
+        )
+        return jnp.sum(img * jnp.asarray(w_img))
+
+    ga_vol, ga_lut = jax.grad(loss, argnums=(0, 1))(vol_perm, scene.tf_lut)
+    for name, a, b in (("d_vol", ga_vol, d_vol), ("d_lut", ga_lut, d_lut)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
+        )
+    assert np.abs(np.asarray(ga_vol)).max() > 0
+
+
+def test_smoothing_camera_cotangents_match_jnp_replay(scene, cam):
+    """Smoothed-mode d_feats (rows/cols via pass 2b + the F_TS tap-offset
+    chain) pulled back through _pack_features vs the jnp replay VJP."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    p = PARAMS.replace(use_gaussian_smoothing=True)
+    vol_perm = slab.permute_volume(scene.volume, major)
+    w_img = jnp.cos(
+        jnp.arange(RES * RES * 4, dtype=jnp.float32).reshape(RES, RES, 4) * 0.1
+    )
+
+    def loss_jnp(mm):
+        img = slab._render_diff_jit(scene, mm, p, RES, RES, major, sign)
+        return jnp.sum(img * w_img)
+
+    g_ref = jax.grad(loss_jnp)(m)
+
+    def feats_of(mm):
+        return slab_kernel._chunked_feats(
+            mm, RES, RES, vol_perm.shape[0], major, sign, layout
+        )[0]
+
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    w_rays = np.asarray(w_img).reshape(-1, 4)
+    w_rays = np.where(np.asarray(miss)[:, None], 0.0, w_rays)
+    order = slab_kernel._tile_order(RES, RES)
+    if order is not None:
+        w_rays = w_rays[order]
+    g_chunk = jnp.asarray(
+        w_rays.T.reshape(4, -1, slab_kernel.RAYS_PER_CHUNK).transpose(1, 0, 2)
+    )
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(p, sign, vol_perm, scene.tf_lut, feats)
+        _, _, d_feats = slab_bwd_kernel.backward(
+            p, major, sign, vol_perm, scene.tf_lut, feats, out, g_chunk
+        )
+    _, vjp_fn = jax.vjp(feats_of, m)
+    (g_pal,) = vjp_fn(d_feats)
+
+    leaves_ref = jax.tree_util.tree_leaves(g_ref)
+    leaves_pal = jax.tree_util.tree_leaves(g_pal)
+    assert max(np.abs(np.asarray(l)).max() for l in leaves_ref) > 0
+    for a, b in zip(leaves_ref, leaves_pal):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=5e-3 * scale, rtol=5e-2)
+
+
+def test_smoothing_shaded_backward_matches_autodiff(scene, cam):
+    """Smoothing + Blinn-Phong shading through the Pallas backward."""
+    from volym_tpu.render import rays as rays_mod
+
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    p = PARAMS.replace(use_gaussian_smoothing=True, use_shading=True)
+    vol_perm = slab.permute_volume(scene.volume, major)
+    grad_perm = slab.permute_gradient(slab.gradient_volume(scene.volume), major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.1
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(
+            p, sign, vol_perm, scene.tf_lut, feats, grad_perm=grad_perm
+        )
+        d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
+            p, major, sign, vol_perm, grad_perm, scene.tf_lut, feats, out, wvec
+        )
+
+    order = slab_kernel._tile_order(RES, RES)
+    w_rays = np.asarray(wvec).transpose(0, 2, 1).reshape(-1, 4)[: RES * RES]
+    w_img = w_rays[np.argsort(order)] if order is not None else w_rays
+
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    def loss(vp, gp, lut):
+        img = slab.march_slabs(
+            vp, slab.permute_volume(scene.importance, major), lut, origin,
+            dirs, entry, exit_, major, sign, p, gp,
+        )
+        return jnp.sum(img * jnp.asarray(w_img))
+
+    ga_vol, ga_grad, ga_lut = jax.grad(loss, argnums=(0, 1, 2))(
+        vol_perm, grad_perm, scene.tf_lut
+    )
+    assert np.abs(np.asarray(ga_grad)).max() > 0
+    for name, a, b in (
+        ("d_vol", ga_vol, d_vol),
+        ("d_grad", ga_grad, d_grad),
+        ("d_lut", ga_lut, d_lut),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
+        )
+
+
+def test_smoothing_coloring_backward_matches_autodiff(scene, cam):
+    """Smoothing + importance coloring: the smoothed density moves only the
+    threshold mask; d_importance must match autodiff under that mask."""
+    from volym_tpu.render import rays as rays_mod
+
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    p = PARAMS.replace(use_gaussian_smoothing=True, use_importance_coloring=True)
+    vol_perm = slab.permute_volume(scene.volume, major)
+    imp = jnp.asarray((np.asarray(scene.volume) > 0.3).astype(np.float32) * 0.8)
+    imp_perm = slab.permute_volume(imp, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.07
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(
+            p, sign, vol_perm, scene.tf_lut, feats, imp_perm=imp_perm
+        )
+        d_imp, d_feats = slab_bwd_kernel.backward_coloring(
+            p, major, sign, vol_perm, imp_perm, feats, out, wvec
+        )
+
+    order = slab_kernel._tile_order(RES, RES)
+    w_rays = np.asarray(wvec).transpose(0, 2, 1).reshape(-1, 4)[: RES * RES]
+    w_img = w_rays[np.argsort(order)] if order is not None else w_rays
+
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    def loss(ip):
+        img = slab.march_slabs(
+            vol_perm, ip, scene.tf_lut, origin, dirs, entry, exit_, major,
+            sign, p,
+        )
+        return jnp.sum(img * jnp.asarray(w_img))
+
+    ga_imp = jax.grad(loss)(imp_perm)
+    a, b = np.asarray(ga_imp), np.asarray(d_imp)
+    scale = max(np.abs(a).max(), 1e-6)
+    assert scale > 1e-5
+    np.testing.assert_allclose(b, a, atol=3e-3 * scale, rtol=2e-2)

@@ -626,6 +626,146 @@ def _replay_step_body(
     dfeat_ref[0] = dfeat_ref[0] + delta
 
 
+def _smooth_dd_transpose(feats, dd, n_slabs, bilinear):
+    """(C, M, 1, R) smoothed-density cotangent -> plain-row cotangent.
+
+    Transpose of the slab-axis Gaussian stencil (``slab_kernel._smooth_row``,
+    jnp spec ``render/slab.py:smoothed_densities``): plain density row k
+    accumulates ``c_off(j) * dd_smooth[j]`` for every (j, off) with
+    ``clamp(j + off) == k`` — the forward clamps out-of-sweep halo rows to
+    the sweep ends, so the edge rows collect the clamped taps.  Pure
+    elementwise jnp on the feats (runs between the replay and pass 2);
+    the (M, R) arrays are march-ordered like ``dd``.
+    """
+    import math as _math
+
+    from volym_tpu.render.golden import (
+        GAUSSIAN_KERNEL_SIZE,
+        GAUSSIAN_SIGMA,
+        GAUSSIAN_STEP,
+    )
+
+    c, m, _, r = dd.shape
+    ts = feats[:, F_TS, :][:, None, :]  # (C, 1, R)
+    rs = feats[:, F_RS, :][:, None, :]
+    cs = feats[:, F_CS, :][:, None, :]
+    rb = feats[:, F_RB, :][:, None, :]
+    cb = feats[:, F_CB, :][:, None, :]
+    jf = jnp.arange(m, dtype=jnp.float32)[None, :, None]  # (1, M, 1)
+    rows_raw = rs * jf + rb  # (C, M, R)
+    cols_raw = cs * jf + cb
+    n = jnp.float32(n_slabs)
+
+    taps = []
+    wsum = jnp.zeros((c, m, r), jnp.float32)
+    for tap in range(-GAUSSIAN_KERNEL_SIZE, GAUSSIAN_KERNEL_SIZE + 1):
+        delta = tap * GAUSSIAN_STEP
+        w = _math.exp(-(delta * delta) / (2.0 * GAUSSIAN_SIGMA * GAUSSIAN_SIGMA))
+        u = delta / ts  # (C, 1, R)
+        rt = rows_raw + u * rs
+        ct = cols_raw + u * cs
+        st = jf + u
+        in_box = (
+            (rt >= -0.5) & (rt <= n - 0.5)
+            & (ct >= -0.5) & (ct <= n - 0.5)
+            & (st >= -0.5) & (st <= n - 0.5)
+        ).astype(jnp.float32)
+        taps.append((w, u, in_box))
+        wsum = wsum + w * in_box
+    wsum = jnp.where(wsum > 0.0, wsum, 1.0)
+
+    dd2 = dd[:, :, 0, :]  # (C, M, R)
+    out = jnp.zeros_like(dd2)
+    idx = jnp.arange(m)
+    for off in range(-fwd_mod.SMOOTH_HALO, fwd_mod.SMOOTH_HALO + 1):
+        coeff = jnp.zeros((c, m, r), jnp.float32)
+        for w, u, in_box in taps:
+            d = u - off
+            if bilinear:
+                ker = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+            else:
+                ker = ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+            coeff = coeff + (w * ker) * in_box
+        tgt = jnp.clip(idx + off, 0, m - 1)
+        out = out.at[:, tgt, :].add(coeff / wsum * dd2)
+    return out[:, :, None, :]
+
+
+def _feats_grad_kernel(
+    feat_ref,   # (1, 16, R)
+    slice_ref,  # (sb, NR, NC) volume slices for this march block
+    dd_ref,     # (1, sb, 1, R) PLAIN-row density cotangent (march order)
+    dfeat_ref,  # (1, 16, R) out, accumulated across the block grid axis
+    *,
+    bilinear: bool,
+    win_rows: int = 0,
+    slab_batch: int = 1,
+    march_sign: int = 1,
+):
+    """Pass 2b (Gaussian smoothing only): the rows/cols camera chain of the
+    plain density rows.  In the unsmoothed replay this chain is fused into
+    pass 1, but a smoothed step's density mixes FUTURE steps' plain rows,
+    so the plain-row cotangent only exists after the full replay + stencil
+    transpose; this kernel re-derives each row's bilinear-hat derivative
+    (one dhat_y matmul + one hat_y matmul per step) and accumulates the
+    F_RS/F_RB/F_CS/F_CB rows of d_feats."""
+    jb = pl.program_id(1)
+
+    @pl.when(jb == 0)
+    def _init():
+        dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
+
+    feat = feat_ref[0]
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+    rays = feat.shape[-1]
+
+    for i in range(slab_batch):
+        j = jb * slab_batch + i
+        slice_row = i if march_sign > 0 else slab_batch - 1 - i
+        dd = dd_ref[0, i]  # (1, R)
+        jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+
+        @pl.when(jnp.any(dd != 0.0))
+        def _accumulate(jf=jf, dd=dd, slice_row=slice_row):
+            rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+            hat_x = _hat(cols_c, nc, rays, bilinear)
+            dhat_x = _dhat(cols_c, nc, rays, bilinear)
+            if win_rows:
+                r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+                hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
+                dhat_y = _dhat(rows_c, win_rows, rays, bilinear, base=r0)
+                sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
+            else:
+                hat_y = _hat(rows_c, nr, rays, bilinear)
+                dhat_y = _dhat(rows_c, nr, rays, bilinear)
+                sl = slice_ref[slice_row]
+            colvals = jax.lax.dot_general(
+                sl, hat_y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            colvals_dy = jax.lax.dot_general(
+                sl, dhat_y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
+            ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
+            rows_raw = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]
+            cols_raw = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
+            rows_in = ((rows_raw > 0.0) & (rows_raw < nr - 1.0)).astype(jnp.float32)
+            cols_in = ((cols_raw > 0.0) & (cols_raw < nc - 1.0)).astype(jnp.float32)
+            d_rows = dd * ddens_drows * rows_in
+            d_cols = dd * ddens_dcols * cols_in
+            zero = jnp.zeros_like(dd)
+            delta = jnp.concatenate(
+                [d_rows * jf, d_rows, d_cols * jf, d_cols]
+                + [zero] * (N_FEATURES - 4),
+                axis=0,
+            )
+            dfeat_ref[0] = dfeat_ref[0] + delta
+
+
 def _voxel_grad_kernel(
     feat_ref,  # (1, 16, R)
     dd_ref,    # (1, sb, 1, R) d_density for this (slab block, chunk)
@@ -754,11 +894,19 @@ def backward_shaded(
     from volym_tpu.config import Interpolation
 
     lookahead = ahead is not None
+    smoothing = params.use_gaussian_smoothing
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
-    # mirror the forward's shading batch: the grad block is 3x a slice
-    sb = 2 if n_slabs % 2 == 0 else 1
+    # mirror the forward's batch: the grad block is 3x a slice; smoothing
+    # needs sb > SMOOTH_HALO for the stencil's previous-block halo rows
+    sb = 4 if smoothing else (2 if n_slabs % 2 == 0 else 1)
+    if n_slabs % sb:
+        sb = 1
+    if smoothing and sb <= fwd_mod.SMOOTH_HALO:
+        raise NotImplementedError(
+            "Pallas Gaussian smoothing needs the slab count divisible by 4"
+        )
     n_blocks = n_slabs // sb
     b = fwd_mod.lut_groups(lut)
 
@@ -768,7 +916,10 @@ def backward_shaded(
     grad_index = (lambda c, j: (0, j, 0, 0)) if sign > 0 else (
         lambda c, j: (0, n_blocks - 1 - j, 0, 0)
     )
-    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+    occupancy = (
+        nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+        and not smoothing
+    )
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
@@ -780,12 +931,27 @@ def backward_shaded(
         occupancy=occupancy,
         shading=True,
         lookahead=lookahead,
+        smoothing=smoothing,
+        num_steps=n_slabs,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         pl.BlockSpec((sb, nr, nc), slab_index),
     ]
     inputs = [feats, vol_perm]
+    if smoothing:
+        if sign > 0:
+            prev_index = lambda c, j: (jnp.maximum(j - 1, 0), 0, 0)
+            next_index = lambda c, j: (jnp.minimum(j + 1, n_blocks - 1), 0, 0)
+        else:
+            prev_index = lambda c, j: (n_blocks - 1 - jnp.maximum(j - 1, 0), 0, 0)
+            next_index = lambda c, j: (
+                n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
+            )
+        in_specs.append(pl.BlockSpec((sb, nr, nc), prev_index))
+        inputs.append(vol_perm)
+        in_specs.append(pl.BlockSpec((sb, nr, nc), next_index))
+        inputs.append(vol_perm)
     if lookahead:
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         inputs.append(imp_perm)
@@ -827,8 +993,18 @@ def backward_shaded(
             ),
         ],
         scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+        compiler_params=fwd_mod.vmem_params(smoothing),
     )(*inputs)
     d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
+
+    if smoothing:
+        # channel 0 is the SMOOTHED-density cotangent — fold the stencil
+        # back onto plain rows; the gradient-field channels (1..3) sample
+        # at each step's own coords and scatter as-is
+        dd0 = _smooth_dd_transpose(
+            feats, dd4[:, :, 0:1, :], n_slabs, bilinear
+        )
+        dd4 = jnp.concatenate([dd0, dd4[:, :, 1:, :]], axis=2)
 
     vox = partial(
         _voxel_grad_shaded_kernel, bilinear=bilinear, nr=nr, nc=nc,
@@ -857,6 +1033,34 @@ def backward_shaded(
         ],
     )(feats, dd4)
 
+    if smoothing and bilinear:
+        # Pass 2b on the density channel (see backward()): the plain rows'
+        # own hats chain, unavailable during the replay under smoothing
+        fg = partial(
+            _feats_grad_kernel, bilinear=bilinear, win_rows=win_rows,
+            slab_batch=sb, march_sign=sign,
+        )
+        d_feats2 = pl.pallas_call(
+            fg,
+            grid=(n_chunks, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)
+                ),
+                pl.BlockSpec((sb, nr, nc), slab_index),
+                pl.BlockSpec(
+                    (1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
+            ),
+        )(feats, vol_perm, dd4[:, :, 0:1, :])
+        d_feats = d_feats + d_feats2
+
     return d_vol, d_grad, d_lut, d_feats
 
 
@@ -877,17 +1081,29 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     from volym_tpu.config import Interpolation
 
     lookahead = ahead is not None
+    smoothing = params.use_gaussian_smoothing
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
-    sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
+    # mirror the forward's smoothing batch (3 streamed slice blocks)
+    sb = (4 if smoothing else SLAB_BATCH)
+    if n_slabs % sb:
+        sb = 1
+    if smoothing and sb <= fwd_mod.SMOOTH_HALO:
+        raise NotImplementedError(
+            "Pallas Gaussian smoothing needs the slab count divisible by 4"
+        )
     n_blocks = n_slabs // sb
     b = fwd_mod.lut_groups(lut)
 
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_blocks - 1 - j, 0, 0)
     )
-    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+    # the raw-density occupancy mask is not sound under smoothing (fwd rule)
+    occupancy = (
+        nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+        and not smoothing
+    )
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
@@ -898,12 +1114,28 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         march_sign=sign,
         occupancy=occupancy,
         lookahead=lookahead,
+        smoothing=smoothing,
+        num_steps=n_slabs,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         pl.BlockSpec((sb, nr, nc), slab_index),
     ]
     inputs = [feats, vol_perm]
+    if smoothing:
+        # previous / next march blocks for the stencil halo (fwd layout)
+        if sign > 0:
+            prev_index = lambda c, j: (jnp.maximum(j - 1, 0), 0, 0)
+            next_index = lambda c, j: (jnp.minimum(j + 1, n_blocks - 1), 0, 0)
+        else:
+            prev_index = lambda c, j: (n_blocks - 1 - jnp.maximum(j - 1, 0), 0, 0)
+            next_index = lambda c, j: (
+                n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
+            )
+        in_specs.append(pl.BlockSpec((sb, nr, nc), prev_index))
+        inputs.append(vol_perm)
+        in_specs.append(pl.BlockSpec((sb, nr, nc), next_index))
+        inputs.append(vol_perm)
     if lookahead:
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         inputs.append(imp_perm)
@@ -946,6 +1178,11 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     )(*inputs)
     d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
 
+    if smoothing:
+        # the replay emitted the SMOOTHED-density cotangent; fold the
+        # slab-axis stencil back onto plain density rows before pass 2
+        d_density = _smooth_dd_transpose(feats, d_density, n_slabs, bilinear)
+
     # Pass 2: note d_density is indexed by MARCH step j; the dvol output
     # block is the PHYSICAL slab block.
     vox = partial(
@@ -966,6 +1203,35 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
     )(feats, d_density)
 
+    if smoothing and bilinear:
+        # Pass 2b: the plain rows' own bilinear-hat camera chain (fused
+        # into pass 1 when unsmoothed; see _feats_grad_kernel).  Box
+        # (nearest) hats have zero coordinate gradient -> skipped.
+        fg = partial(
+            _feats_grad_kernel, bilinear=bilinear, win_rows=win_rows,
+            slab_batch=sb, march_sign=sign,
+        )
+        d_feats2 = pl.pallas_call(
+            fg,
+            grid=(n_chunks, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)
+                ),
+                pl.BlockSpec((sb, nr, nc), slab_index),
+                pl.BlockSpec(
+                    (1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
+            ),
+        )(feats, vol_perm, d_density)
+        d_feats = d_feats + d_feats2
+
     return d_vol, d_lut, d_feats
 
 
@@ -979,10 +1245,17 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     """
     from volym_tpu.config import Interpolation
 
+    smoothing = params.use_gaussian_smoothing
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
-    sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
+    sb = 4 if smoothing else SLAB_BATCH
+    if n_slabs % sb:
+        sb = 1
+    if smoothing and sb <= fwd_mod.SMOOTH_HALO:
+        raise NotImplementedError(
+            "Pallas Gaussian smoothing needs the slab count divisible by 4"
+        )
     n_blocks = n_slabs // sb
     # dummy grouped LUT — the coloring replay never reads it
     b = jnp.zeros((4 * (256 // fwd_mod.TF_GROUP), fwd_mod.TF_GROUP + 1), jnp.float32)
@@ -990,7 +1263,10 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_blocks - 1 - j, 0, 0)
     )
-    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+    occupancy = (
+        nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+        and not smoothing
+    )
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
@@ -1001,13 +1277,32 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         march_sign=sign,
         occupancy=occupancy,
         coloring=True,
+        smoothing=smoothing,
+        num_steps=n_slabs,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         pl.BlockSpec((sb, nr, nc), slab_index),
-        pl.BlockSpec((sb, nr, nc), slab_index),
     ]
-    inputs = [feats, vol_perm, imp_perm]
+    inputs = [feats, vol_perm]
+    if smoothing:
+        # smoothing moves only the threshold MASK here (coloring rgba is
+        # density-free): stream the halo blocks so the replay's smoothed
+        # density replicates the forward's compositing exactly
+        if sign > 0:
+            prev_index = lambda c, j: (jnp.maximum(j - 1, 0), 0, 0)
+            next_index = lambda c, j: (jnp.minimum(j + 1, n_blocks - 1), 0, 0)
+        else:
+            prev_index = lambda c, j: (n_blocks - 1 - jnp.maximum(j - 1, 0), 0, 0)
+            next_index = lambda c, j: (
+                n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
+            )
+        in_specs.append(pl.BlockSpec((sb, nr, nc), prev_index))
+        inputs.append(vol_perm)
+        in_specs.append(pl.BlockSpec((sb, nr, nc), next_index))
+        inputs.append(vol_perm)
+    in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
+    inputs.append(imp_perm)
     if occupancy:
         occ = fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
         in_specs.append(

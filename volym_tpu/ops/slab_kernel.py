@@ -675,10 +675,18 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         nr % OCC_BLOCK == 0 and nc % OCC_BLOCK == 0 and not smoothing
     )
     # the gradient block is 3x the slice size (and smoothing streams 3
-    # slice blocks); cap the batch so the double-buffered blocks fit VMEM
-    sb = 2 if shading else (4 if smoothing else SLAB_BATCH)
+    # slice blocks); cap the batch so the double-buffered blocks fit VMEM.
+    # Smoothing NEEDS sb > SMOOTH_HALO: the stencil reads halo rows
+    # sb+off (off in [-HALO, -1]) from the previous block, so a smaller
+    # batch would index out of range.
+    sb = 4 if smoothing else (2 if shading else SLAB_BATCH)
     if n_slabs % sb:
         sb = 1
+    if smoothing and sb <= SMOOTH_HALO:
+        raise NotImplementedError(
+            "Pallas Gaussian smoothing needs the slab count divisible by "
+            f"4 (got {n_slabs}); use the jnp slab renderer or pad the grid"
+        )
     n_blocks = n_slabs // sb
     kernel = partial(
         _march_kernel,
@@ -757,7 +765,20 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32),
+        compiler_params=vmem_params(smoothing and shading),
     )(*inputs)
+
+
+def vmem_params(heavy: bool):
+    """Compiler params for the slab kernels.  The smoothing+shading combo
+    at 256^3 streams 3 double-buffered slice blocks plus the 3-channel
+    gradient block (~17 MB scoped VMEM) — above Mosaic's 16 MB default
+    scoped limit but well within the chip's physical VMEM (128 MB on
+    v5e); raise the cap only for that case so every other mode keeps the
+    default working set."""
+    if not heavy:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -1052,10 +1073,16 @@ def _pack_cone_features(camera_matrices, height, width, n_slabs, major, sign, la
     """Per-ray affine coefficients of the 8 cone look-ahead directions
     (camera-anchored; see ops/lookahead_kernel.py): 7 rows per direction
     (rows/cols/t slopes + intercepts, march-steps-per-distance rate)."""
+    origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
+    return cone_features_from_rays(origin, dirs, n_slabs, major, sign, layout)
+
+
+def cone_features_from_rays(origin, dirs, n_slabs, major, sign, layout):
+    """Cone-direction coefficients from an explicit ray bundle (the
+    sharded renderers build per-shard rays themselves)."""
     from volym_tpu.render.golden import cone_directions
 
     _, row_comp, col_comp = layout
-    origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
     cdirs = cone_directions(dirs)  # (R, S, 3)
     n = n_slabs
     sz = (1.0 / n) * sign
@@ -1218,12 +1245,8 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
     grid (importance-coloring mode), and — when shading — the Blinn-Phong
     chain (volume via the gradient field + camera half vectors).
     Importance-driven look-ahead (straight + cone) differentiates as a
-    zero-gradient gate, matching the jnp slab replay."""
-    if params.use_gaussian_smoothing:
-        raise NotImplementedError(
-            "differentiable slab kernel: Gaussian smoothing is forward-only"
-            " — the jnp slab replay (render.slab.render_diff) smooths"
-        )
+    zero-gradient gate, and Gaussian smoothing chains through the
+    slab-axis stencil transpose — both matching the jnp slab replay."""
     if params.use_importance_coloring and params.use_shading:
         raise NotImplementedError(
             "differentiable slab kernel: coloring+shading combined needs "
