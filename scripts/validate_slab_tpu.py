@@ -356,6 +356,59 @@ def main() -> int:
         if rel > 1e-2 or not np.isfinite(b).all():
             failures.append(f"bwd windowed {name}")
 
+    # sharded Pallas path on a 1-device TPU mesh: _pallas_shard_march's own
+    # look-ahead/cone/smoothing plumbing (the CPU-mesh tests exercise only
+    # the jnp fallback) vs the single-device kernel entry
+    from volym_tpu.parallel import mesh as pmesh
+
+    mesh1 = pmesh.make_mesh(jax.devices()[:1])
+    m = Camera(aspect=1.0, distance=1.2).orbit(30.0, 20.0, 0.0).matrices()
+    la_vol = np.full((32, 32, 32), 0.45, np.float32)
+    la_imp = np.zeros((32, 32, 32), np.float32)
+    la_vol[20:26, 8:24, 8:24] = 0.9
+    la_imp[20:26, 8:24, 8:24] = 1.0
+    la_scene = Scene(
+        volume=jnp.asarray(la_vol), importance=jnp.asarray(la_imp),
+        tf_lut=scene.tf_lut,
+    )
+    for tag, p in (
+        ("smoothing", params.replace(use_gaussian_smoothing=True)),
+        ("lookahead", params.replace(use_importance_rendering=True)),
+        ("lookahead cone", params.replace(
+            use_importance_rendering=True, use_cone_importance_check=True
+        )),
+    ):
+        a = np.asarray(pmesh.render_sharded(
+            la_scene, m, p, 32, 32, mesh1, backend="slab_pallas"
+        ))
+        bimg = np.asarray(slab.render(la_scene, m, p, 32, 32))
+        err = np.abs(a - bimg).max(-1)
+        bad = (err > 1e-3).mean()
+        print(f"sharded pallas {tag}: maxerr {err.max():.2e} frac>0.001 {bad:.2e}")
+        if bad > 0.0 or not np.isfinite(a).all():
+            failures.append(f"sharded pallas {tag}")
+
+    # sharded differentiable smoothing through the Pallas kernels
+    p_sm1 = params.replace(use_gaussian_smoothing=True)
+    step = pmesh.make_train_step(
+        p_sm1, 32, 32, mesh1, backend="slab_pallas", camera_matrices=m
+    )
+    target = jnp.asarray(slab.render(la_scene, m, p_sm1, 32, 32)) * 0.8
+    loss_sh, grads_sh = step(la_scene, m, target)
+
+    def loss_single(s):
+        img = slab.render_diff(s, m, p_sm1, 32, 32)
+        return jnp.mean((img - target) ** 2)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_single)(la_scene)
+    rel_l = abs(float(loss_sh) - float(loss_ref)) / max(abs(float(loss_ref)), 1e-9)
+    a = np.asarray(grads_ref.volume)
+    bb = np.asarray(grads_sh.volume)
+    rel = np.abs(a - bb).max() / max(np.abs(a).max(), 1e-9)
+    print(f"sharded pallas smoothed train-step: loss rel {rel_l:.2e} d_volume rel {rel:.2e}")
+    if rel_l > 1e-4 or rel > 1e-2 or not np.isfinite(bb).all():
+        failures.append("sharded pallas smoothed train-step")
+
     if failures:
         print("FAILURES:", failures)
         return 1

@@ -204,3 +204,81 @@ def test_fit_distributed_loop_runs(scene, cam):
         init, m, target, fixed, steps=5, lr=0.05, backend="slab_pallas",
     )
     assert losses[-1] < losses[0]
+
+def _lookahead_scene():
+    """16^3 haze + important dense band (mirrors tests/test_slab.py)."""
+    side = 16
+    vol = np.full((side, side, side), 0.45, np.float32)
+    imp = np.zeros((side, side, side), np.float32)
+    vol[10:13, 4:12, 4:12] = 0.9
+    imp[10:13, 4:12, 4:12] = 1.0
+    return Scene(
+        volume=jnp.asarray(vol),
+        importance=jnp.asarray(imp),
+        tf_lut=Scene.synthetic("sphere", side=8).tf_lut,
+    )
+
+
+@pytest.mark.parametrize("backend", ["slab", "slab_pallas"])
+@pytest.mark.parametrize(
+    "mode",
+    ["smoothing", "lookahead", "lookahead_cone", "smoothing_shading"],
+)
+def test_sharded_slab_modes_match_single(cam, backend, mode):
+    """Smoothing and importance look-ahead run sharded (all slab backends)
+    and match the single-device slab render exactly."""
+    from volym_tpu.render import slab
+
+    sc = _lookahead_scene()
+    m = cam.matrices()
+    mesh = pmesh.make_mesh()
+    params = PARAMS.replace(
+        use_gaussian_smoothing="smoothing" in mode,
+        use_shading="shading" in mode,
+        use_importance_rendering="lookahead" in mode,
+        use_cone_importance_check="cone" in mode,
+    )
+    a = np.asarray(
+        pmesh.render_sharded(sc, m, params, RES, RES, mesh, backend=backend)
+    )
+    b = np.asarray(slab.render(sc, m, params, RES, RES))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    if "lookahead" in mode:  # the gate actually engaged
+        base = np.asarray(slab.render(sc, m, PARAMS, RES, RES))
+        assert np.abs(b - base).max() > 0.05
+
+
+@pytest.mark.parametrize("backend", ["slab", "slab_pallas"])
+@pytest.mark.parametrize("mode", ["smoothing", "lookahead"])
+def test_train_step_slab_modes(cam, backend, mode):
+    """Sharded slab train step under smoothing / look-ahead: grads equal
+    the unsharded slab replay VJP."""
+    from volym_tpu.render import slab
+
+    sc = _lookahead_scene()
+    m = cam.matrices()
+    mesh = pmesh.make_mesh()
+    fixed = PARAMS.replace(
+        adaptive_stepping=False,
+        use_gaussian_smoothing=mode == "smoothing",
+        use_importance_rendering=mode == "lookahead",
+    )
+    target = jnp.asarray(slab.render(sc, m, fixed, RES, RES)) * 0.8
+    step = pmesh.make_train_step(
+        fixed, RES, RES, mesh, backend=backend, camera_matrices=m
+    )
+    loss_sharded, grads_sharded = step(sc, m, target)
+
+    def loss_single(s):
+        img = slab.render_diff(s, m, fixed, RES, RES)
+        return jnp.mean((img - target) ** 2)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_single)(sc)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_ref), rtol=1e-5)
+    assert float(loss_ref) > 0
+    for name in ("volume", "tf_lut"):
+        a = np.asarray(getattr(grads_ref, name))
+        b = np.asarray(getattr(grads_sharded, name))
+        scale = max(np.abs(a).max(), 1e-9)
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4, err_msg=name)
+    assert np.abs(np.asarray(grads_ref.volume)).max() > 0

@@ -83,11 +83,15 @@ def render_sharded(
     if backend in ("slab", "slab_pallas"):
         from volym_tpu.render import slab as slab_mod
 
-        # same mode guards as slab.render/render_diff: the slab march has no
-        # smoothing/look-ahead (sharded) and always alpha-composites
-        if params.use_importance_rendering or params.use_gaussian_smoothing:
+        # same mode guards as slab.render/render_diff: the slab march
+        # always alpha-composites (smoothing and look-ahead are slab-native)
+        if (
+            backend == "slab_pallas" and differentiable
+            and params.use_importance_coloring and params.use_shading
+        ):
             raise NotImplementedError(
-                "sharded slab backend: no look-ahead/smoothing; use backend='ray'"
+                "sharded slab_pallas backend: differentiable coloring+shading "
+                "combined needs backend='slab' (jnp replay) or 'ray'"
             )
         if not params.use_opacity:
             raise NotImplementedError(
@@ -206,24 +210,67 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
 
     Builds the per-ray feats from the shard's own rays (row-major chunking,
     no tile order — the shard layout is fixed by the partitioning, so the
-    windowed contraction is off) and runs the differentiable
-    :func:`volym_tpu.ops.slab_kernel.march_pallas` or the raw forward."""
+    windowed contraction is off) and dispatches exactly like the
+    single-device entry (:func:`volym_tpu.ops.slab_kernel.render` /
+    ``render_diff``): Gaussian smoothing runs in-kernel, importance
+    look-ahead (straight + cone) via the reverse pre-pass on the shard's
+    own rays, coloring via the importance grid."""
     from volym_tpu.ops import slab_kernel as sk
     from volym_tpu.render import slab as slab_mod
 
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
+    n_slabs = vol_perm.shape[0]
     feats = sk.features_from_rays(
         origin, dirs, entry, jax.lax.stop_gradient(exit_),
-        vol_perm.shape[0], major, sign, layout,
+        n_slabs, major, sign, layout,
     )
     r = feats.shape[1]
     fc = sk._chunk_flat(feats)
-    if differentiable:
-        if params.use_shading:
-            grad_perm = slab_mod.permute_gradient(
-                slab_mod.gradient_volume(scene.volume), major
+    lookahead = (
+        params.use_importance_rendering and not params.use_importance_coloring
+    )
+    imp_perm = (
+        slab_mod.permute_volume(scene.importance, major)
+        if (params.use_importance_coloring or lookahead)
+        else None
+    )
+    grad_perm = (
+        slab_mod.permute_gradient(slab_mod.gradient_volume(scene.volume), major)
+        if params.use_shading
+        else None
+    )
+    ahead = None
+    if lookahead:
+        from volym_tpu.ops import lookahead_kernel
+
+        # the ahead bits are a zero-gradient gate (pure comparisons):
+        # the pre-pass always runs on stop_gradient'ed inputs
+        cone_feats = (
+            sk._chunk_flat(
+                sk.cone_features_from_rays(
+                    jax.lax.stop_gradient(origin), jax.lax.stop_gradient(dirs),
+                    n_slabs, major, sign, layout,
+                )
             )
+            if params.use_cone_importance_check
+            else None
+        )
+        ahead = lookahead_kernel.lookahead_call(
+            sign, jax.lax.stop_gradient(imp_perm),
+            jax.lax.stop_gradient(fc), cone_feats, 0,
+        )
+    if differentiable:
+        if params.use_importance_coloring:
+            out = sk.march_pallas_coloring(
+                params, major, sign, 0, vol_perm, imp_perm, fc
+            )
+        elif lookahead:
+            out = sk.march_pallas_lookahead(
+                params, major, sign, 0, vol_perm, imp_perm,
+                scene.tf_lut, fc, ahead, grad_perm,
+            )
+        elif params.use_shading:
             out = sk.march_pallas_shaded(
                 params, major, sign, 0, vol_perm, grad_perm, scene.tf_lut, fc
             )
@@ -232,18 +279,9 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
                 params, major, sign, 0, vol_perm, scene.tf_lut, fc
             )
     else:
-        imp_perm = (
-            slab_mod.permute_volume(scene.importance, major)
-            if params.use_importance_coloring
-            else None
-        )
-        grad_perm = (
-            slab_mod.permute_gradient(slab_mod.gradient_volume(scene.volume), major)
-            if params.use_shading
-            else None
-        )
         out = sk._forward_call(
-            params, sign, vol_perm, scene.tf_lut, fc, imp_perm, grad_perm
+            params, sign, vol_perm, scene.tf_lut, fc, imp_perm, grad_perm,
+            0, ahead,
         )
     return sk._unchunk_flat(out, r)
 
