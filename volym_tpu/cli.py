@@ -153,6 +153,21 @@ def cmd_screenshot(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Interactive live viewer (the event-loop + GUI analog, see
+    :mod:`volym_tpu.viewer`): serves a browser page whose drags/wheel/panel
+    drive renders on the chip."""
+    from volym_tpu import viewer
+
+    scene = _default_scene(args)
+    # CLI orbit/distance flags seed the page's initial camera via the
+    # params payload only; the client owns camera state thereafter
+    return viewer.serve(
+        scene, _params(args), args.height, args.width,
+        host=args.host, port=args.port, screenshot_dir=args.screenshot_dir,
+    )
+
+
 def cmd_benchmark(args) -> int:
     import jax
 
@@ -346,6 +361,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_shot = sub.add_parser("screenshot", help="single frame -> PNG")
     common(p_shot)
+    p_view = sub.add_parser(
+        "view", help="interactive browser viewer (live orbit + panel)"
+    )
+    common(p_view)
+    p_view.add_argument("--host", default="127.0.0.1")
+    p_view.add_argument("--port", type=int, default=8000)
+    p_view.add_argument("--screenshot-dir", default=".")
     p_fit = sub.add_parser("fit", help="inverse-rendering demo")
     common(p_fit)
     p_dev = sub.add_parser("devtools", help="NRRD -> segments.json + raw")
@@ -372,6 +394,7 @@ def main(argv=None) -> int:
         "benchmark": cmd_benchmark,
         "screenshot": cmd_screenshot,
         "fit": cmd_fit,
+        "view": cmd_view,
         None: cmd_run,
     }[args.command]
     if args.command is None:
