@@ -87,10 +87,14 @@ def _boxhat_sample(slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows,
     else:
         hat_y = boxk(rows_c, iota(nr))
         sl = slice_ref[slice_row]
+    # DEFAULT (single-pass bf16 MXU) is EXACT here: the box hats are
+    # one-hot {0,1} and the importance slices are pre-binarised to {0,1}
+    # (lookahead_call), so every product and the <=1-term sums are
+    # integers representable in bf16 — 6x fewer MXU passes than HIGHEST
     colvals = jax.lax.dot_general(
         sl, hat_y, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.DEFAULT,
     )
     return jnp.sum(colvals * boxk(cols_c, iota(nc)), axis=0, keepdims=True)
 
@@ -284,6 +288,9 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
     sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
     n_blocks = n_slabs // sb
     occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+    # the pre-pass only ever THRESHOLDS importance — binarise up front so
+    # the sampling matmuls can run single-pass bf16 and stay exact
+    imp_perm = (imp_perm >= IMPORTANT_AHEAD_THRESHOLD).astype(jnp.float32)
 
     # physical slab block for reverse-march grid step jb
     slice_index = (
