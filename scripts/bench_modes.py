@@ -30,13 +30,24 @@ def fetch(x):
     return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
 
 
-def timeit(fn, iters=10, warmup=2):
+def timeit(fn, iters=25, warmup=2):
+    """Marginal (steady-state) s/frame: batch-difference timing with one
+    trailing fetch per batch, cancelling the fixed tunnel round-trip (see
+    bench.py)."""
+
+    def batch(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        fetch(out)
+        return time.perf_counter() - t0
+
     for _ in range(warmup):
         fetch(fn())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        fetch(fn())
-    return (time.perf_counter() - t0) / iters
+    n1 = max(1, iters // 5)
+    t1, t2 = batch(n1), batch(iters)
+    return max((t2 - t1) / (iters - n1), 1e-9)
 
 
 def main():

@@ -356,6 +356,27 @@ def main() -> int:
         if rel > 1e-2 or not np.isfinite(b).all():
             failures.append(f"bwd windowed {name}")
 
+    # camera_grads=False (the fitting fast path): identical scene grads
+    p_nocam = params.replace(camera_grads=False)
+    ga_nc = jax.grad(
+        lambda v, l: jnp.sum(
+            slab_kernel.render_diff(Scene(v, scene.importance, l), m, params, 32, 32) * w
+        ),
+        argnums=(0, 1),
+    )(scene.volume, scene.tf_lut)
+    gb_nc = jax.grad(
+        lambda v, l: jnp.sum(
+            slab_kernel.render_diff(Scene(v, scene.importance, l), m, p_nocam, 32, 32) * w
+        ),
+        argnums=(0, 1),
+    )(scene.volume, scene.tf_lut)
+    for name, a, b in zip(("d_volume", "d_lut"), ga_nc, gb_nc):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
+        print(f"bwd camera_grads=False {name}: relerr {rel:.2e}")
+        if rel > 0.0 or not np.isfinite(b).all():
+            failures.append(f"bwd camera_grads=False {name}")
+
     # sharded Pallas path on a 1-device TPU mesh: _pallas_shard_march's own
     # look-ahead/cone/smoothing plumbing (the CPU-mesh tests exercise only
     # the jnp fallback) vs the single-device kernel entry

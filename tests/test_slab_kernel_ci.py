@@ -797,3 +797,49 @@ def test_smoothing_coloring_backward_matches_autodiff(scene, cam):
     scale = max(np.abs(a).max(), 1e-6)
     assert scale > 1e-5
     np.testing.assert_allclose(b, a, atol=3e-3 * scale, rtol=2e-2)
+
+
+@pytest.mark.parametrize("shading", [False, True])
+def test_camera_grads_flag(scene, cam, shading):
+    """camera_grads=False: identical d_volume/d_lut, exactly-zero d_feats
+    (the scene-fitting fast path skips the dhat chains)."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    p = PARAMS.replace(use_shading=shading)
+    vol_perm = slab.permute_volume(scene.volume, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.1
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+
+    grad_perm = (
+        slab.permute_gradient(slab.gradient_volume(scene.volume), major)
+        if shading
+        else None
+    )
+    outs = {}
+    for cg in (True, False):
+        pp = p.replace(camera_grads=cg)
+        with emulate(slab_kernel, slab_bwd_kernel):
+            if shading:
+                out = slab_kernel._forward_call(
+                    pp, sign, vol_perm, scene.tf_lut, feats, None, grad_perm
+                )
+                d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
+                    pp, major, sign, vol_perm, grad_perm, scene.tf_lut,
+                    feats, out, wvec,
+                )
+            else:
+                out = slab_kernel._forward_call(pp, sign, vol_perm, scene.tf_lut, feats)
+                d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
+                    pp, major, sign, vol_perm, scene.tf_lut, feats, out, wvec
+                )
+        outs[cg] = (np.asarray(d_vol), np.asarray(d_lut), np.asarray(d_feats))
+
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
+    assert np.abs(outs[True][2]).max() > 0  # chains actually exercised
+    np.testing.assert_array_equal(outs[False][2], 0.0)

@@ -233,7 +233,8 @@ def cmd_fit(args) -> int:
 
     target_scene = _default_scene(args)
     cam = _camera(args)
-    params = _params(args).replace(adaptive_stepping=False)
+    # scene-only fit: skip the camera-cotangent chains in the backward
+    params = _params(args).replace(adaptive_stepping=False, camera_grads=False)
     target = golden.render(target_scene, cam.matrices(), params, args.height, args.width)
 
     # init must clear the hard density threshold or the renderer masks every

@@ -76,6 +76,13 @@ class RenderParams:
     #: the v1 preview mode that also quantised the density.  Forward only
     #: — gradients always run exact.
     fast_math: bool = False
+    #: Emit camera-pose cotangents (d feats) from the Pallas backward.
+    #: The scene-fitting loops optimise only volume/TF, and skipping the
+    #: dhat matmul chains cuts the replay pass substantially; with False
+    #: the differentiable renderers return exact d volume / d TF / d
+    #: importance but SILENTLY ZERO camera-matrix gradients — leave True
+    #: for pose optimisation.
+    camera_grads: bool = True
 
     def __post_init__(self):
         if not isinstance(self.interpolation, Interpolation):

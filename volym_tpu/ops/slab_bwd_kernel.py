@@ -166,6 +166,7 @@ def _replay_kernel(
     lookahead: bool = False,
     smoothing: bool = False,
     num_steps: int = 0,
+    camera_grads: bool = True,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -251,13 +252,14 @@ def _replay_kernel(
                 )
                 for i in range(slab_batch)
             ]
-            dts_rows = [
-                _smooth_row_dts(
-                    feat, (jbv * slab_batch + i).astype(jnp.float32), d_rows,
-                    i, num_steps, bilinear,
-                )
-                for i in range(slab_batch)
-            ]
+            if camera_grads:
+                dts_rows = [
+                    _smooth_row_dts(
+                        feat, (jbv * slab_batch + i).astype(jnp.float32),
+                        d_rows, i, num_steps, bilinear,
+                    )
+                    for i in range(slab_batch)
+                ]
         for i in range(slab_batch):
             _replay_step(
                 feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
@@ -271,6 +273,7 @@ def _replay_kernel(
                 ahead=ahead_ref[0, i] if lookahead else None,
                 density_override=None if smooth_rows is None else smooth_rows[i],
                 dsmooth_dts=None if dts_rows is None else dts_rows[i],
+                camera_grads=camera_grads,
             )
 
 
@@ -279,7 +282,7 @@ def _replay_step(
     dfeat_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     occ_ref=None, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
-    density_override=None, dsmooth_dts=None,
+    density_override=None, dsmooth_dts=None, camera_grads=True,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
@@ -294,6 +297,7 @@ def _replay_step(
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
             grad_ref=grad_ref, coloring=coloring, ahead=ahead,
             density_override=density_override, dsmooth_dts=dsmooth_dts,
+            camera_grads=camera_grads,
         )
         return
 
@@ -310,6 +314,7 @@ def _replay_step(
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
             grad_ref=grad_ref, coloring=coloring, ahead=ahead,
             density_override=density_override, dsmooth_dts=dsmooth_dts,
+            camera_grads=camera_grads,
         )
 
     @pl.when(jnp.logical_not(occupied))
@@ -324,7 +329,7 @@ def _replay_step_body(
     dlut_ref, dfeat_ref, acc_ref,
     *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     imp_ref=None, grad_ref=None, coloring=False, ahead=None,
-    density_override=None, dsmooth_dts=None,
+    density_override=None, dsmooth_dts=None, camera_grads=True,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
@@ -332,11 +337,14 @@ def _replay_step_body(
     if win_rows:
         r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
         hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
-        dhat_y = _dhat(rows_c, win_rows, rays, bilinear, base=r0)
+        dhat_y = (
+            _dhat(rows_c, win_rows, rays, bilinear, base=r0)
+            if camera_grads else None
+        )
         sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
     else:
         hat_y = _hat(rows_c, nr, rays, bilinear)
-        dhat_y = _dhat(rows_c, nr, rays, bilinear)
+        dhat_y = _dhat(rows_c, nr, rays, bilinear) if camera_grads else None
         sl = slice_ref[slice_row]
     hat_x = _hat(cols_c, nc, rays, bilinear)
     if density_override is None:
@@ -600,6 +608,9 @@ def _replay_step_body(
                 d_cols = d_cols + d_gs[ch] * dg_dcols * cols_in
     else:
         d_rows = d_cols = zero
+    if not camera_grads:
+        # scene-only fitting: d feats stays zero (see RenderParams.camera_grads)
+        return
     # d alpha / d aexp = -log1ma * exp(aexp * log1ma) = log1ma * (alpha-1)
     d_aexp = d_alpha * log1ma * (alpha - 1.0)
     if grad_ref is not None:
@@ -933,6 +944,7 @@ def backward_shaded(
         lookahead=lookahead,
         smoothing=smoothing,
         num_steps=n_slabs,
+        camera_grads=params.camera_grads,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
@@ -1033,7 +1045,7 @@ def backward_shaded(
         ],
     )(feats, dd4)
 
-    if smoothing and bilinear:
+    if smoothing and bilinear and params.camera_grads:
         # Pass 2b on the density channel (see backward()): the plain rows'
         # own hats chain, unavailable during the replay under smoothing
         fg = partial(
@@ -1116,6 +1128,7 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         lookahead=lookahead,
         smoothing=smoothing,
         num_steps=n_slabs,
+        camera_grads=params.camera_grads,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
@@ -1203,7 +1216,7 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
     )(feats, d_density)
 
-    if smoothing and bilinear:
+    if smoothing and bilinear and params.camera_grads:
         # Pass 2b: the plain rows' own bilinear-hat camera chain (fused
         # into pass 1 when unsmoothed; see _feats_grad_kernel).  Box
         # (nearest) hats have zero coordinate gradient -> skipped.
@@ -1279,6 +1292,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         coloring=True,
         smoothing=smoothing,
         num_steps=n_slabs,
+        camera_grads=params.camera_grads,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
