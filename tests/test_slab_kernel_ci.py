@@ -843,3 +843,47 @@ def test_camera_grads_flag(scene, cam, shading):
     np.testing.assert_array_equal(outs[False][1], outs[True][1])
     assert np.abs(outs[True][2]).max() > 0  # chains actually exercised
     np.testing.assert_array_equal(outs[False][2], 0.0)
+
+
+def test_smoothing_occupancy_skip_is_exact(cam):
+    """The dilated-occupancy skip under Gaussian smoothing (64^3 engages
+    the 32-texel occupancy blocks) must not change forward or gradients
+    vs the same kernels with the skip neutralised (all-occupied grid)."""
+    big = Scene.synthetic("sphere", side=64)
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    p = PARAMS.replace(use_gaussian_smoothing=True)
+    vol_perm = slab.permute_volume(big.volume, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.1
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+
+    outs = {}
+    for neutered in (False, True):
+        orig = slab_kernel.occupancy_grid_smooth
+        if neutered:
+            slab_kernel.occupancy_grid_smooth = lambda v, t: jnp.ones_like(
+                orig(v, t)
+            )
+        try:
+            with emulate(slab_kernel, slab_bwd_kernel):
+                out = slab_kernel._forward_call(
+                    p, sign, vol_perm, big.tf_lut, feats
+                )
+                d_vol, d_lut, _ = slab_bwd_kernel.backward(
+                    p, major, sign, vol_perm, big.tf_lut, feats, out, wvec
+                )
+            outs[neutered] = (np.asarray(out), np.asarray(d_vol), np.asarray(d_lut))
+        finally:
+            slab_kernel.occupancy_grid_smooth = orig
+
+    # the skip must actually engage on the sparse sphere
+    occ = np.asarray(slab_kernel.occupancy_grid_smooth(vol_perm, p.density_threshold))
+    assert occ.mean() < 0.9
+    assert outs[True][0][0, 3].max() > 0.01, "rays miss all content"
+    for a, b, name in zip(outs[False], outs[True], ("out", "d_vol", "d_lut")):
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)

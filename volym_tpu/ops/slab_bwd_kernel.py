@@ -167,6 +167,7 @@ def _replay_kernel(
     smoothing: bool = False,
     num_steps: int = 0,
     camera_grads: bool = True,
+    occ_margin: float = 1.0,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -201,6 +202,27 @@ def _replay_kernel(
         & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
     )
     chunk_active = jnp.any(can_contribute) | (jb == 0)
+    if smoothing and occ_ref is not None:
+        # same block-level dilated-occupancy gate as the forward
+        # (fwd_mod._march_kernel): skips the stencil prologue wholesale
+        block_occ = jnp.array(False)
+        for i in range(slab_batch):
+            jf_i = (jb * slab_batch + i).astype(jnp.float32)
+            r_i = jnp.clip(
+                feat0[F_RS : F_RS + 1, :] * jf_i + feat0[F_RB : F_RB + 1, :],
+                0.0, slice_ref.shape[1] - 1.0,
+            )
+            c_i = jnp.clip(
+                feat0[F_CS : F_CS + 1, :] * jf_i + feat0[F_CB : F_CB + 1, :],
+                0.0, slice_ref.shape[2] - 1.0,
+            )
+            t_i = feat0[F_TS : F_TS + 1, :] * jf_i + feat0[F_TB : F_TB + 1, :]
+            block_occ = block_occ | fwd_mod._step_occupied(
+                occ_ref, i if march_sign > 0 else slab_batch - 1 - i,
+                feat0, t_i, r_i, c_i,
+                slice_ref.shape[1], slice_ref.shape[2], margin=occ_margin,
+            )
+        chunk_active = chunk_active & (block_occ | (jb == 0))
 
     @pl.when(jnp.logical_not(chunk_active))
     def _skip():
@@ -274,6 +296,7 @@ def _replay_kernel(
                 density_override=None if smooth_rows is None else smooth_rows[i],
                 dsmooth_dts=None if dts_rows is None else dts_rows[i],
                 camera_grads=camera_grads,
+                occ_margin=occ_margin,
             )
 
 
@@ -282,7 +305,7 @@ def _replay_step(
     dfeat_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     occ_ref=None, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
-    density_override=None, dsmooth_dts=None, camera_grads=True,
+    density_override=None, dsmooth_dts=None, camera_grads=True, occ_margin=1.0,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
@@ -302,7 +325,7 @@ def _replay_step(
         return
 
     occupied = fwd_mod._step_occupied(
-        occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc
+        occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc, margin=occ_margin
     )
 
     @pl.when(occupied)
@@ -927,10 +950,7 @@ def backward_shaded(
     grad_index = (lambda c, j: (0, j, 0, 0)) if sign > 0 else (
         lambda c, j: (0, n_blocks - 1 - j, 0, 0)
     )
-    occupancy = (
-        nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
-        and not smoothing
-    )
+    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
@@ -945,6 +965,7 @@ def backward_shaded(
         smoothing=smoothing,
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
+        occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
@@ -968,7 +989,11 @@ def backward_shaded(
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         inputs.append(imp_perm)
     if occupancy:
-        occ = fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+        occ = (
+            fwd_mod.occupancy_grid_smooth(vol_perm, params.density_threshold)
+            if smoothing
+            else fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+        )
         in_specs.append(
             pl.BlockSpec(
                 (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slab_index
@@ -1111,11 +1136,8 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_blocks - 1 - j, 0, 0)
     )
-    # the raw-density occupancy mask is not sound under smoothing (fwd rule)
-    occupancy = (
-        nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
-        and not smoothing
-    )
+    # smoothing skips via the dilated grid + widened margin (fwd rule)
+    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
@@ -1129,6 +1151,7 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         smoothing=smoothing,
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
+        occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
@@ -1153,7 +1176,11 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         inputs.append(imp_perm)
     if occupancy:
-        occ = fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+        occ = (
+            fwd_mod.occupancy_grid_smooth(vol_perm, params.density_threshold)
+            if smoothing
+            else fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+        )
         in_specs.append(
             pl.BlockSpec(
                 (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slab_index
@@ -1276,10 +1303,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_blocks - 1 - j, 0, 0)
     )
-    occupancy = (
-        nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
-        and not smoothing
-    )
+    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
@@ -1293,6 +1317,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         smoothing=smoothing,
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
+        occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
@@ -1318,7 +1343,11 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
     inputs.append(imp_perm)
     if occupancy:
-        occ = fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+        occ = (
+            fwd_mod.occupancy_grid_smooth(vol_perm, params.density_threshold)
+            if smoothing
+            else fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+        )
         in_specs.append(
             pl.BlockSpec(
                 (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slab_index

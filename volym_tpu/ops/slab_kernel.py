@@ -74,6 +74,7 @@ def _march_kernel(
     occupancy: bool = False,
     lookahead: bool = False,
     smoothing: bool = False,
+    occ_margin: float = 1.0,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -107,6 +108,28 @@ def _march_kernel(
         & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
     )
     chunk_active = jnp.any(can_contribute)
+    if smoothing and occ_ref is not None:
+        # gate the (expensive) stencil prologue on the whole BLOCK's
+        # dilated-occupancy footprint; per-step checks then gate the steps
+        feat_g = feat_ref[0]
+        block_occ = jnp.array(False)
+        for i in range(slab_batch):
+            jf_i = (J * slab_batch + i).astype(jnp.float32)
+            r_i = jnp.clip(
+                feat_g[F_RS : F_RS + 1, :] * jf_i + feat_g[F_RB : F_RB + 1, :],
+                0.0, slice_ref.shape[1] - 1.0,
+            )
+            c_i = jnp.clip(
+                feat_g[F_CS : F_CS + 1, :] * jf_i + feat_g[F_CB : F_CB + 1, :],
+                0.0, slice_ref.shape[2] - 1.0,
+            )
+            t_i = feat_g[F_TS : F_TS + 1, :] * jf_i + feat_g[F_TB : F_TB + 1, :]
+            block_occ = block_occ | _step_occupied(
+                occ_ref, i if march_sign > 0 else slab_batch - 1 - i,
+                feat_g, t_i, r_i, c_i,
+                slice_ref.shape[1], slice_ref.shape[2], margin=occ_margin,
+            )
+        chunk_active = chunk_active & block_occ
 
     @pl.when(chunk_active | (J == 0))
     def _steps():
@@ -163,6 +186,7 @@ def _march_kernel(
                 precision=precision, win_rows=win_rows, occ_ref=occ_ref,
                 coloring=coloring, ahead_ref=ahead_ref, ahead_row=i,
                 density_override=None if smooth_rows is None else smooth_rows[i],
+                occ_margin=occ_margin,
             )
 
 
@@ -205,18 +229,47 @@ def occupancy_grid(vol_perm, threshold: float):
     return occ.any(axis=(2, 4)).astype(jnp.float32)
 
 
-def _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc):
+def occupancy_grid_smooth(vol_perm, threshold: float):
+    """Occupancy dilated along the slab axis by the Gaussian stencil's
+    reach (+-SMOOTH_HALO slabs): a smoothed density is a weighted AVERAGE
+    of plain samples from slabs j-3..j+3, so if every sample the stencil
+    can touch lies below the threshold the smoothed value does too, and
+    the step contributes exactly nothing.  The in-plane tap displacement
+    (|u| <= 0.01*N texels) is covered by the margin in _step_occupied."""
+    occ = occupancy_grid(vol_perm, threshold)
+    n = occ.shape[0]
+    idx = jnp.arange(n)
+    dil = occ
+    for off in range(-SMOOTH_HALO, SMOOTH_HALO + 1):
+        if off:
+            dil = jnp.maximum(dil, occ[jnp.clip(idx + off, 0, n - 1)])
+    return dil
+
+
+def smooth_occ_margin(n_slabs: int) -> float:
+    """In-plane footprint margin under Gaussian smoothing: tap march-index
+    offset |u| = |delta|/ts <= GAUSSIAN_KERNEL_SIZE*GAUSSIAN_STEP*N (ts >=
+    1/N), in-plane crossing shift |u|*|slope| <= |u| texels (dominant-axis
+    marching has |slope| <= 1), plus 1 texel of hat support."""
+    from volym_tpu.render.golden import GAUSSIAN_KERNEL_SIZE, GAUSSIAN_STEP
+
+    return 1.0 + GAUSSIAN_KERNEL_SIZE * GAUSSIAN_STEP * n_slabs
+
+
+def _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc, margin=1.0):
     """Scalar: does this step's (active-ray) sampling footprint touch any
-    occupied occupancy block?  +-1 texel margin covers the hat support."""
+    occupied occupancy block?  The default +-1 texel margin covers the hat
+    support; Gaussian smoothing widens it to the stencil's in-plane tap
+    reach (see occupancy_grid_smooth)."""
     active = (
         (feat[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
         & (t >= feat[F_ENTRY : F_ENTRY + 1, :])
         & (t < feat[F_EXIT : F_EXIT + 1, :])
     )
-    rlo = jnp.min(jnp.where(active, rows_c, jnp.float32(nr))) - 1.0
-    rhi = jnp.max(jnp.where(active, rows_c, jnp.float32(-1.0))) + 1.0
-    clo = jnp.min(jnp.where(active, cols_c, jnp.float32(nc))) - 1.0
-    chi = jnp.max(jnp.where(active, cols_c, jnp.float32(-1.0))) + 1.0
+    rlo = jnp.min(jnp.where(active, rows_c, jnp.float32(nr))) - margin
+    rhi = jnp.max(jnp.where(active, rows_c, jnp.float32(-1.0))) + margin
+    clo = jnp.min(jnp.where(active, cols_c, jnp.float32(nc))) - margin
+    chi = jnp.max(jnp.where(active, cols_c, jnp.float32(-1.0))) + margin
     ob = occ_ref[slice_row]  # (NR/32, NC/32)
     br, bc = ob.shape
     by = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0).astype(jnp.float32) * OCC_BLOCK
@@ -404,7 +457,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0, density_override=None):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occ_margin=1.0):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -428,7 +481,10 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             density_override=density_override,
         )
     else:
-        occupied = _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc)
+        occupied = _step_occupied(
+            occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc,
+            margin=occ_margin,
+        )
 
         @pl.when(occupied)
         def _occupied_step():
@@ -669,11 +725,9 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     lookahead = ahead is not None
     shading = params.use_shading
     smoothing = params.use_gaussian_smoothing
-    # smoothing raises values across slabs, so the raw-density occupancy
-    # mask is not a sound skip condition for it
-    occupancy = (
-        nr % OCC_BLOCK == 0 and nc % OCC_BLOCK == 0 and not smoothing
-    )
+    # smoothing mixes values across slabs, so its skip uses the DILATED
+    # occupancy grid + widened footprint margin (occupancy_grid_smooth)
+    occupancy = nr % OCC_BLOCK == 0 and nc % OCC_BLOCK == 0
     # the gradient block is 3x the slice size (and smoothing streams 3
     # slice blocks); cap the batch so the double-buffered blocks fit VMEM.
     # Smoothing NEEDS sb > SMOOTH_HALO: the stencil reads halo rows
@@ -705,6 +759,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         occupancy=occupancy,
         lookahead=lookahead,
         smoothing=smoothing,
+        occ_margin=smooth_occ_margin(n_slabs) if smoothing else 1.0,
     )
     slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
         lambda c, j: (n_blocks - 1 - j, 0, 0)
@@ -735,7 +790,11 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         )
         inputs.append(vol_perm)
     if occupancy:
-        occ = occupancy_grid(vol_perm, params.density_threshold)
+        occ = (
+            occupancy_grid_smooth(vol_perm, params.density_threshold)
+            if smoothing
+            else occupancy_grid(vol_perm, params.density_threshold)
+        )
         in_specs.append(
             pl.BlockSpec((sb, nr // OCC_BLOCK, nc // OCC_BLOCK), slab_index)
         )
