@@ -309,8 +309,7 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(
             "--gaussian", action=argparse.BooleanOptionalAction, default=True,
             help="Gaussian-smoothed sampling (reference default ON, "
-            "src/state.rs:46); forward-only in the slab renderers — "
-            "--no-gaussian for fit/differentiable runs",
+            "src/state.rs:46); differentiable in every renderer",
         )
         p.add_argument(
             "--no-shading", action="store_true",
