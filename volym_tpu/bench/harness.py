@@ -87,25 +87,43 @@ def force_sync(out) -> float:
 
     ``jax.block_until_ready`` is not a reliable fence on the experimental
     axon TPU platform; a device->host fetch is.  Use this to close every
-    timed region."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(np.asarray(leaf).ravel()[0])
+    timed region.  A leafless output (e.g. a side-effecting frame
+    function returning None) is a no-op."""
+    leaves = jax.tree_util.tree_leaves(out)
+    if not leaves:
+        return 0.0
+    return float(np.asarray(leaves[0]).ravel()[0])
 
 
-def run_trial(frame_fn, seconds: float = SECS_PER_TRIAL, warmup: int = 1):
-    """Call ``frame_fn`` (must block until device completion) repeatedly for
-    ``seconds``; returns (frames, elapsed).  The analog of the reference's
-    2-second winit loop with a stop timer (``src/main.rs:347-384``)."""
-    for _ in range(warmup):
+#: frames dispatched between fences (device->host fetches).  The fetch is
+#: a ~60 ms round trip through the axon tunnel — 4x a 256^2 frame's device
+#: time — and is NOT part of rendering (the reference presents device-side
+#: with no readback, src/event_loop.rs:130); dispatch batching amortises
+#: it so FPS reflects device throughput.
+DISPATCH_BATCH = 8
+
+
+def run_trial(frame_fn, seconds: float = SECS_PER_TRIAL, warmup: int = 1,
+              batch: int = DISPATCH_BATCH):
+    """Dispatch ``frame_fn`` repeatedly for ``seconds`` with a fence
+    (``force_sync``) every ``batch`` frames and at the end; returns
+    (frames, elapsed) with every counted frame device-complete.  The
+    analog of the reference's 2-second winit loop with a stop timer
+    (``src/main.rs:347-384``); ``frame_fn`` returns the (possibly still
+    in-flight) frame output."""
+    force_sync(frame_fn())
+    for _ in range(warmup - 1):
         frame_fn()
     frames = 0
+    out = None
     start = time.perf_counter()
     while True:
-        frame_fn()
+        out = frame_fn()
         frames += 1
-        elapsed = time.perf_counter() - start
-        if elapsed >= seconds:
-            return frames, elapsed
+        if frames % batch == 0:
+            force_sync(out)
+            if time.perf_counter() - start >= seconds:
+                return frames, time.perf_counter() - start
 
 
 def bench_config(
@@ -237,15 +255,13 @@ def scaling_table(
         mesh = pmesh.make_mesh(devices[:n])
 
         def frame():
-            force_sync(
-                pmesh.render_sharded(
-                    scene, camera_matrices, params, height, width, mesh,
-                    differentiable=differentiable, backend=backend,
-                )
+            return pmesh.render_sharded(
+                scene, camera_matrices, params, height, width, mesh,
+                differentiable=differentiable, backend=backend,
             )
 
         tr = TrialResults()
-        frame()  # compile outside the timed region
+        force_sync(frame())  # compile outside the timed region
         for _ in range(num_trials):
             frames, dur = run_trial(frame, seconds=seconds)
             tr.add_trial(frames, dur)

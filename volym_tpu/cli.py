@@ -191,11 +191,8 @@ def cmd_benchmark(args) -> int:
 
     def render_factory(params):
         r = make_renderer(scene, params, args.height, args.width, backend=_backend(args))
-
-        def frame():
-            harness.force_sync(r(m))
-
-        return frame
+        # non-blocking dispatch: run_trial fences every DISPATCH_BATCH frames
+        return lambda: r(m)
 
     if args.step_histogram:
         from volym_tpu.render import debug_vis

@@ -224,55 +224,69 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j,
 
     n_dirs = CONE_FEATURES // 7
     ahead = jnp.zeros((1, rays), bool)
+    rows_l, cols_l, inbox_l = [], [], []
     for c in range(n_dirs):
         base = c * 7
 
-        def crow(i):
+        def crow(i, base=base):
             return cf[base + i : base + i + 1, :]
 
         rows_u = crow(CF_RS) * jf + crow(CF_RB)
         cols_u = crow(CF_CS) * jf + crow(CF_CB)
         t_c = crow(CF_TS) * jf + crow(CF_TB)
         rate = crow(CF_RATE)
-        inbox = (
+        inbox_l.append(
             (rows_u >= -0.5) & (rows_u <= nr - 0.5)
             & (cols_u >= -0.5) & (cols_u <= nc - 0.5)
             & (t_c > 0.0)
         )
         ahead = ahead | ((ns_ref[c : c + 1, :] <= jf + d_range * rate) & (rate > 0.0))
+        rows_l.append(jnp.clip(rows_u, 0.0, nr - 1.0))
+        cols_l.append(jnp.clip(cols_u, 0.0, nc - 1.0))
 
-        rows_c = jnp.clip(rows_u, 0.0, nr - 1.0)
-        cols_c = jnp.clip(cols_u, 0.0, nc - 1.0)
-
-        def _sample_update(rows_c=rows_c, cols_c=cols_c, inbox=inbox, c=c):
+    def _sample_update():
+        for c in range(n_dirs):
             s = _boxhat_sample(
-                slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, 0, feat, t
+                slice_ref, slice_row, rows_l[c], cols_l[c], nr, nc, rays, 0,
+                feat, t,
             )
-            hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox
+            hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox_l[c]
             ns_ref[c : c + 1, :] = jnp.where(hit, jf, ns_ref[c : c + 1, :])
 
-        if occ_ref is None:
-            _sample_update()
-        else:
-            # footprint bounds over in-box crossings of this direction
-            rlo = jnp.min(jnp.where(inbox, rows_c, jnp.float32(nr))) - 1.0
-            rhi = jnp.max(jnp.where(inbox, rows_c, jnp.float32(-1.0))) + 1.0
-            clo = jnp.min(jnp.where(inbox, cols_c, jnp.float32(nc))) - 1.0
-            chi = jnp.max(jnp.where(inbox, cols_c, jnp.float32(-1.0))) + 1.0
-            ob = occ_ref[slice_row]
-            br, bc = ob.shape
-            blk = fwd_mod.OCC_BLOCK
-            by = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0).astype(jnp.float32) * blk
-            bx = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1).astype(jnp.float32) * blk
-            inside = (
-                (by + (blk - 1) >= rlo) & (by <= rhi)
-                & (bx + (blk - 1) >= clo) & (bx <= chi)
-            )
-            occupied = jnp.any((ob > 0.5) & inside) & jnp.any(inbox)
+    if occ_ref is None:
+        _sample_update()
+    else:
+        # ONE footprint test for the UNION of all 8 directions: the
+        # per-direction scaffold (a pl.when + 4 scalar reductions each)
+        # dominated this kernel, not the sampling matmuls — stacking the
+        # directions along sublanes costs one reduce per bound and one
+        # branch per step.  A union-unoccupied step can update nothing
+        # (every direction's samples are < the importance threshold).
+        rows_all = jnp.concatenate(rows_l, axis=0)    # (8, R)
+        cols_all = jnp.concatenate(cols_l, axis=0)
+        # concat via f32: Mosaic can't relayout i1 vregs for concatenate
+        inbox_all = (
+            jnp.concatenate([b.astype(jnp.float32) for b in inbox_l], axis=0)
+            > 0.5
+        )
+        rlo = jnp.min(jnp.where(inbox_all, rows_all, jnp.float32(nr))) - 1.0
+        rhi = jnp.max(jnp.where(inbox_all, rows_all, jnp.float32(-1.0))) + 1.0
+        clo = jnp.min(jnp.where(inbox_all, cols_all, jnp.float32(nc))) - 1.0
+        chi = jnp.max(jnp.where(inbox_all, cols_all, jnp.float32(-1.0))) + 1.0
+        ob = occ_ref[slice_row]
+        br, bc = ob.shape
+        blk = fwd_mod.OCC_BLOCK
+        by = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0).astype(jnp.float32) * blk
+        bx = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1).astype(jnp.float32) * blk
+        inside = (
+            (by + (blk - 1) >= rlo) & (by <= rhi)
+            & (bx + (blk - 1) >= clo) & (bx <= chi)
+        )
+        occupied = jnp.any((ob > 0.5) & inside) & jnp.any(inbox_all)
 
-            @pl.when(occupied)
-            def _do(_f=_sample_update):
-                _f()
+        @pl.when(occupied)
+        def _do():
+            _sample_update()
 
     ahead_ref[0, row] = (ahead & valid).astype(jnp.float32)
 
