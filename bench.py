@@ -106,6 +106,12 @@ def main() -> int:
         interpolation="trilinear",
         adaptive_stepping=False,
         use_shading=False,
+        # the benchmark loss differentiates volume + TF only (BASELINE.json
+        # config 4); skip the camera-cotangent chains in the Pallas backward
+        # (d volume / d TF bit-identical — tests/test_slab.py).  The t-step
+        # baseline below likewise computes no camera grads (camera matrices
+        # are closed over, grad is w.r.t. the scene pytree).
+        camera_grads=False,
     )
     scene = Scene.synthetic("bonsai", side=256 if on_tpu else 64)
     cam = Camera(aspect=1.0, distance=1.0).orbit(30.0, 20.0, 0.0)
