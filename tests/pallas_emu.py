@@ -72,13 +72,18 @@ class FakeRef:
 
 
 def _emu_pallas_call(kernel, grid, in_specs, out_specs, out_shape,
-                     scratch_shapes=(), **_kw):
+                     scratch_shapes=(), input_output_aliases=None, **_kw):
     out_list = isinstance(out_shape, (list, tuple))
     out_shapes = list(out_shape) if out_list else [out_shape]
     out_specs_l = list(out_specs) if isinstance(out_specs, (list, tuple)) else [out_specs]
+    aliases = dict(input_output_aliases or {})
 
     def run(*inputs):
         outs = [jnp.zeros(o.shape, o.dtype) for o in out_shapes]
+        # an aliased output shares the input's HBM buffer: it starts as the
+        # input's contents, and aliased-input reads observe prior writes
+        for k, tgt in aliases.items():
+            outs[tgt] = jnp.asarray(inputs[k])
         scratch = [FakeRef(jnp.zeros(s.shape, s.dtype)) for s in scratch_shapes]
         # itertools.product iterates the LAST grid axis fastest — pallas order
         for idx in itertools.product(*[range(g) for g in grid]):
@@ -92,7 +97,10 @@ def _emu_pallas_call(kernel, grid, in_specs, out_specs, out_shape,
                 )
                 return sl, arr[sl]
 
-            in_refs = [FakeRef(block(s, a)[1]) for s, a in zip(in_specs, inputs)]
+            in_refs = [
+                FakeRef(block(s, outs[aliases[k]] if k in aliases else a)[1])
+                for k, (s, a) in enumerate(zip(in_specs, inputs))
+            ]
             out_sls, out_refs = [], []
             for spec, arr in zip(out_specs_l, outs):
                 sl, blk = block(spec, arr)

@@ -845,6 +845,61 @@ def test_camera_grads_flag(scene, cam, shading):
     np.testing.assert_array_equal(outs[False][2], 0.0)
 
 
+def test_inverted_grid_matches_chunk_outer(cam):
+    """The slab-outer (inverted) grid with aliased accumulators must be
+    bit-identical to the chunk-outer grid: forward, both backward passes,
+    and the look-ahead pre-pass, on a >= INVERT_MIN_CHUNKS render."""
+    from volym_tpu.ops import lookahead_kernel
+
+    res = 96  # 9 chunks of 32x32 rays > INVERT_MIN_CHUNKS
+    sc = _lookahead_scene()
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(sc.volume, major)
+    imp_perm = slab.permute_volume(sc.importance, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, res, res, vol_perm.shape[0], major, sign, layout
+    )
+    assert feats.shape[0] >= slab_kernel.INVERT_MIN_CHUNKS
+    wvec = jnp.cos(
+        jnp.arange(
+            feats.shape[0] * 4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32
+        )
+        * 0.1
+    ).reshape(feats.shape[0], 4, slab_kernel.RAYS_PER_CHUNK)
+
+    outs = {}
+    orig = slab_kernel.INVERT_MIN_CHUNKS
+    for label, floor in (("inverted", orig), ("chunk_outer", 10**9)):
+        slab_kernel.INVERT_MIN_CHUNKS = floor
+        try:
+            with emulate(slab_kernel, slab_bwd_kernel, lookahead_kernel):
+                ahead = lookahead_kernel.lookahead_call(sign, imp_perm, feats)
+                out = slab_kernel._forward_call(
+                    PARAMS, sign, vol_perm, sc.tf_lut, feats
+                )
+                d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
+                    PARAMS, major, sign, vol_perm, sc.tf_lut, feats, out, wvec
+                )
+            outs[label] = tuple(
+                np.asarray(x) for x in (ahead, out, d_vol, d_lut, d_feats)
+            )
+        finally:
+            slab_kernel.INVERT_MIN_CHUNKS = orig
+
+    names = ("ahead", "out", "d_vol", "d_lut", "d_feats")
+    assert outs["chunk_outer"][1][:, 3].max() > 0.01, "rays miss all content"
+    assert np.abs(outs["chunk_outer"][2]).max() > 0
+    for name, a, b in zip(names, outs["inverted"], outs["chunk_outer"]):
+        if name == "d_lut":
+            # the shared LUT accumulator sums iterations in a different
+            # order (j-outer vs c-outer) -> f32 non-associativity only
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_smoothing_occupancy_skip_is_exact(cam):
     """The dilated-occupancy skip under Gaussian smoothing (64^3 engages
     the 32-texel occupancy blocks) must not change forward or gradients

@@ -102,21 +102,28 @@ def _boxhat_sample(slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows,
 def _straight_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC) importance slices (physical order)
-    *rest,      # [occ_ref] ahead_ref, ns_ref (scratch)
+    *rest,      # [occ_ref] [ns_in_ref if inverted] ahead_ref,
+                # [ns_out_ref if inverted] ns_ref (scratch)
     win_rows: int,
     slab_batch: int,
     march_sign: int,
     n_blocks: int,
     occupancy: bool,
+    inverted: bool = False,
 ):
     rest = list(rest)
     occ_ref = rest.pop(0) if occupancy else None
-    ahead_ref, ns_ref = rest
-    jb = pl.program_id(1)
+    if inverted:
+        ns_in_ref, ahead_ref, ns_out_ref, ns_ref = rest
+        jb = pl.program_id(0)
+        ns_ref[:] = ns_in_ref[0]
+    else:
+        ahead_ref, ns_ref = rest
+        jb = pl.program_id(1)
 
-    @pl.when(jb == 0)
-    def _init():
-        ns_ref[:] = jnp.full_like(ns_ref, _FAR)
+        @pl.when(jb == 0)
+        def _init():
+            ns_ref[:] = jnp.full_like(ns_ref, _FAR)
 
     mb = n_blocks - 1 - jb  # march-order block (marching far -> near)
     for i in reversed(range(slab_batch)):
@@ -127,6 +134,8 @@ def _straight_kernel(
             slice_row=i if march_sign > 0 else slab_batch - 1 - i,
             win_rows=win_rows,
         )
+    if inverted:
+        ns_out_ref[0] = ns_ref[:]
 
 
 def _straight_step(feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row, win_rows):
@@ -178,20 +187,27 @@ def _cone_kernel(
     feat_ref,   # (1, 16, R) main-ray features
     cfeat_ref,  # (1, 56, R) per-cone-direction coefficients
     slice_ref,  # (sb, NR, NC) importance slices
-    *rest,      # [occ_ref] ahead_ref, ns_ref (scratch, (8, R))
+    *rest,      # [occ_ref] [ns_in_ref if inverted] ahead_ref,
+                # [ns_out_ref if inverted] ns_ref (scratch, (8, R))
     slab_batch: int,
     march_sign: int,
     n_blocks: int,
     occupancy: bool,
+    inverted: bool = False,
 ):
     rest = list(rest)
     occ_ref = rest.pop(0) if occupancy else None
-    ahead_ref, ns_ref = rest
-    jb = pl.program_id(1)
+    if inverted:
+        ns_in_ref, ahead_ref, ns_out_ref, ns_ref = rest
+        jb = pl.program_id(0)
+        ns_ref[:] = ns_in_ref[0]
+    else:
+        ahead_ref, ns_ref = rest
+        jb = pl.program_id(1)
 
-    @pl.when(jb == 0)
-    def _init():
-        ns_ref[:] = jnp.full_like(ns_ref, _FAR)
+        @pl.when(jb == 0)
+        def _init():
+            ns_ref[:] = jnp.full_like(ns_ref, _FAR)
 
     mb = n_blocks - 1 - jb
     for i in reversed(range(slab_batch)):
@@ -201,6 +217,8 @@ def _cone_kernel(
             row=i,
             slice_row=i if march_sign > 0 else slab_batch - 1 - i,
         )
+    if inverted:
+        ns_out_ref[0] = ns_ref[:]
 
 
 def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row):
@@ -305,22 +323,26 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
     # the pre-pass only ever THRESHOLDS importance — binarise up front so
     # the sampling matmuls can run single-pass bf16 and stay exact
     imp_perm = (imp_perm >= IMPORTANT_AHEAD_THRESHOLD).astype(jnp.float32)
+    inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
 
+    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
     # physical slab block for reverse-march grid step jb
-    slice_index = (
+    slice_index = W(
         (lambda c, j: (n_blocks - 1 - j, 0, 0))
         if sign > 0
         else (lambda c, j: (j, 0, 0))
     )
-    ahead_index = lambda c, j: (c, n_blocks - 1 - j, 0, 0)  # march order
+    ahead_index = W(lambda c, j: (c, n_blocks - 1 - j, 0, 0))  # march order
 
     in_specs = [
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
     ]
     inputs = [feats]
     if cone_feats is not None:
         in_specs.append(
-            pl.BlockSpec((1, CONE_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0))
+            pl.BlockSpec(
+                (1, CONE_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))
+            )
         )
         inputs.append(cone_feats)
     in_specs.append(pl.BlockSpec((sb, nr, nc), slice_index))
@@ -334,26 +356,49 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
         )
         inputs.append(occ)
 
+    n_dirs = CONE_FEATURES // 7 if cone_feats is not None else 1
     if cone_feats is not None:
         kernel = partial(
             _cone_kernel, slab_batch=sb, march_sign=sign, n_blocks=n_blocks,
-            occupancy=occupancy,
+            occupancy=occupancy, inverted=inverted,
         )
-        scratch = [pltpu.VMEM((CONE_FEATURES // 7, RAYS_PER_CHUNK), jnp.float32)]
     else:
         kernel = partial(
             _straight_kernel, win_rows=win_rows, slab_batch=sb,
             march_sign=sign, n_blocks=n_blocks, occupancy=occupancy,
+            inverted=inverted,
         )
-        scratch = [pltpu.VMEM((1, RAYS_PER_CHUNK), jnp.float32)]
+    scratch = [pltpu.VMEM((n_dirs, RAYS_PER_CHUNK), jnp.float32)]
 
-    return pl.pallas_call(
+    aliases = {}
+    out_specs = [pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), ahead_index)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32)
+    ]
+    if inverted:
+        # per-chunk next-important state round-trips through an aliased
+        # HBM block between revisits (see fwd_mod.INVERT_MIN_CHUNKS)
+        in_specs.append(
+            pl.BlockSpec((1, n_dirs, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        inputs.append(
+            jnp.full((n_chunks, n_dirs, RAYS_PER_CHUNK), _FAR, jnp.float32)
+        )
+        aliases = {len(inputs) - 1: 1}
+        out_specs.append(
+            pl.BlockSpec((1, n_dirs, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_chunks, n_dirs, RAYS_PER_CHUNK), jnp.float32)
+        )
+
+    res = pl.pallas_call(
         kernel,
-        grid=(n_chunks, n_blocks),
+        grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), ahead_index),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32
-        ),
+        out_specs=out_specs if inverted else out_specs[0],
+        out_shape=out_shape if inverted else out_shape[0],
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
     )(*inputs)
+    return res[0] if inverted else res

@@ -153,7 +153,9 @@ def _replay_kernel(
     *rest,      # [prev_ref, next_ref if smoothing]
                 # [imp_ref if coloring|lookahead] [occ_ref if occupancy]
                 # [grad_ref if shading] [ahead_ref if lookahead] lut_ref(B),
-                # fin_ref, gimg_ref, dd_ref, dlut_ref, acc_ref (scratch)
+                # fin_ref, gimg_ref, [acc_in_ref, dfeat_in_ref if inverted]
+                # dd_ref, dlut_ref, dfeat_ref, [acc_out_ref if inverted]
+                # acc_ref (scratch)
     bilinear: bool,
     early_alpha: float,
     threshold: float,
@@ -168,6 +170,7 @@ def _replay_kernel(
     num_steps: int = 0,
     camera_grads: bool = True,
     occ_margin: float = 1.0,
+    inverted: bool = False,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -176,17 +179,28 @@ def _replay_kernel(
     occ_ref = rest.pop(0) if occupancy else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
-    lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, dfeat_ref, acc_ref = rest
-    jb = pl.program_id(1)
+    if inverted:
+        (lut_ref, fin_ref, gimg_ref, acc_in_ref, dfeat_in_ref, dd_ref,
+         dlut_ref, dfeat_ref, acc_out_ref, acc_ref) = rest
+        jb = pl.program_id(0)
+    else:
+        lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, dfeat_ref, acc_ref = rest
+        jb = pl.program_id(1)
 
-    @pl.when((pl.program_id(0) == 0) & (jb == 0))
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _init_lut():
         dlut_ref[:] = jnp.zeros_like(dlut_ref)
 
-    @pl.when(jb == 0)
-    def _init_acc():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
+    if inverted:
+        # slab-outer grid: per-chunk replay state + accumulated d_feats
+        # round-trip through aliased HBM blocks between revisits
+        acc_ref[:] = acc_in_ref[0]
+        dfeat_ref[0] = dfeat_in_ref[0]
+    else:
+        @pl.when(jb == 0)
+        def _init_acc():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
 
     # same whole-chunk skip as the forward: saturated, exited, or
     # not-yet-entered rays contribute zero cotangents, so emit zero
@@ -238,7 +252,7 @@ def _replay_kernel(
             # the prev/cur/next blocks, then per-sub-step smoothed density
             # AND its d/dF_TS (the tap offsets u = delta/ts are the only
             # smooth-weight dependence on the feats that isn't a mask)
-            jbv = pl.program_id(1)
+            jbv = jb
 
             def local_row(i):
                 return i if march_sign > 0 else slab_batch - 1 - i
@@ -298,6 +312,9 @@ def _replay_kernel(
                 camera_grads=camera_grads,
                 occ_margin=occ_margin,
             )
+
+    if inverted:
+        acc_out_ref[0] = acc_ref[:]
 
 
 def _replay_step(
@@ -729,12 +746,12 @@ def _feats_grad_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC) volume slices for this march block
     dd_ref,     # (1, sb, 1, R) PLAIN-row density cotangent (march order)
-    dfeat_ref,  # (1, 16, R) out, accumulated across the block grid axis
-    *,
+    *rest,      # [dfeat_in_ref if inverted] dfeat_ref (out)
     bilinear: bool,
     win_rows: int = 0,
     slab_batch: int = 1,
     march_sign: int = 1,
+    inverted: bool = False,
 ):
     """Pass 2b (Gaussian smoothing only): the rows/cols camera chain of the
     plain density rows.  In the unsmoothed replay this chain is fused into
@@ -743,11 +760,17 @@ def _feats_grad_kernel(
     transpose; this kernel re-derives each row's bilinear-hat derivative
     (one dhat_y matmul + one hat_y matmul per step) and accumulates the
     F_RS/F_RB/F_CS/F_CB rows of d_feats."""
-    jb = pl.program_id(1)
+    if inverted:
+        dfeat_in_ref, dfeat_ref = rest
+        jb = pl.program_id(0)
+        dfeat_ref[0] = dfeat_in_ref[0]
+    else:
+        (dfeat_ref,) = rest
+        jb = pl.program_id(1)
 
-    @pl.when(jb == 0)
-    def _init():
-        dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
+        @pl.when(jb == 0)
+        def _init():
+            dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
 
     feat = feat_ref[0]
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
@@ -798,6 +821,51 @@ def _feats_grad_kernel(
                 axis=0,
             )
             dfeat_ref[0] = dfeat_ref[0] + delta
+
+
+def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign):
+    """Driver for pass 2b (:func:`_feats_grad_kernel`): slab-outer inverted
+    grid with an aliased d_feats accumulator when the chunk count allows
+    (see ``fwd_mod.INVERT_MIN_CHUNKS``)."""
+    n_chunks = feats.shape[0]
+    n_slabs, nr, nc = vol_perm.shape
+    n_blocks = n_slabs // sb
+    inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
+    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
+    slab_index = W(
+        (lambda c, j: (j, 0, 0)) if sign > 0 else (
+            lambda c, j: (n_blocks - 1 - j, 0, 0)
+        )
+    )
+    fg = partial(
+        _feats_grad_kernel, bilinear=bilinear, win_rows=win_rows,
+        slab_batch=sb, march_sign=sign, inverted=inverted,
+    )
+    in_specs = [
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+        pl.BlockSpec((sb, nr, nc), slab_index),
+        pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
+    ]
+    inputs = [feats, vol_perm, dd]
+    aliases = {}
+    if inverted:
+        in_specs.append(
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
+        aliases = {len(inputs) - 1: 0}
+    return pl.pallas_call(
+        fg,
+        grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
+        ),
+        input_output_aliases=aliases,
+    )(*inputs)
 
 
 def _voxel_grad_kernel(
@@ -943,12 +1011,18 @@ def backward_shaded(
         )
     n_blocks = n_slabs // sb
     b = fwd_mod.lut_groups(lut)
+    inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
 
-    slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
-        lambda c, j: (n_blocks - 1 - j, 0, 0)
+    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
+    slab_index = W(
+        (lambda c, j: (j, 0, 0)) if sign > 0 else (
+            lambda c, j: (n_blocks - 1 - j, 0, 0)
+        )
     )
-    grad_index = (lambda c, j: (0, j, 0, 0)) if sign > 0 else (
-        lambda c, j: (0, n_blocks - 1 - j, 0, 0)
+    grad_index = W(
+        (lambda c, j: (0, j, 0, 0)) if sign > 0 else (
+            lambda c, j: (0, n_blocks - 1 - j, 0, 0)
+        )
     )
     occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
     replay = partial(
@@ -966,9 +1040,10 @@ def backward_shaded(
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
         occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
+        inverted=inverted,
     )
     in_specs = [
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
         pl.BlockSpec((sb, nr, nc), slab_index),
     ]
     inputs = [feats, vol_perm]
@@ -981,9 +1056,9 @@ def backward_shaded(
             next_index = lambda c, j: (
                 n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
             )
-        in_specs.append(pl.BlockSpec((sb, nr, nc), prev_index))
+        in_specs.append(pl.BlockSpec((sb, nr, nc), W(prev_index)))
         inputs.append(vol_perm)
-        in_specs.append(pl.BlockSpec((sb, nr, nc), next_index))
+        in_specs.append(pl.BlockSpec((sb, nr, nc), W(next_index)))
         inputs.append(vol_perm)
     if lookahead:
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
@@ -1004,34 +1079,54 @@ def backward_shaded(
     inputs.append(grad_perm)
     if lookahead:
         in_specs.append(
-            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0))
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0)))
         )
         inputs.append(ahead)
     in_specs += [
-        pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
     ]
     inputs += [b, fin, g_img]
-    dd4, d_lut, d_feats = pl.pallas_call(
+    aliases = {}
+    out_specs = [
+        pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
+        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_chunks, n_slabs, 4, RAYS_PER_CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
+    ]
+    if inverted:
+        in_specs.append(
+            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
+        aliases[len(inputs) - 1] = 3  # acc_in -> acc_out
+        in_specs.append(
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
+        aliases[len(inputs) - 1] = 2  # dfeat_in -> d_feats
+        out_specs.append(
+            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
+        )
+    res = pl.pallas_call(
         replay,
-        grid=(n_chunks, n_blocks),
+        grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
-            pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_chunks, n_slabs, 4, RAYS_PER_CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct(b.shape, jnp.float32),
-            jax.ShapeDtypeStruct(
-                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
-            ),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
         compiler_params=fwd_mod.vmem_params(smoothing),
+        input_output_aliases=aliases,
     )(*inputs)
+    dd4, d_lut, d_feats = res[0], res[1], res[2]
     d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
 
     if smoothing:
@@ -1073,29 +1168,10 @@ def backward_shaded(
     if smoothing and bilinear and params.camera_grads:
         # Pass 2b on the density channel (see backward()): the plain rows'
         # own hats chain, unavailable during the replay under smoothing
-        fg = partial(
-            _feats_grad_kernel, bilinear=bilinear, win_rows=win_rows,
-            slab_batch=sb, march_sign=sign,
+        d_feats2 = _run_feats_grad(
+            feats, vol_perm, dd4[:, :, 0:1, :], bilinear=bilinear,
+            win_rows=win_rows, sb=sb, sign=sign,
         )
-        d_feats2 = pl.pallas_call(
-            fg,
-            grid=(n_chunks, n_blocks),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)
-                ),
-                pl.BlockSpec((sb, nr, nc), slab_index),
-                pl.BlockSpec(
-                    (1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
-            ),
-        )(feats, vol_perm, dd4[:, :, 0:1, :])
         d_feats = d_feats + d_feats2
 
     return d_vol, d_grad, d_lut, d_feats
@@ -1132,9 +1208,15 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         )
     n_blocks = n_slabs // sb
     b = fwd_mod.lut_groups(lut)
+    inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
 
-    slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
-        lambda c, j: (n_blocks - 1 - j, 0, 0)
+    # index maps below are written in (chunk, block) order; W re-orders the
+    # arguments for the inverted (slab-outer) grid — see INVERT_MIN_CHUNKS
+    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
+    slab_index = W(
+        (lambda c, j: (j, 0, 0)) if sign > 0 else (
+            lambda c, j: (n_blocks - 1 - j, 0, 0)
+        )
     )
     # smoothing skips via the dilated grid + widened margin (fwd rule)
     occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
@@ -1152,9 +1234,10 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
         occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
+        inverted=inverted,
     )
     in_specs = [
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
         pl.BlockSpec((sb, nr, nc), slab_index),
     ]
     inputs = [feats, vol_perm]
@@ -1168,9 +1251,9 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
             next_index = lambda c, j: (
                 n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
             )
-        in_specs.append(pl.BlockSpec((sb, nr, nc), prev_index))
+        in_specs.append(pl.BlockSpec((sb, nr, nc), W(prev_index)))
         inputs.append(vol_perm)
-        in_specs.append(pl.BlockSpec((sb, nr, nc), next_index))
+        in_specs.append(pl.BlockSpec((sb, nr, nc), W(next_index)))
         inputs.append(vol_perm)
     if lookahead:
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
@@ -1189,33 +1272,54 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         inputs.append(occ)
     if lookahead:
         in_specs.append(
-            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0))
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0)))
         )
         inputs.append(ahead)
     in_specs += [
-        pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
     ]
     inputs += [b, fin, g_img]
-    d_density, d_lut, d_feats = pl.pallas_call(
+    aliases = {}
+    out_specs = [
+        pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
+        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
+    ]
+    if inverted:
+        # aliased per-chunk state: replay accumulator + accumulated d_feats
+        in_specs.append(
+            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
+        aliases[len(inputs) - 1] = 3  # acc_in -> acc_out
+        in_specs.append(
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
+        aliases[len(inputs) - 1] = 2  # dfeat_in -> d_feats
+        out_specs.append(
+            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
+        )
+    res = pl.pallas_call(
         replay,
-        grid=(n_chunks, n_blocks),
+        grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
-            pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct(b.shape, jnp.float32),
-            jax.ShapeDtypeStruct(
-                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
-            ),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+        input_output_aliases=aliases,
     )(*inputs)
+    d_density, d_lut, d_feats = res[0], res[1], res[2]
     d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
 
     if smoothing:
@@ -1247,29 +1351,10 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         # Pass 2b: the plain rows' own bilinear-hat camera chain (fused
         # into pass 1 when unsmoothed; see _feats_grad_kernel).  Box
         # (nearest) hats have zero coordinate gradient -> skipped.
-        fg = partial(
-            _feats_grad_kernel, bilinear=bilinear, win_rows=win_rows,
-            slab_batch=sb, march_sign=sign,
+        d_feats2 = _run_feats_grad(
+            feats, vol_perm, d_density, bilinear=bilinear,
+            win_rows=win_rows, sb=sb, sign=sign,
         )
-        d_feats2 = pl.pallas_call(
-            fg,
-            grid=(n_chunks, n_blocks),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)
-                ),
-                pl.BlockSpec((sb, nr, nc), slab_index),
-                pl.BlockSpec(
-                    (1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
-            ),
-        )(feats, vol_perm, d_density)
         d_feats = d_feats + d_feats2
 
     return d_vol, d_lut, d_feats
@@ -1299,9 +1384,13 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     n_blocks = n_slabs // sb
     # dummy grouped LUT — the coloring replay never reads it
     b = jnp.zeros((4 * (256 // fwd_mod.TF_GROUP), fwd_mod.TF_GROUP + 1), jnp.float32)
+    inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
 
-    slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
-        lambda c, j: (n_blocks - 1 - j, 0, 0)
+    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
+    slab_index = W(
+        (lambda c, j: (j, 0, 0)) if sign > 0 else (
+            lambda c, j: (n_blocks - 1 - j, 0, 0)
+        )
     )
     occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
     replay = partial(
@@ -1318,9 +1407,10 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
         occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
+        inverted=inverted,
     )
     in_specs = [
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
         pl.BlockSpec((sb, nr, nc), slab_index),
     ]
     inputs = [feats, vol_perm]
@@ -1336,9 +1426,9 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
             next_index = lambda c, j: (
                 n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
             )
-        in_specs.append(pl.BlockSpec((sb, nr, nc), prev_index))
+        in_specs.append(pl.BlockSpec((sb, nr, nc), W(prev_index)))
         inputs.append(vol_perm)
-        in_specs.append(pl.BlockSpec((sb, nr, nc), next_index))
+        in_specs.append(pl.BlockSpec((sb, nr, nc), W(next_index)))
         inputs.append(vol_perm)
     in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
     inputs.append(imp_perm)
@@ -1355,29 +1445,49 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         )
         inputs.append(occ)
     in_specs += [
-        pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
     ]
     inputs += [b, fin, g_img]
-    d_imp_steps, _dlut, d_feats = pl.pallas_call(
+    aliases = {}
+    out_specs = [
+        pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
+        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
+    ]
+    if inverted:
+        in_specs.append(
+            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
+        aliases[len(inputs) - 1] = 3  # acc_in -> acc_out
+        in_specs.append(
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
+        aliases[len(inputs) - 1] = 2  # dfeat_in -> d_feats
+        out_specs.append(
+            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
+        )
+    res = pl.pallas_call(
         replay,
-        grid=(n_chunks, n_blocks),
+        grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0)),
-            pl.BlockSpec(b.shape, lambda c, j: (0, 0)),
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct(b.shape, jnp.float32),
-            jax.ShapeDtypeStruct(
-                (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
-            ),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+        input_output_aliases=aliases,
     )(*inputs)
+    d_imp_steps, _dlut, d_feats = res[0], res[1], res[2]
 
     # pass 2 with BOX hats: the importance grid is nearest-filtered
     vox = partial(

@@ -47,6 +47,16 @@ MIN_WIN_ROWS = 16
 TILE = 32  # pixel tile side; chunks are TILE*TILE rays
 #: sub-slabs marched per grid step: amortises the ~2us/step grid+DMA floor
 SLAB_BATCH = 8
+#: minimum chunk count for the inverted (slab-outer) grid.  With slabs on
+#: the OUTER grid axis the slice block index is constant across the inner
+#: chunk sweep, so pallas fetches each volume slab block ONCE per frame
+#: instead of once per chunk (4.3 GB -> 67 MB of slice DMA at 256^2) —
+#: measured ~10x on the pure-DMA pattern (scripts/_alias_probe.py).  The
+#: per-chunk accumulator then persists across non-consecutive revisits via
+#: an input/output-aliased HBM block; the revisit distance (n_chunks
+#: iterations) must comfortably exceed the 2-deep DMA pipeline, hence the
+#: floor.
+INVERT_MIN_CHUNKS = 8
 
 # feature row indices in the packed (16, RAYS) block
 F_RS, F_RB, F_CS, F_CB, F_TS, F_TB, F_ENTRY, F_EXIT, F_AEXP, F_SIGNOK = range(10)
@@ -60,7 +70,7 @@ CF_RS, CF_RB, CF_CS, CF_CB, CF_TS, CF_TB, CF_RATE = range(7)
 def _march_kernel(
     feat_ref,  # (1, 16, RAYS)
     slice_ref,  # (sb, NR, NC) volume slices for this march block
-    *rest,  # [occ_ref if occupancy] [imp_ref if coloring] [grad_ref if shading] lut_ref, out_ref
+    *rest,  # [occ_ref if occupancy] [imp_ref if coloring] [grad_ref if shading] lut_ref, [acc_in_ref if inverted], out_ref
     num_steps: int,
     bilinear: bool,
     early_alpha: float,
@@ -75,6 +85,7 @@ def _march_kernel(
     lookahead: bool = False,
     smoothing: bool = False,
     occ_margin: float = 1.0,
+    inverted: bool = False,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -83,12 +94,19 @@ def _march_kernel(
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
-    lut_ref, out_ref = rest
-    J = pl.program_id(1)
+    if inverted:
+        lut_ref, acc_in_ref, out_ref = rest
+        # slab-outer grid: the per-chunk accumulator round-trips through
+        # the aliased HBM block between (non-consecutive) revisits
+        J = pl.program_id(0)
+        out_ref[0] = acc_in_ref[0]
+    else:
+        lut_ref, out_ref = rest
+        J = pl.program_id(1)
 
-    @pl.when(J == 0)
-    def _init():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        @pl.when(J == 0)
+        def _init():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
 
     # Whole-chunk skipping: a ray can contribute in this batch only while
     # it is unsaturated, has not yet marched past its box exit (t is
@@ -742,6 +760,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             f"4 (got {n_slabs}); use the jnp slab renderer or pad the grid"
         )
     n_blocks = n_slabs // sb
+    inverted = n_chunks >= INVERT_MIN_CHUNKS
     kernel = partial(
         _march_kernel,
         num_steps=n_slabs,
@@ -760,13 +779,19 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         lookahead=lookahead,
         smoothing=smoothing,
         occ_margin=smooth_occ_margin(n_slabs) if smoothing else 1.0,
+        inverted=inverted,
     )
-    slab_index = (lambda c, j: (j, 0, 0)) if sign > 0 else (
-        lambda c, j: (n_blocks - 1 - j, 0, 0)
+    # index maps below are written in (chunk, block) order; W re-orders the
+    # arguments for the inverted (slab-outer) grid
+    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
+    slab_index = W(
+        (lambda c, j: (j, 0, 0)) if sign > 0 else (
+            lambda c, j: (n_blocks - 1 - j, 0, 0)
+        )
     )
     slice_spec = pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), slab_index)
     in_specs = [
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
         slice_spec,
     ]
     inputs = [feats, vol_perm]
@@ -782,11 +807,11 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
                 n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
             )
         in_specs.append(
-            pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), prev_index)
+            pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), W(prev_index))
         )
         inputs.append(vol_perm)
         in_specs.append(
-            pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), next_index)
+            pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), W(next_index))
         )
         inputs.append(vol_perm)
     if occupancy:
@@ -807,24 +832,32 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             lambda c, j: (0, n_blocks - 1 - j, 0, 0)
         )
         in_specs.append(
-            pl.BlockSpec((3, sb, vol_perm.shape[1], vol_perm.shape[2]), grad_index)
+            pl.BlockSpec((3, sb, vol_perm.shape[1], vol_perm.shape[2]), W(grad_index))
         )
         inputs.append(grad_perm)
     if lookahead:
         in_specs.append(
-            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda c, j: (c, j, 0, 0))
+            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0)))
         )
         inputs.append(ahead)
     b = lut_groups(lut)
-    in_specs.append(pl.BlockSpec(b.shape, lambda c, j: (0, 0)))
+    in_specs.append(pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))))
     inputs.append(b)
+    aliases = {}
+    if inverted:
+        in_specs.append(
+            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
+        )
+        inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
+        aliases = {len(inputs) - 1: 0}
     return pl.pallas_call(
         kernel,
-        grid=(n_chunks, n_blocks),
+        grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 4, RAYS_PER_CHUNK), lambda c, j: (c, 0, 0)),
+        out_specs=pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32),
         compiler_params=vmem_params(smoothing and shading),
+        input_output_aliases=aliases,
     )(*inputs)
 
 
