@@ -942,3 +942,125 @@ def test_smoothing_occupancy_skip_is_exact(cam):
     assert outs[True][0][0, 3].max() > 0.01, "rays miss all content"
     for a, b, name in zip(outs[False], outs[True], ("out", "d_vol", "d_lut")):
         np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
+
+
+def test_batch_step_meta_matches_per_step(cam):
+    """The (sb, R)-vectorised footprint/window meta must agree exactly with
+    the per-step primitives it replaces (_step_occupied / _window_start),
+    including the smoothing halo extension."""
+    from tests.pallas_emu import FakeRef
+
+    sc = Scene.synthetic("sphere", side=64)  # 64^3: occupancy blocks engage
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(sc.volume, major)
+    n_slabs, nr, nc = vol_perm.shape
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, 32, 32, n_slabs, major, sign, layout
+    )
+    occ = slab_kernel.occupancy_grid(vol_perm, 0.12)
+    sb = 8
+    win = 8  # any multiple of 8 <= nr
+    halo = slab_kernel.SMOOTH_HALO
+    for c in range(feats.shape[0]):
+        feat = feats[c]
+        for jb in range(n_slabs // sb):
+            block = occ[jb * sb : (jb + 1) * sb] if sign > 0 else occ[
+                n_slabs - (jb + 1) * sb : n_slabs - jb * sb
+            ]
+            flags, block_occ, r0s = slab_kernel._batch_step_meta(
+                FakeRef(block), feat, jnp.int32(jb), sb, sign, nr, nc,
+                1.0, win, halo=halo,
+            )
+            assert len(r0s) == sb + 2 * halo
+            for i in range(sb):
+                jf = jnp.float32(jb * sb + i)
+                rows_c = jnp.clip(
+                    feat[0:1] * jf + feat[1:2], 0.0, nr - 1.0
+                )
+                cols_c = jnp.clip(
+                    feat[2:3] * jf + feat[3:4], 0.0, nc - 1.0
+                )
+                t = feat[4:5] * jf + feat[5:6]
+                slice_row = i if sign > 0 else sb - 1 - i
+                want = slab_kernel._step_occupied(
+                    FakeRef(block), slice_row, feat, t, rows_c, cols_c,
+                    nr, nc, margin=1.0,
+                )
+                assert bool(flags[i]) == bool(want), (c, jb, i)
+            # halo > 0 widens the window-placement activity interval by
+            # halo*|ts| (smoothing-stencil readers) — replicate by widening
+            # entry/exit on the feats fed to the per-step primitive
+            slack = jnp.abs(feat[4:5]) * float(halo)
+            featw = feat.at[slab_kernel.F_ENTRY : slab_kernel.F_ENTRY + 1].add(
+                -slack
+            ).at[slab_kernel.F_EXIT : slab_kernel.F_EXIT + 1].add(slack)
+            for off in range(-halo, sb + halo):
+                jf = jnp.float32(jb * sb + off)
+                rows_c = jnp.clip(
+                    feat[0:1] * jf + feat[1:2], 0.0, nr - 1.0
+                )
+                t = feat[4:5] * jf + feat[5:6]
+                want_r0 = slab_kernel._window_start(featw, t, rows_c, nr, win)
+                assert int(r0s[off + halo]) == int(want_r0), (c, jb, off)
+
+
+def test_windowed_smoothing_boundary_rays():
+    """Gaussian smoothing + windowed contraction must match the unwindowed
+    smoothed forward/backward even for rays that EXIT mid-march: their
+    stencil still reads plain rows up to SMOOTH_HALO slabs past the exit,
+    where exact-activity window placement would exclude them (the bug the
+    halo-widened placement mask fixes).  Crafted chunk: group A rows ~20,
+    exiting at slab 32; group B rows ~45, marching the whole way — at
+    slabs 32..34 exact placement follows B only and a 40-row window
+    drops A's taps."""
+    K = slab_kernel
+    big = Scene.synthetic("sphere", side=64)
+    # empty except a dense band straddling group A's exit slab, so no ray
+    # saturates before the boundary and the mid-band taps carry signal
+    vol = np.zeros((64, 64, 64), np.float32)
+    vol[30:38] = 0.6
+    vol_perm = jnp.asarray(vol)
+    R = K.RAYS_PER_CHUNK
+    half = R // 2
+    feats = np.zeros((1, K.N_FEATURES, R), np.float32)
+    feats[0, K.F_RS] = 0.0
+    feats[0, K.F_RB, :half] = 20.0 + np.linspace(0.0, 2.0, half)
+    feats[0, K.F_RB, half:] = 45.0 + np.linspace(0.0, 2.0, half)
+    feats[0, K.F_CS] = 0.01
+    feats[0, K.F_CB] = 30.0
+    feats[0, K.F_TS] = 0.01
+    feats[0, K.F_TB] = 0.0
+    feats[0, K.F_ENTRY] = 0.0
+    feats[0, K.F_EXIT, :half] = 0.01 * 32  # group A dies at slab 32
+    feats[0, K.F_EXIT, half:] = 10.0
+    feats[0, K.F_AEXP] = 0.5
+    feats[0, K.F_SIGNOK] = 1.0
+    feats = jnp.asarray(feats)
+    p = PARAMS.replace(use_gaussian_smoothing=True)
+
+    outs = {}
+    with emulate(slab_kernel):
+        for w in (0, 40):
+            outs[w] = np.asarray(
+                K._forward_call(p, 1, vol_perm, big.tf_lut, feats, win_rows=w)
+            )
+    assert outs[0][0, 3].max() > 0.01, "rays miss all content"
+    np.testing.assert_allclose(outs[40], outs[0], atol=1e-5)
+
+    wvec = jnp.cos(
+        jnp.arange(4 * R, dtype=jnp.float32) * 0.1
+    ).reshape(1, 4, R)
+    grads = {}
+    for w in (0, 40):
+        with emulate(slab_kernel, slab_bwd_kernel):
+            grads[w] = tuple(
+                np.asarray(x) for x in slab_bwd_kernel.backward(
+                    p, 2, 1, vol_perm, big.tf_lut, feats,
+                    jnp.asarray(outs[0]), wvec, win_rows=w,
+                )
+            )
+    assert np.abs(grads[0][0]).max() > 0
+    for name, a, b in zip(("d_vol", "d_lut", "d_feats"), grads[40], grads[0]):
+        np.testing.assert_allclose(a, b, atol=2e-5, err_msg=name)

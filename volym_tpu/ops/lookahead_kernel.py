@@ -69,7 +69,7 @@ def _coords_t(feat, jf):
     return rows_c, cols_c, t
 
 
-def _boxhat_sample(slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows, feat, t):
+def _boxhat_sample(slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows, feat, t, r0=None):
     """Nearest (box-hat) sample of one slice at the ray crossings."""
 
     def boxk(coords, idx):
@@ -81,7 +81,8 @@ def _boxhat_sample(slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows,
         return v if base is None else v + base.astype(jnp.float32)
 
     if win_rows:
-        r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+        if r0 is None:
+            r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
         hat_y = boxk(rows_c, iota(win_rows, r0))
         sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
     else:
@@ -126,19 +127,49 @@ def _straight_kernel(
             ns_ref[:] = jnp.full_like(ns_ref, _FAR)
 
     mb = n_blocks - 1 - jb  # march-order block (marching far -> near)
-    for i in reversed(range(slab_batch)):
-        _straight_step(
-            feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref,
-            j=mb * slab_batch + i,
-            row=i,
-            slice_row=i if march_sign > 0 else slab_batch - 1 - i,
-            win_rows=win_rows,
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+
+    def steps(flags, r0s):
+        for i in reversed(range(slab_batch)):
+            _straight_step(
+                feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref,
+                j=mb * slab_batch + i,
+                row=i,
+                slice_row=i if march_sign > 0 else slab_batch - 1 - i,
+                win_rows=win_rows,
+                occupied=None if flags is None else flags[i],
+                r0=None if r0s is None else r0s[i],
+                sample=flags is not False,
+            )
+
+    if occ_ref is None:
+        _, _, r0s = fwd_mod._batch_step_meta(
+            None, feat_ref[0], mb, slab_batch, march_sign, nr, nc, 1.0,
+            win_rows,
         )
+        steps(None, r0s)
+    else:
+        # batched footprint flags + ONE live/dead branch pair per block:
+        # in a union-unoccupied block no step can update ns, so only the
+        # (branch-free) ahead rows are emitted there
+        flags, block_occ, r0s = fwd_mod._batch_step_meta(
+            occ_ref, feat_ref[0], mb, slab_batch, march_sign, nr, nc, 1.0,
+            win_rows,
+        )
+
+        @pl.when(block_occ)
+        def _live():
+            steps(flags, r0s)
+
+        @pl.when(jnp.logical_not(block_occ))
+        def _dead():
+            steps(False, None)
+
     if inverted:
         ns_out_ref[0] = ns_ref[:]
 
 
-def _straight_step(feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row, win_rows):
+def _straight_step(feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row, win_rows, occupied=None, r0=None, sample=True):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
@@ -163,10 +194,13 @@ def _straight_step(feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, s
     ahead = (ns_ref[:] <= m_end) & valid
     ahead_ref[0, row] = ahead.astype(jnp.float32)
 
+    if not sample:
+        return
+
     def _sample_update():
         s = _boxhat_sample(
             slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows,
-            feat, t,
+            feat, t, r0=r0,
         )
         hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & valid
         ns_ref[:] = jnp.where(hit, jf, ns_ref[:])
@@ -174,9 +208,10 @@ def _straight_step(feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, s
     if occ_ref is None:
         _sample_update()
     else:
-        occupied = fwd_mod._step_occupied(
-            occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc
-        )
+        if occupied is None:
+            occupied = fwd_mod._step_occupied(
+                occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc
+            )
 
         @pl.when(occupied)
         def _do():
@@ -210,18 +245,105 @@ def _cone_kernel(
             ns_ref[:] = jnp.full_like(ns_ref, _FAR)
 
     mb = n_blocks - 1 - jb
-    for i in reversed(range(slab_batch)):
-        _cone_step(
-            feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref,
-            j=mb * slab_batch + i,
-            row=i,
-            slice_row=i if march_sign > 0 else slab_batch - 1 - i,
+    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+
+    def steps(flags):
+        for i in reversed(range(slab_batch)):
+            _cone_step(
+                feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref,
+                j=mb * slab_batch + i,
+                row=i,
+                slice_row=i if march_sign > 0 else slab_batch - 1 - i,
+                occupied=None if flags in (None, False) else flags[i],
+                sample=flags is not False,
+            )
+
+    if occ_ref is None:
+        steps(None)
+    else:
+        flags, block_occ = _cone_union_meta(
+            cfeat_ref[0], occ_ref, mb, slab_batch, march_sign, nr, nc
         )
+
+        @pl.when(block_occ)
+        def _live():
+            steps(flags)
+
+        @pl.when(jnp.logical_not(block_occ))
+        def _dead():
+            steps(False)
+
     if inverted:
         ns_out_ref[0] = ns_ref[:]
 
 
-def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row):
+def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
+    """Per-step UNION footprint flags for the cone directions, computed
+    (sb, R)-vectorised outside any branch (same rationale as
+    fwd_mod._batch_step_meta: the per-step reductions + branches are the
+    scaffold cost, not the sampling).  Returns ``(flags, block_occ)``."""
+    n_dirs = CONE_FEATURES // 7
+    ii = jnp.arange(slab_batch, dtype=jnp.float32)[:, None]  # (sb, 1)
+    jf = (J * slab_batch).astype(jnp.float32) + ii
+
+    rmin = rmax = cmin = cmax = anyin = None
+    for c in range(n_dirs):
+        base = c * 7
+
+        def crow(i, base=base):
+            return cf[base + i : base + i + 1, :]
+
+        rows_u = crow(CF_RS) * jf + crow(CF_RB)  # (sb, R)
+        cols_u = crow(CF_CS) * jf + crow(CF_CB)
+        t_c = crow(CF_TS) * jf + crow(CF_TB)
+        inbox = (
+            (rows_u >= -0.5) & (rows_u <= nr - 0.5)
+            & (cols_u >= -0.5) & (cols_u <= nc - 0.5)
+            & (t_c > 0.0)
+        )
+        rows_c = jnp.clip(rows_u, 0.0, nr - 1.0)
+        cols_c = jnp.clip(cols_u, 0.0, nc - 1.0)
+        rmin_c = jnp.min(jnp.where(inbox, rows_c, jnp.float32(nr)), axis=1)
+        rmax_c = jnp.max(jnp.where(inbox, rows_c, jnp.float32(-1.0)), axis=1)
+        cmin_c = jnp.min(jnp.where(inbox, cols_c, jnp.float32(nc)), axis=1)
+        cmax_c = jnp.max(jnp.where(inbox, cols_c, jnp.float32(-1.0)), axis=1)
+        any_c = jnp.any(inbox, axis=1)
+        if rmin is None:
+            rmin, rmax, cmin, cmax, anyin = rmin_c, rmax_c, cmin_c, cmax_c, any_c
+        else:
+            rmin = jnp.minimum(rmin, rmin_c)
+            rmax = jnp.maximum(rmax, rmax_c)
+            cmin = jnp.minimum(cmin, cmin_c)
+            cmax = jnp.maximum(cmax, cmax_c)
+            anyin = anyin | any_c
+
+    ob = occ_ref[:] > 0.5  # (sb, br, bc) physical order
+    if march_sign <= 0:
+        ob = jnp.flip(ob, axis=0)
+    br, bc = ob.shape[1], ob.shape[2]
+    blk = fwd_mod.OCC_BLOCK
+    by = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 1).astype(
+        jnp.float32
+    ) * blk
+    bx = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 2).astype(
+        jnp.float32
+    ) * blk
+    inside = (
+        (by + (blk - 1) >= (rmin - 1.0)[:, None, None])
+        & (by <= (rmax + 1.0)[:, None, None])
+        & (bx + (blk - 1) >= (cmin - 1.0)[:, None, None])
+        & (bx <= (cmax + 1.0)[:, None, None])
+    )  # (sb, br, bc)
+    hit = jnp.any(ob & inside, axis=(1, 2))  # (sb,)
+    occ_vec = hit & anyin
+    flags = [occ_vec[i] for i in range(slab_batch)]
+    block_occ = flags[0]
+    for f in flags[1:]:
+        block_occ = block_occ | f
+    return flags, block_occ
+
+
+def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     cf = cfeat_ref[0]  # (56, R)
@@ -242,71 +364,51 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j,
 
     n_dirs = CONE_FEATURES // 7
     ahead = jnp.zeros((1, rays), bool)
-    rows_l, cols_l, inbox_l = [], [], []
     for c in range(n_dirs):
-        base = c * 7
-
-        def crow(i, base=base):
-            return cf[base + i : base + i + 1, :]
-
-        rows_u = crow(CF_RS) * jf + crow(CF_RB)
-        cols_u = crow(CF_CS) * jf + crow(CF_CB)
-        t_c = crow(CF_TS) * jf + crow(CF_TB)
-        rate = crow(CF_RATE)
-        inbox_l.append(
-            (rows_u >= -0.5) & (rows_u <= nr - 0.5)
-            & (cols_u >= -0.5) & (cols_u <= nc - 0.5)
-            & (t_c > 0.0)
+        rate = cf[c * 7 + CF_RATE : c * 7 + CF_RATE + 1, :]
+        # loads of ns_ref happen BEFORE this step's update below (a cone
+        # probe looks strictly ahead of the current sample)
+        ahead = ahead | (
+            (ns_ref[c : c + 1, :] <= jf + d_range * rate) & (rate > 0.0)
         )
-        ahead = ahead | ((ns_ref[c : c + 1, :] <= jf + d_range * rate) & (rate > 0.0))
-        rows_l.append(jnp.clip(rows_u, 0.0, nr - 1.0))
-        cols_l.append(jnp.clip(cols_u, 0.0, nc - 1.0))
+    ahead_ref[0, row] = (ahead & valid).astype(jnp.float32)
+
+    if not sample:
+        return
 
     def _sample_update():
         for c in range(n_dirs):
-            s = _boxhat_sample(
-                slice_ref, slice_row, rows_l[c], cols_l[c], nr, nc, rays, 0,
-                feat, t,
+            base = c * 7
+
+            def crow(i, base=base):
+                return cf[base + i : base + i + 1, :]
+
+            rows_u = crow(CF_RS) * jf + crow(CF_RB)
+            cols_u = crow(CF_CS) * jf + crow(CF_CB)
+            t_c = crow(CF_TS) * jf + crow(CF_TB)
+            inbox = (
+                (rows_u >= -0.5) & (rows_u <= nr - 0.5)
+                & (cols_u >= -0.5) & (cols_u <= nc - 0.5)
+                & (t_c > 0.0)
             )
-            hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox_l[c]
+            s = _boxhat_sample(
+                slice_ref, slice_row,
+                jnp.clip(rows_u, 0.0, nr - 1.0),
+                jnp.clip(cols_u, 0.0, nc - 1.0),
+                nr, nc, rays, 0, feat, t,
+            )
+            hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox
             ns_ref[c : c + 1, :] = jnp.where(hit, jf, ns_ref[c : c + 1, :])
 
     if occ_ref is None:
         _sample_update()
     else:
-        # ONE footprint test for the UNION of all 8 directions: the
-        # per-direction scaffold (a pl.when + 4 scalar reductions each)
-        # dominated this kernel, not the sampling matmuls — stacking the
-        # directions along sublanes costs one reduce per bound and one
-        # branch per step.  A union-unoccupied step can update nothing
-        # (every direction's samples are < the importance threshold).
-        rows_all = jnp.concatenate(rows_l, axis=0)    # (8, R)
-        cols_all = jnp.concatenate(cols_l, axis=0)
-        # concat via f32: Mosaic can't relayout i1 vregs for concatenate
-        inbox_all = (
-            jnp.concatenate([b.astype(jnp.float32) for b in inbox_l], axis=0)
-            > 0.5
-        )
-        rlo = jnp.min(jnp.where(inbox_all, rows_all, jnp.float32(nr))) - 1.0
-        rhi = jnp.max(jnp.where(inbox_all, rows_all, jnp.float32(-1.0))) + 1.0
-        clo = jnp.min(jnp.where(inbox_all, cols_all, jnp.float32(nc))) - 1.0
-        chi = jnp.max(jnp.where(inbox_all, cols_all, jnp.float32(-1.0))) + 1.0
-        ob = occ_ref[slice_row]
-        br, bc = ob.shape
-        blk = fwd_mod.OCC_BLOCK
-        by = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0).astype(jnp.float32) * blk
-        bx = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1).astype(jnp.float32) * blk
-        inside = (
-            (by + (blk - 1) >= rlo) & (by <= rhi)
-            & (bx + (blk - 1) >= clo) & (bx <= chi)
-        )
-        occupied = jnp.any((ob > 0.5) & inside) & jnp.any(inbox_all)
-
+        # the union-footprint flag comes precomputed from _cone_union_meta
+        # (batched over the whole slab batch); a union-unoccupied step can
+        # update nothing (every direction's samples are sub-threshold)
         @pl.when(occupied)
         def _do():
             _sample_update()
-
-    ahead_ref[0, row] = (ahead & valid).astype(jnp.float32)
 
 
 def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 0):

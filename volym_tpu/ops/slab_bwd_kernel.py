@@ -216,31 +216,23 @@ def _replay_kernel(
         & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
     )
     chunk_active = jnp.any(can_contribute) | (jb == 0)
-    if smoothing and occ_ref is not None:
-        # same block-level dilated-occupancy gate as the forward
-        # (fwd_mod._march_kernel): skips the stencil prologue wholesale
-        block_occ = jnp.array(False)
-        for i in range(slab_batch):
-            jf_i = (jb * slab_batch + i).astype(jnp.float32)
-            r_i = jnp.clip(
-                feat0[F_RS : F_RS + 1, :] * jf_i + feat0[F_RB : F_RB + 1, :],
-                0.0, slice_ref.shape[1] - 1.0,
-            )
-            c_i = jnp.clip(
-                feat0[F_CS : F_CS + 1, :] * jf_i + feat0[F_CB : F_CB + 1, :],
-                0.0, slice_ref.shape[2] - 1.0,
-            )
-            t_i = feat0[F_TS : F_TS + 1, :] * jf_i + feat0[F_TB : F_TB + 1, :]
-            block_occ = block_occ | fwd_mod._step_occupied(
-                occ_ref, i if march_sign > 0 else slab_batch - 1 - i,
-                feat0, t_i, r_i, c_i,
-                slice_ref.shape[1], slice_ref.shape[2], margin=occ_margin,
-            )
+    # same block-level empty-space gate as the forward
+    # (fwd_mod._march_kernel): flags + window starts computed
+    # (sb, R)-vectorised up front, ONE branch skips the whole batch
+    # (incl. the stencil prologue under smoothing); per-step branches
+    # only run inside live blocks
+    halo = fwd_mod.SMOOTH_HALO if (smoothing and win_rows) else 0
+    occ_flags, block_occ, r0s = fwd_mod._batch_step_meta(
+        occ_ref, feat0, jb, slab_batch, march_sign,
+        slice_ref.shape[1], slice_ref.shape[2], occ_margin, win_rows,
+        halo=halo,
+    )
+    if occ_ref is not None:
         chunk_active = chunk_active & (block_occ | (jb == 0))
 
-    @pl.when(jnp.logical_not(chunk_active))
-    def _skip():
-        dd_ref[0] = jnp.zeros_like(dd_ref[0])
+    # the dd block is written every iteration: pre-zero it once (cheap
+    # vector store) so skipped batches/steps need no zeroing branches
+    dd_ref[0] = jnp.zeros_like(dd_ref[0])
 
     @pl.when(chunk_active)
     def _active_block():
@@ -263,6 +255,7 @@ def _replay_kernel(
                     block_ref, local_row(i_local), feat, jf,
                     bilinear=bilinear, win_rows=win_rows,
                     precision=jax.lax.Precision.HIGHEST,
+                    r0=None if r0s is None else r0s[off + halo],
                 )
 
             d_cur = [drow(slice_ref, i, i) for i in range(slab_batch)]
@@ -311,6 +304,8 @@ def _replay_kernel(
                 dsmooth_dts=None if dts_rows is None else dts_rows[i],
                 camera_grads=camera_grads,
                 occ_margin=occ_margin,
+                occupied=None if occ_ref is None else occ_flags[i],
+                r0=None if r0s is None else r0s[i + halo],
             )
 
     if inverted:
@@ -323,6 +318,7 @@ def _replay_step(
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     occ_ref=None, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True, occ_margin=1.0,
+    occupied=None, r0=None,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
@@ -337,16 +333,20 @@ def _replay_step(
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
             grad_ref=grad_ref, coloring=coloring, ahead=ahead,
             density_override=density_override, dsmooth_dts=dsmooth_dts,
-            camera_grads=camera_grads,
+            camera_grads=camera_grads, r0=r0,
         )
         return
 
-    occupied = fwd_mod._step_occupied(
-        occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc, margin=occ_margin
-    )
+    if occupied is None:
+        occupied = fwd_mod._step_occupied(
+            occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc,
+            margin=occ_margin,
+        )
 
     @pl.when(occupied)
     def _do():
+        # an empty-footprint step contributes nothing: the dd block was
+        # pre-zeroed by the caller, so skipping is a no-op
         _replay_step_body(
             feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
@@ -354,14 +354,8 @@ def _replay_step(
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
             grad_ref=grad_ref, coloring=coloring, ahead=ahead,
             density_override=density_override, dsmooth_dts=dsmooth_dts,
-            camera_grads=camera_grads,
+            camera_grads=camera_grads, r0=r0,
         )
-
-    @pl.when(jnp.logical_not(occupied))
-    def _zero():
-        # an empty-footprint step contributes nothing: no compositing, no
-        # density cotangent
-        dd_ref[0, dd_row] = jnp.zeros_like(dd_ref[0, dd_row])
 
 
 def _replay_step_body(
@@ -369,13 +363,14 @@ def _replay_step_body(
     dlut_ref, dfeat_ref, acc_ref,
     *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     imp_ref=None, grad_ref=None, coloring=False, ahead=None,
-    density_override=None, dsmooth_dts=None, camera_grads=True,
+    density_override=None, dsmooth_dts=None, camera_grads=True, r0=None,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
 
     if win_rows:
-        r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+        if r0 is None:
+            r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
         hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
         dhat_y = (
             _dhat(rows_c, win_rows, rays, bilinear, base=r0)
@@ -752,6 +747,7 @@ def _feats_grad_kernel(
     slab_batch: int = 1,
     march_sign: int = 1,
     inverted: bool = False,
+    halo: int = 0,
 ):
     """Pass 2b (Gaussian smoothing only): the rows/cols camera chain of the
     plain density rows.  In the unsmoothed replay this chain is fused into
@@ -776,19 +772,29 @@ def _feats_grad_kernel(
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
 
-    for i in range(slab_batch):
+    nzv = jnp.any(dd_ref[0] != 0.0, axis=(1, 2))  # (sb,)
+    flags = [nzv[i] for i in range(slab_batch)]
+    block_nz = jnp.any(nzv)
+    _, _, r0s = fwd_mod._batch_step_meta(
+        None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
+        halo=halo,
+    )
+
+    @pl.when(block_nz)
+    def _block():
+      for i in range(slab_batch):
         j = jb * slab_batch + i
         slice_row = i if march_sign > 0 else slab_batch - 1 - i
         dd = dd_ref[0, i]  # (1, R)
         jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
 
-        @pl.when(jnp.any(dd != 0.0))
-        def _accumulate(jf=jf, dd=dd, slice_row=slice_row):
+        @pl.when(flags[i])
+        def _accumulate(jf=jf, dd=dd, slice_row=slice_row, i=i):
             rows_c, cols_c, t = _coords(feat, jf, nr, nc)
             hat_x = _hat(cols_c, nc, rays, bilinear)
             dhat_x = _dhat(cols_c, nc, rays, bilinear)
             if win_rows:
-                r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+                r0 = r0s[i + halo]
                 hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
                 dhat_y = _dhat(rows_c, win_rows, rays, bilinear, base=r0)
                 sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
@@ -840,6 +846,7 @@ def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign):
     fg = partial(
         _feats_grad_kernel, bilinear=bilinear, win_rows=win_rows,
         slab_batch=sb, march_sign=sign, inverted=inverted,
+        halo=fwd_mod.SMOOTH_HALO,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
@@ -879,6 +886,7 @@ def _voxel_grad_kernel(
     win_rows: int = 0,
     slab_batch: int = 1,
     march_sign: int = 1,
+    halo: int = 0,
 ):
     c = pl.program_id(1)
     jb = pl.program_id(0)
@@ -890,35 +898,47 @@ def _voxel_grad_kernel(
     feat = feat_ref[0]
     rays = feat.shape[-1]
 
-    for i in range(slab_batch):
-        j = jb * slab_batch + i
-        slice_row = i if march_sign > 0 else slab_batch - 1 - i
-        dd = dd_ref[0, i]  # (1, R)
-        jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+    # skipped replay steps emitted all-zero cotangents; flags + window
+    # starts computed vectorised, one block-level branch + per-step
+    # branches inside (pl.when branches cost ~230ns each on this chip)
+    nzv = jnp.any(dd_ref[0] != 0.0, axis=(1, 2))  # (sb,)
+    flags = [nzv[i] for i in range(slab_batch)]
+    block_nz = jnp.any(nzv)
+    _, _, r0s = fwd_mod._batch_step_meta(
+        None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
+        halo=halo,
+    )
 
-        # skipped replay steps emitted all-zero cotangents
-        @pl.when(jnp.any(dd != 0.0))
-        def _accumulate(jf=jf, dd=dd, slice_row=slice_row):
-            rows_c, cols_c, t = _coords(feat, jf, nr, nc)
-            hat_x = _hat(cols_c, nc, rays, bilinear)
-            if win_rows:
-                r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
-                hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
-                w = pl.ds(r0, win_rows)
-                dvol_ref[slice_row, w, :] = dvol_ref[
-                    slice_row, w, :
-                ] + jax.lax.dot_general(
-                    hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            else:
-                hat_y = _hat(rows_c, nr, rays, bilinear)
-                dvol_ref[slice_row] = dvol_ref[slice_row] + jax.lax.dot_general(
-                    hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+    @pl.when(block_nz)
+    def _block():
+        for i in range(slab_batch):
+            j = jb * slab_batch + i
+            slice_row = i if march_sign > 0 else slab_batch - 1 - i
+            dd = dd_ref[0, i]  # (1, R)
+            jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+
+            @pl.when(flags[i])
+            def _accumulate(jf=jf, dd=dd, slice_row=slice_row, i=i):
+                rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+                hat_x = _hat(cols_c, nc, rays, bilinear)
+                if win_rows:
+                    r0 = r0s[i + halo]
+                    hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
+                    w = pl.ds(r0, win_rows)
+                    dvol_ref[slice_row, w, :] = dvol_ref[
+                        slice_row, w, :
+                    ] + jax.lax.dot_general(
+                        hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                else:
+                    hat_y = _hat(rows_c, nr, rays, bilinear)
+                    dvol_ref[slice_row] = dvol_ref[slice_row] + jax.lax.dot_general(
+                        hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
 
 
 def _voxel_grad_shaded_kernel(
@@ -933,6 +953,7 @@ def _voxel_grad_shaded_kernel(
     win_rows: int = 0,
     slab_batch: int = 1,
     march_sign: int = 1,
+    halo: int = 0,
 ):
     c = pl.program_id(1)
 
@@ -945,38 +966,48 @@ def _voxel_grad_shaded_kernel(
     feat = feat_ref[0]
     rays = feat.shape[-1]
 
-    for i in range(slab_batch):
-        j = jb * slab_batch + i
-        slice_row = i if march_sign > 0 else slab_batch - 1 - i
-        dd4 = dd_ref[0, i]  # (4, R)
-        jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+    nzv = jnp.any(dd_ref[0] != 0.0, axis=(1, 2))  # (sb,)
+    flags = [nzv[i] for i in range(slab_batch)]
+    block_nz = jnp.any(nzv)
+    _, _, r0s = fwd_mod._batch_step_meta(
+        None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
+        halo=halo,
+    )
 
-        @pl.when(jnp.any(dd4 != 0.0))
-        def _accumulate(jf=jf, dd4=dd4, slice_row=slice_row):
-            rows_c, cols_c, t = _coords(feat, jf, nr, nc)
-            hat_x = _hat(cols_c, nc, rays, bilinear)
-            if win_rows:
-                r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
-                hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
-                w = pl.ds(r0, win_rows)
-            else:
-                hat_y = _hat(rows_c, nr, rays, bilinear)
-                w = slice(None)
+    @pl.when(block_nz)
+    def _block():
+        for i in range(slab_batch):
+            j = jb * slab_batch + i
+            slice_row = i if march_sign > 0 else slab_batch - 1 - i
+            dd4 = dd_ref[0, i]  # (4, R)
+            jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
 
-            def outer(dd_row):
-                return jax.lax.dot_general(
-                    hat_y, hat_x * dd_row, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+            @pl.when(flags[i])
+            def _accumulate(jf=jf, dd4=dd4, slice_row=slice_row, i=i):
+                rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+                hat_x = _hat(cols_c, nc, rays, bilinear)
+                if win_rows:
+                    r0 = r0s[i + halo]
+                    hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
+                    w = pl.ds(r0, win_rows)
+                else:
+                    hat_y = _hat(rows_c, nr, rays, bilinear)
+                    w = slice(None)
+
+                def outer(dd_row):
+                    return jax.lax.dot_general(
+                        hat_y, hat_x * dd_row, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+
+                dvol_ref[slice_row, w, :] = dvol_ref[slice_row, w, :] + outer(
+                    dd4[0:1]
                 )
-
-            dvol_ref[slice_row, w, :] = dvol_ref[slice_row, w, :] + outer(
-                dd4[0:1]
-            )
-            for ch in range(3):
-                dgrad_ref[ch, slice_row, w, :] = dgrad_ref[
-                    ch, slice_row, w, :
-                ] + outer(dd4[ch + 1 : ch + 2])
+                for ch in range(3):
+                    dgrad_ref[ch, slice_row, w, :] = dgrad_ref[
+                        ch, slice_row, w, :
+                    ] + outer(dd4[ch + 1 : ch + 2])
 
 
 def backward_shaded(
@@ -1141,6 +1172,7 @@ def backward_shaded(
     vox = partial(
         _voxel_grad_shaded_kernel, bilinear=bilinear, nr=nr, nc=nc,
         win_rows=win_rows, slab_batch=sb, march_sign=sign,
+        halo=fwd_mod.SMOOTH_HALO if smoothing else 0,
     )
     phys_index = (lambda j, c: (j, 0, 0)) if sign > 0 else (
         lambda j, c: (n_blocks - 1 - j, 0, 0)
@@ -1332,6 +1364,7 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     vox = partial(
         _voxel_grad_kernel, bilinear=bilinear, nr=nr, nc=nc,
         win_rows=win_rows, slab_batch=sb, march_sign=sign,
+        halo=fwd_mod.SMOOTH_HALO if smoothing else 0,
     )
     phys_index = (lambda j, c: (j, 0, 0)) if sign > 0 else (
         lambda j, c: (n_blocks - 1 - j, 0, 0)

@@ -126,27 +126,17 @@ def _march_kernel(
         & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
     )
     chunk_active = jnp.any(can_contribute)
-    if smoothing and occ_ref is not None:
-        # gate the (expensive) stencil prologue on the whole BLOCK's
-        # dilated-occupancy footprint; per-step checks then gate the steps
-        feat_g = feat_ref[0]
-        block_occ = jnp.array(False)
-        for i in range(slab_batch):
-            jf_i = (J * slab_batch + i).astype(jnp.float32)
-            r_i = jnp.clip(
-                feat_g[F_RS : F_RS + 1, :] * jf_i + feat_g[F_RB : F_RB + 1, :],
-                0.0, slice_ref.shape[1] - 1.0,
-            )
-            c_i = jnp.clip(
-                feat_g[F_CS : F_CS + 1, :] * jf_i + feat_g[F_CB : F_CB + 1, :],
-                0.0, slice_ref.shape[2] - 1.0,
-            )
-            t_i = feat_g[F_TS : F_TS + 1, :] * jf_i + feat_g[F_TB : F_TB + 1, :]
-            block_occ = block_occ | _step_occupied(
-                occ_ref, i if march_sign > 0 else slab_batch - 1 - i,
-                feat_g, t_i, r_i, c_i,
-                slice_ref.shape[1], slice_ref.shape[2], margin=occ_margin,
-            )
+    # Block-level empty-space gate: per-step footprint flags and window
+    # starts computed (sb, R)-vectorised up front; ONE branch skips the
+    # whole batch when no step touches an occupied block, and the
+    # per-step branches only execute inside live blocks.
+    halo = SMOOTH_HALO if (smoothing and win_rows) else 0
+    occ_flags, block_occ, r0s = _batch_step_meta(
+        occ_ref, feat0, J, slab_batch, march_sign,
+        slice_ref.shape[1], slice_ref.shape[2], occ_margin, win_rows,
+        halo=halo,
+    )
+    if occ_ref is not None:
         chunk_active = chunk_active & block_occ
 
     @pl.when(chunk_active | (J == 0))
@@ -168,6 +158,7 @@ def _march_kernel(
                 return _density_row(
                     block_ref, local_row(i_local), feat, jf,
                     bilinear=bilinear, win_rows=win_rows, precision=precision,
+                    r0=None if r0s is None else r0s[off + halo],
                 )
 
             d_cur = [drow(slice_ref, i, i) for i in range(slab_batch)]
@@ -205,7 +196,116 @@ def _march_kernel(
                 coloring=coloring, ahead_ref=ahead_ref, ahead_row=i,
                 density_override=None if smooth_rows is None else smooth_rows[i],
                 occ_margin=occ_margin,
+                occupied=None if occ_ref is None else occ_flags[i],
+                r0=None if r0s is None else r0s[i + halo],
             )
+
+
+def _batch_step_meta(occ_ref, feat, J, slab_batch, march_sign, nr, nc,
+                     margin, win_rows, halo=0):
+    """Footprint occupancy + window starts for a whole slab batch, computed
+    as (sb, R)-vectorised reductions OUTSIDE any branch.
+
+    The per-step versions (:func:`_step_occupied` / :func:`_window_start`)
+    cost ~280ns per sub-slab on this chip (~4.5 ms/frame at 256²: the
+    min/max reductions dominate the sparse-frame floor).  Batched over the
+    sub-slabs, the same math is one reduction pass over (sb, R) tensors
+    (~8x fewer reduction ops) plus static-index scalar extracts.
+
+    Returns ``(flags, block_occ, r0s)``: ``flags[i]`` scalar bool per
+    march-local step (footprint touches an occupied block AND any ray
+    active), ``block_occ`` their OR, ``r0s[i]`` scalar int32 window starts
+    (multiples of 8; ``None`` when ``win_rows == 0``).  ``occ_ref`` may be
+    None: flags are then ray-activity only.  ``halo`` extends the r0 list
+    to march offsets [-halo, slab_batch + halo) — r0s[off + halo] — for
+    the Gaussian-smoothing stencil prologue; flags stay per-central-step."""
+    if occ_ref is None and not win_rows:
+        return None, None, None
+    ii = jnp.arange(-halo, slab_batch + halo, dtype=jnp.float32)[:, None]
+    jf = (J * slab_batch).astype(jnp.float32) + ii  # (sb + 2*halo, 1)
+
+    def row(i):
+        return feat[i : i + 1, :]  # (1, R)
+
+    rows_c = jnp.clip(row(F_RS) * jf + row(F_RB), 0.0, nr - 1.0)
+    cols_c = jnp.clip(row(F_CS) * jf + row(F_CB), 0.0, nc - 1.0)
+    t = row(F_TS) * jf + row(F_TB)
+    active = (row(F_SIGNOK) > 0.5) & (t >= row(F_ENTRY)) & (t < row(F_EXIT))
+    if halo:
+        # Gaussian smoothing: window PLACEMENT must cover every ray whose
+        # stencil can read this index's plain row — active at ANY step
+        # within +-halo, i.e. t within [entry - halo*|ts|, exit + halo*|ts|)
+        # (window_rows sizes the static window with the same widened mask).
+        # The occupancy flags below keep the EXACT activity: skip
+        # exactness under smoothing is provided by the dilated occupancy
+        # grid + widened margin, not by this mask.
+        slack = jnp.abs(row(F_TS)) * jnp.float32(halo)
+        act_w = (
+            (row(F_SIGNOK) > 0.5)
+            & (t >= row(F_ENTRY) - slack)
+            & (t < row(F_EXIT) + slack)
+        )
+    else:
+        act_w = active
+    rows_min = jnp.min(
+        jnp.where(act_w, rows_c, jnp.float32(nr)), axis=1
+    )  # (sb + 2*halo,)
+
+    cen = slice(halo, halo + slab_batch)  # central (in-block) steps
+    if occ_ref is not None:
+        any_active = jnp.any(active[cen], axis=1)  # (sb,)
+        rows_min_occ = rows_min[cen] if not halo else jnp.min(
+            jnp.where(active[cen], rows_c[cen], jnp.float32(nr)), axis=1
+        )
+        rows_max = jnp.max(
+            jnp.where(active[cen], rows_c[cen], jnp.float32(-1.0)), axis=1
+        )
+        cols_min = jnp.min(
+            jnp.where(active[cen], cols_c[cen], jnp.float32(nc)), axis=1
+        )
+        cols_max = jnp.max(
+            jnp.where(active[cen], cols_c[cen], jnp.float32(-1.0)), axis=1
+        )
+        ob = occ_ref[:] > 0.5  # (sb, br, bc) physical order
+        if march_sign <= 0:
+            ob = jnp.flip(ob, axis=0)  # march order
+        br, bc = ob.shape[1], ob.shape[2]
+        by = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 1).astype(
+            jnp.float32
+        ) * OCC_BLOCK
+        bx = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 2).astype(
+            jnp.float32
+        ) * OCC_BLOCK
+        rlo = (rows_min_occ - margin)[:, None, None]
+        rhi = (rows_max + margin)[:, None, None]
+        clo = (cols_min - margin)[:, None, None]
+        chi = (cols_max + margin)[:, None, None]
+        inside = (
+            (by + (OCC_BLOCK - 1) >= rlo)
+            & (by <= rhi)
+            & (bx + (OCC_BLOCK - 1) >= clo)
+            & (bx <= chi)
+        )  # (sb, br, bc)
+        hit = jnp.any(ob & inside, axis=(1, 2))  # (sb,)
+        occ_vec = hit & any_active
+    else:
+        occ_vec = jnp.any(active[cen], axis=1)
+
+    flags = [occ_vec[i] for i in range(slab_batch)]
+    block_occ = flags[0]
+    for f in flags[1:]:
+        block_occ = block_occ | f
+
+    r0s = None
+    if win_rows:
+        r0f = jnp.clip(
+            jnp.floor((rows_min - 1.0) / 8.0) * 8.0, 0.0, nr - win_rows
+        ).astype(jnp.int32)
+        r0s = [
+            pl.multiple_of(r0f[i], 8)
+            for i in range(slab_batch + 2 * halo)
+        ]
+    return flags, block_occ, r0s
 
 
 def _window_start(feat, t, rows_c, nr, win_rows):
@@ -301,7 +401,7 @@ def _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc, margin=1
     return jnp.any((ob > 0.5) & inside) & jnp.any(active)
 
 
-def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precision):
+def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precision, r0=None):
     """One plain density row (1, R): bilinear/nearest slice sample at the
     ray crossings of march step jf (the sampling core of _march_step_body,
     reused by the Gaussian-smoothing stencil)."""
@@ -326,7 +426,8 @@ def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precisio
         return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
 
     if win_rows:
-        r0 = _window_start(feat, t, rows_c, nr, win_rows)
+        if r0 is None:
+            r0 = _window_start(feat, t, rows_c, nr, win_rows)
         hat_y = hat(rows_c, iota(win_rows, r0))
         sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
     else:
@@ -475,7 +576,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occ_margin=1.0):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occ_margin=1.0, occupied=None, r0=None):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -496,13 +597,14 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             out_ref, slice_row=slice_row, bilinear=bilinear,
             early_alpha=early_alpha, threshold=threshold, precision=precision,
             win_rows=win_rows, coloring=coloring, ahead=ahead,
-            density_override=density_override,
+            density_override=density_override, r0=r0,
         )
     else:
-        occupied = _step_occupied(
-            occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc,
-            margin=occ_margin,
-        )
+        if occupied is None:
+            occupied = _step_occupied(
+                occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc,
+                margin=occ_margin,
+            )
 
         @pl.when(occupied)
         def _occupied_step():
@@ -511,11 +613,11 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
                 out_ref, slice_row=slice_row, bilinear=bilinear,
                 early_alpha=early_alpha, threshold=threshold,
                 precision=precision, win_rows=win_rows, coloring=coloring,
-                ahead=ahead, density_override=density_override,
+                ahead=ahead, density_override=density_override, r0=r0,
             )
 
 
-def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None):
+def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
 
@@ -581,7 +683,8 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     if not grids:
         colvals = None
     elif win_rows:
-        r0 = _window_start(feat, t, rows_c, nr, win_rows)
+        if r0 is None:
+            r0 = _window_start(feat, t, rows_c, nr, win_rows)
         idx = y_iota(win_rows) + r0.astype(jnp.float32)
         w = pl.ds(r0, win_rows)
         colvals = jnp.stack(
@@ -1031,19 +1134,23 @@ march_pallas_coloring.defvjp(_mpc_fwd, _mpc_bwd)
 _win_cache: dict = {}
 
 
-def window_rows(camera_matrices, height, width, n_slabs, major, sign) -> int:
+def window_rows(camera_matrices, height, width, n_slabs, major, sign, halo=0) -> int:
     """Host-side (pure numpy, no device work) static window size for the
     windowed y contraction: the smallest multiple-of-8 window that covers
     every 32x32-pixel tile's slab-rows footprint, checked per slab exactly
     as the kernel places its window (clamped rows over the rays active at
-    that slab).  Returns 0 (contract full slices) when the image does not
-    tile or no window smaller than the slice exists."""
+    that slab).  ``halo`` (= SMOOTH_HALO under Gaussian smoothing) widens
+    the per-ray activity interval by halo*|ts| exactly as the kernel's
+    window placement does (_batch_step_meta), so the static size covers
+    every ray whose smoothing stencil reads a given slab's plain row.
+    Returns 0 (contract full slices) when the image does not tile or no
+    window smaller than the slice exists."""
     if height % TILE or width % TILE:
         return 0
     key = (
         np.asarray(camera_matrices.inverse_view_proj).tobytes(),
         np.asarray(camera_matrices.position).tobytes(),
-        height, width, n_slabs, major, sign,
+        height, width, n_slabs, major, sign, halo,
     )
     if key in _win_cache:
         return _win_cache[key]
@@ -1091,10 +1198,11 @@ def window_rows(camera_matrices, height, width, n_slabs, major, sign) -> int:
     # exit)) — inactive rays are masked out of the compositing
     import warnings
 
+    slack = np.abs(ts_o) * float(halo)
     worst = 0.0
     for j in range(n_slabs):
         t_j = ts_o * j + tb_o
-        active = sign_ok & (t_j >= entry) & (t_j < exit_)
+        active = sign_ok & (t_j >= entry - slack) & (t_j < exit_ + slack)
         rows = np.clip(rs * j + rb, 0.0, n_slabs - 1.0)
         rows = np.where(active, rows, np.nan)
         with warnings.catch_warnings():
@@ -1350,7 +1458,10 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
             "False) needs the t-step renderers"
         )
     major, sign = slab_mod.dominant_axis(camera_matrices)
-    win = window_rows(camera_matrices, height, width, scene.volume.shape[0], major, sign)
+    win = window_rows(
+        camera_matrices, height, width, scene.volume.shape[0], major, sign,
+        halo=SMOOTH_HALO if params.use_gaussian_smoothing else 0,
+    )
     return _render_pallas_diff_jit(
         scene, camera_matrices, params.slab_static(), height, width, major, sign, win
     )
@@ -1368,7 +1479,10 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
             "False) needs the t-step renderers"
         )
     major, sign = slab_mod.dominant_axis(camera_matrices)
-    win = window_rows(camera_matrices, height, width, scene.volume.shape[0], major, sign)
+    win = window_rows(
+        camera_matrices, height, width, scene.volume.shape[0], major, sign,
+        halo=SMOOTH_HALO if params.use_gaussian_smoothing else 0,
+    )
     return _render_pallas_jit(
         scene, camera_matrices, params.slab_static(), height, width, major, sign, win
     )
