@@ -1064,3 +1064,60 @@ def test_windowed_smoothing_boundary_rays():
     assert np.abs(grads[0][0]).max() > 0
     for name, a, b in zip(("d_vol", "d_lut", "d_feats"), grads[40], grads[0]):
         np.testing.assert_allclose(a, b, atol=2e-5, err_msg=name)
+
+
+def test_coloring_shading_backward_matches_autodiff(scene, cam):
+    """Coloring + shading combined (Pallas diff): d_importance and
+    d_grad_perm vs autodiff of the jnp slab golden.  The direct volume
+    cotangent is zero a.e. (density only gates the threshold mask; the
+    volume chain flows through gradient_volume outside)."""
+    from volym_tpu.render import rays as rays_mod
+
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    p = PARAMS.replace(use_importance_coloring=True, use_shading=True)
+    vol_perm = slab.permute_volume(scene.volume, major)
+    grad_perm = slab.permute_gradient(slab.gradient_volume(scene.volume), major)
+    imp = jnp.asarray((np.asarray(scene.volume) > 0.3).astype(np.float32) * 0.8)
+    imp_perm = slab.permute_volume(imp, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.09
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(
+            p, sign, vol_perm, scene.tf_lut, feats, imp_perm=imp_perm,
+            grad_perm=grad_perm,
+        )
+        d_imp, d_grad, d_feats = slab_bwd_kernel.backward_coloring(
+            p, major, sign, vol_perm, imp_perm, feats, out, wvec,
+            grad_perm=grad_perm,
+        )
+
+    order = slab_kernel._tile_order(RES, RES)
+    w_rays = np.asarray(wvec).transpose(0, 2, 1).reshape(-1, 4)[: RES * RES]
+    w_img = w_rays[np.argsort(order)] if order is not None else w_rays
+
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    def loss(ip, gp):
+        img = slab.march_slabs(
+            vol_perm, ip, scene.tf_lut, origin, dirs, entry, exit_, major,
+            sign, p, gp,
+        )
+        return jnp.sum(img * jnp.asarray(w_img))
+
+    ga_imp, ga_grad = jax.grad(loss, argnums=(0, 1))(imp_perm, grad_perm)
+    assert np.abs(np.asarray(ga_grad)).max() > 0, "shading gradient inactive"
+    assert np.abs(np.asarray(ga_imp)).max() > 1e-5, "coloring gradient inactive"
+    for name, a, b in (("d_imp", ga_imp, d_imp), ("d_grad", ga_grad, d_grad)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
+        )

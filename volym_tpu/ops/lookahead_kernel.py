@@ -377,6 +377,12 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j,
         return
 
     def _sample_update():
+        # ONE wide matmul for all directions: per-direction box hats are
+        # stacked along the lane axis ((nr, n_dirs*R) instead of n_dirs
+        # separate (nr, R) contractions) — same FLOPs, deeper MXU N dim,
+        # one dispatch.  Still single-pass bf16-exact: hats are one-hot
+        # and the importance slices pre-binarised (see _boxhat_sample).
+        rows_s, cols_s, inbox_l = [], [], []
         for c in range(n_dirs):
             base = c * 7
 
@@ -386,18 +392,22 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j,
             rows_u = crow(CF_RS) * jf + crow(CF_RB)
             cols_u = crow(CF_CS) * jf + crow(CF_CB)
             t_c = crow(CF_TS) * jf + crow(CF_TB)
-            inbox = (
+            inbox_l.append(
                 (rows_u >= -0.5) & (rows_u <= nr - 0.5)
                 & (cols_u >= -0.5) & (cols_u <= nc - 0.5)
                 & (t_c > 0.0)
             )
-            s = _boxhat_sample(
-                slice_ref, slice_row,
-                jnp.clip(rows_u, 0.0, nr - 1.0),
-                jnp.clip(cols_u, 0.0, nc - 1.0),
-                nr, nc, rays, 0, feat, t,
-            )
-            hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox
+            rows_s.append(jnp.clip(rows_u, 0.0, nr - 1.0))
+            cols_s.append(jnp.clip(cols_u, 0.0, nc - 1.0))
+        rows_all = jnp.concatenate(rows_s, axis=1)  # (1, n_dirs*R)
+        cols_all = jnp.concatenate(cols_s, axis=1)
+        s_all = _boxhat_sample(
+            slice_ref, slice_row, rows_all, cols_all, nr, nc,
+            n_dirs * rays, 0, feat, t,
+        )  # (1, n_dirs*R)
+        for c in range(n_dirs):
+            s = s_all[:, c * rays : (c + 1) * rays]
+            hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox_l[c]
             ns_ref[c : c + 1, :] = jnp.where(hit, jf, ns_ref[c : c + 1, :])
 
     if occ_ref is None:

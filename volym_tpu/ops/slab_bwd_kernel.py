@@ -555,7 +555,13 @@ def _replay_step_body(
             - d_rgba[1:2, :] * 1.2
             + d_rgba[3:4, :]
         )
-        dd_ref[0, dd_row] = dd
+        if grad_ref is not None:
+            # coloring+shading combined: row 0 carries d_imp (box-hat
+            # scatter into the importance grid), rows 1..3 the
+            # gradient-field channel cotangents
+            dd_ref[0, dd_row] = jnp.concatenate([dd, d_gx, d_gy, d_gz], axis=0)
+        else:
+            dd_ref[0, dd_row] = dd
     else:
         # grouped-LUT gradient: dB[(ch,g), i] += onehot[g,r] d_rgba[ch,r] tri_o[i,r]
         # (folded back onto the LUT by fold_lut_groups_grad in backward())
@@ -601,7 +607,7 @@ def _replay_step_body(
     # aexp.  t/entry/exit/signok appear only in masks (zero a.e.).  The
     # feats -> camera chain is jnp (_pack_features) and autodiffs outside.
     zero = jnp.zeros_like(dd)
-    if dhat_y is not None and not coloring:
+    if dhat_y is not None and (not coloring or grad_ref is not None):
         from volym_tpu.ops.slab_kernel import F_CB, F_CS, F_RB, F_RS
 
         dhat_x = _dhat(cols_c, nc, rays, True)
@@ -609,7 +615,10 @@ def _replay_step_body(
         cols_raw = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
         rows_in = ((rows_raw > 0.0) & (rows_raw < nr - 1.0)).astype(jnp.float32)
         cols_in = ((cols_raw > 0.0) & (cols_raw < nc - 1.0)).astype(jnp.float32)
-        if density_override is None:
+        if density_override is None and not coloring:
+            # (under coloring, dd is the importance cotangent and the
+            # box-hat imp sample has zero rows/cols derivative a.e. —
+            # only the bilinear gradient-field chain below contributes)
             colvals_dy = jax.lax.dot_general(
                 sl, dhat_y, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -782,51 +791,51 @@ def _feats_grad_kernel(
 
     @pl.when(block_nz)
     def _block():
-      for i in range(slab_batch):
-        j = jb * slab_batch + i
-        slice_row = i if march_sign > 0 else slab_batch - 1 - i
-        dd = dd_ref[0, i]  # (1, R)
-        jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+        for i in range(slab_batch):
+            j = jb * slab_batch + i
+            slice_row = i if march_sign > 0 else slab_batch - 1 - i
+            dd = dd_ref[0, i]  # (1, R)
+            jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
 
-        @pl.when(flags[i])
-        def _accumulate(jf=jf, dd=dd, slice_row=slice_row, i=i):
-            rows_c, cols_c, t = _coords(feat, jf, nr, nc)
-            hat_x = _hat(cols_c, nc, rays, bilinear)
-            dhat_x = _dhat(cols_c, nc, rays, bilinear)
-            if win_rows:
-                r0 = r0s[i + halo]
-                hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
-                dhat_y = _dhat(rows_c, win_rows, rays, bilinear, base=r0)
-                sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
-            else:
-                hat_y = _hat(rows_c, nr, rays, bilinear)
-                dhat_y = _dhat(rows_c, nr, rays, bilinear)
-                sl = slice_ref[slice_row]
-            colvals = jax.lax.dot_general(
-                sl, hat_y, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            colvals_dy = jax.lax.dot_general(
-                sl, dhat_y, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
-            ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
-            rows_raw = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]
-            cols_raw = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
-            rows_in = ((rows_raw > 0.0) & (rows_raw < nr - 1.0)).astype(jnp.float32)
-            cols_in = ((cols_raw > 0.0) & (cols_raw < nc - 1.0)).astype(jnp.float32)
-            d_rows = dd * ddens_drows * rows_in
-            d_cols = dd * ddens_dcols * cols_in
-            zero = jnp.zeros_like(dd)
-            delta = jnp.concatenate(
-                [d_rows * jf, d_rows, d_cols * jf, d_cols]
-                + [zero] * (N_FEATURES - 4),
-                axis=0,
-            )
-            dfeat_ref[0] = dfeat_ref[0] + delta
+            @pl.when(flags[i])
+            def _accumulate(jf=jf, dd=dd, slice_row=slice_row, i=i):
+                rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+                hat_x = _hat(cols_c, nc, rays, bilinear)
+                dhat_x = _dhat(cols_c, nc, rays, bilinear)
+                if win_rows:
+                    r0 = r0s[i + halo]
+                    hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
+                    dhat_y = _dhat(rows_c, win_rows, rays, bilinear, base=r0)
+                    sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
+                else:
+                    hat_y = _hat(rows_c, nr, rays, bilinear)
+                    dhat_y = _dhat(rows_c, nr, rays, bilinear)
+                    sl = slice_ref[slice_row]
+                colvals = jax.lax.dot_general(
+                    sl, hat_y, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                colvals_dy = jax.lax.dot_general(
+                    sl, dhat_y, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
+                ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
+                rows_raw = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]
+                cols_raw = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
+                rows_in = ((rows_raw > 0.0) & (rows_raw < nr - 1.0)).astype(jnp.float32)
+                cols_in = ((cols_raw > 0.0) & (cols_raw < nc - 1.0)).astype(jnp.float32)
+                d_rows = dd * ddens_drows * rows_in
+                d_cols = dd * ddens_dcols * cols_in
+                zero = jnp.zeros_like(dd)
+                delta = jnp.concatenate(
+                    [d_rows * jf, d_rows, d_cols * jf, d_cols]
+                    + [zero] * (N_FEATURES - 4),
+                    axis=0,
+                )
+                dfeat_ref[0] = dfeat_ref[0] + delta
 
 
 def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign):
@@ -1393,13 +1402,17 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     return d_vol, d_lut, d_feats
 
 
-def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0):
+def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0, grad_perm=None):
     """Both backward passes for the importance-coloring mode.
 
-    Returns ``(d_imp_perm, d_feats)``: rgba comes from the box-filtered
-    importance sample, so the cotangent scatters into the IMPORTANCE grid
-    (box hats in pass 2); the volume/LUT gradients are zero a.e. (density
-    only gates the threshold mask).
+    Returns ``(d_imp_perm, d_feats)`` — or, with ``grad_perm`` (the
+    coloring+shading combined mode), ``(d_imp_perm, d_grad_perm,
+    d_feats)``.  rgba comes from the box-filtered importance sample, so
+    its cotangent scatters into the IMPORTANCE grid (box hats in pass 2);
+    the volume/LUT gradients are zero a.e. (density only gates the
+    threshold mask) except through the shading gradient field, whose
+    channel cotangents scatter into ``grad_perm`` (-> the volume via the
+    jnp ``gradient_volume`` chain outside).
     """
     from volym_tpu.config import Interpolation
 
@@ -1436,6 +1449,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         march_sign=sign,
         occupancy=occupancy,
         coloring=True,
+        shading=grad_perm is not None,
         smoothing=smoothing,
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
@@ -1477,6 +1491,15 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
             )
         )
         inputs.append(occ)
+    if grad_perm is not None:
+        grad_index = W(
+            (lambda c, j: (0, j, 0, 0)) if sign > 0 else (
+                lambda c, j: (0, n_blocks - 1 - j, 0, 0)
+            )
+        )
+        in_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
+        inputs.append(grad_perm)
+    dd_w = 4 if grad_perm is not None else 1
     in_specs += [
         pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
         pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
@@ -1485,12 +1508,12 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     inputs += [b, fin, g_img]
     aliases = {}
     out_specs = [
-        pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
+        pl.BlockSpec((1, sb, dd_w, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
         pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct((n_chunks, n_slabs, dd_w, RAYS_PER_CHUNK), jnp.float32),
         jax.ShapeDtypeStruct(b.shape, jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
     ]
@@ -1518,6 +1541,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+        compiler_params=fwd_mod.vmem_params(smoothing and grad_perm is not None),
         input_output_aliases=aliases,
     )(*inputs)
     d_imp_steps, _dlut, d_feats = res[0], res[1], res[2]
@@ -1539,6 +1563,39 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         ],
         out_specs=pl.BlockSpec((sb, nr, nc), phys_index),
         out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
-    )(feats, d_imp_steps)
+    )(feats, d_imp_steps[:, :, 0:1, :])
 
-    return d_imp, d_feats
+    if grad_perm is None:
+        return d_imp, d_feats
+
+    # combined mode, pass 2 for the gradient field: scatter rows 1..3 with
+    # BILINEAR hats via the shaded voxel kernel (row 0 zeroed — the direct
+    # d_volume term is zero a.e., density only gates the threshold mask)
+    dd4z = jnp.concatenate(
+        [jnp.zeros_like(d_imp_steps[:, :, 0:1, :]), d_imp_steps[:, :, 1:, :]],
+        axis=2,
+    )
+    voxs = partial(
+        _voxel_grad_shaded_kernel, bilinear=bilinear, nr=nr, nc=nc,
+        win_rows=win_rows, slab_batch=sb, march_sign=sign,
+    )
+    phys_grad_index = (lambda j, c: (0, j, 0, 0)) if sign > 0 else (
+        lambda j, c: (0, n_blocks - 1 - j, 0, 0)
+    )
+    _dvol_zero, d_grad = pl.pallas_call(
+        voxs,
+        grid=(n_blocks, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)),
+            pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((sb, nr, nc), phys_index),
+            pl.BlockSpec((3, sb, nr, nc), phys_grad_index),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32),
+        ],
+    )(feats, dd4z)
+    return d_imp, d_grad, d_feats

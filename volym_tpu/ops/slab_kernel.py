@@ -1096,36 +1096,48 @@ march_pallas_shaded.defvjp(_mps_fwd, _mps_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, feats):
-    """Differentiable Pallas slab march, importance-coloring mode.
+def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm):
+    """Differentiable Pallas slab march, importance-coloring mode —
+    optionally Blinn-Phong shaded (``grad_perm`` non-None: the combined
+    coloring+shading mode).
 
-    Gradients w.r.t. the (box-filtered) importance grid and the feats
-    (-> camera); the volume/LUT gradients are zero a.e. (density only
-    gates the threshold mask), matching autodiff of the jnp slab golden.
+    Gradients w.r.t. the (box-filtered) importance grid, the feats
+    (-> camera, incl. half-vector rows when shaded), and — when shaded —
+    the gradient field (-> the volume through the jnp
+    :func:`slab.gradient_volume` chain outside); the direct volume/LUT
+    gradients are zero a.e. (density only gates the threshold mask),
+    matching autodiff of the jnp slab golden.
     """
     return _forward_call(
         params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
-        imp_perm=imp_perm, win_rows=win_rows,
+        imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
     )
 
 
-def _mpc_fwd(params, major, sign, win_rows, vol_perm, imp_perm, feats):
+def _mpc_fwd(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm):
     out = _forward_call(
         params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
-        imp_perm=imp_perm, win_rows=win_rows,
+        imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
     )
-    return out, (vol_perm, imp_perm, feats, out)
+    return out, (vol_perm, imp_perm, feats, grad_perm, out)
 
 
 def _mpc_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
-    vol_perm, imp_perm, feats, out = res
-    d_imp, d_feats = slab_bwd_kernel.backward_coloring(
-        params, major, sign, vol_perm, imp_perm, feats, out, g,
-        win_rows=win_rows,
-    )
-    return jnp.zeros_like(vol_perm), d_imp, d_feats
+    vol_perm, imp_perm, feats, grad_perm, out = res
+    if grad_perm is None:
+        d_imp, d_feats = slab_bwd_kernel.backward_coloring(
+            params, major, sign, vol_perm, imp_perm, feats, out, g,
+            win_rows=win_rows,
+        )
+        d_grad = None
+    else:
+        d_imp, d_grad, d_feats = slab_bwd_kernel.backward_coloring(
+            params, major, sign, vol_perm, imp_perm, feats, out, g,
+            win_rows=win_rows, grad_perm=grad_perm,
+        )
+    return jnp.zeros_like(vol_perm), d_imp, d_feats, d_grad
 
 
 march_pallas_coloring.defvjp(_mpc_fwd, _mpc_bwd)
@@ -1384,8 +1396,15 @@ def _render_pallas_diff_jit(
     )
     if params.use_importance_coloring:
         imp_perm = slab_mod.permute_volume(scene.importance, major)
+        grad_perm = (
+            slab_mod.permute_gradient(
+                slab_mod.gradient_volume(scene.volume), major
+            )
+            if params.use_shading
+            else None
+        )
         out = march_pallas_coloring(
-            params, major, sign, win_rows, vol_perm, imp_perm, feats
+            params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm
         )
     elif lookahead:
         from volym_tpu.ops import lookahead_kernel
@@ -1447,11 +1466,6 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
     Importance-driven look-ahead (straight + cone) differentiates as a
     zero-gradient gate, and Gaussian smoothing chains through the
     slab-axis stencil transpose — both matching the jnp slab replay."""
-    if params.use_importance_coloring and params.use_shading:
-        raise NotImplementedError(
-            "differentiable slab kernel: coloring+shading combined needs "
-            "the jnp slab replay (render.slab.render_diff)"
-        )
     if not params.use_opacity:
         raise NotImplementedError(
             "slab kernels always alpha-composite; first-hit (use_opacity="

@@ -85,14 +85,6 @@ def render_sharded(
 
         # same mode guards as slab.render/render_diff: the slab march
         # always alpha-composites (smoothing and look-ahead are slab-native)
-        if (
-            backend == "slab_pallas" and differentiable
-            and params.use_importance_coloring and params.use_shading
-        ):
-            raise NotImplementedError(
-                "sharded slab_pallas backend: differentiable coloring+shading "
-                "combined needs backend='slab' (jnp replay) or 'ray'"
-            )
         if not params.use_opacity:
             raise NotImplementedError(
                 "sharded slab backend always alpha-composites; use backend='ray'"
