@@ -1121,3 +1121,26 @@ def test_coloring_shading_backward_matches_autodiff(scene, cam):
         np.testing.assert_allclose(
             b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
         )
+
+
+def test_first_hit_matches_jnp_golden(scene, cam):
+    """use_opacity=False (first-hit-then-break, wgsl:319-323) in the Pallas
+    kernel == the jnp slab golden; and it must genuinely differ from
+    alpha compositing."""
+    m = cam.matrices()
+    p = PARAMS.replace(use_opacity=False)
+    got = _emu_forward(scene, m, p, RES, RES)
+    want = np.asarray(slab.render(scene, m, p, RES, RES))
+    base = np.asarray(slab.render(scene, m, PARAMS, RES, RES))
+    assert np.abs(want - base).max() > 0.05, "first-hit not engaged"
+    hits = want[..., 3] > 0.99
+    assert hits.any() and not hits.all()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_first_hit_shaded_matches_jnp_golden(scene, cam):
+    m = cam.matrices()
+    p = PARAMS.replace(use_opacity=False, use_shading=True)
+    got = _emu_forward(scene, m, p, RES, RES)
+    want = np.asarray(slab.render(scene, m, p, RES, RES))
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -62,6 +62,7 @@ def _params(args):
         importance_check_ahead_steps=args.ahead_steps,
         interpolation=args.interpolation,
         use_shading=not args.no_shading,
+        use_opacity=not getattr(args, "first_hit", False),
     )
 
 
@@ -311,6 +312,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(
             "--no-shading", action="store_true",
             help="disable Blinn-Phong shading",
+        )
+        p.add_argument(
+            "--first-hit", action="store_true",
+            help="first-hit-then-break instead of alpha compositing "
+            "(the reference's use_opacity=false; wgsl:319-323)",
         )
         p.add_argument("--importance", action="store_true")
         p.add_argument("--cone", action="store_true")

@@ -86,6 +86,7 @@ def _march_kernel(
     smoothing: bool = False,
     occ_margin: float = 1.0,
     inverted: bool = False,
+    first_hit: bool = False,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -198,6 +199,7 @@ def _march_kernel(
                 occ_margin=occ_margin,
                 occupied=None if occ_ref is None else occ_flags[i],
                 r0=None if r0s is None else r0s[i + halo],
+                first_hit=first_hit,
             )
 
 
@@ -576,7 +578,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occ_margin=1.0, occupied=None, r0=None):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occ_margin=1.0, occupied=None, r0=None, first_hit=False):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -597,7 +599,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             out_ref, slice_row=slice_row, bilinear=bilinear,
             early_alpha=early_alpha, threshold=threshold, precision=precision,
             win_rows=win_rows, coloring=coloring, ahead=ahead,
-            density_override=density_override, r0=r0,
+            density_override=density_override, r0=r0, first_hit=first_hit,
         )
     else:
         if occupied is None:
@@ -614,10 +616,11 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
                 early_alpha=early_alpha, threshold=threshold,
                 precision=precision, win_rows=win_rows, coloring=coloring,
                 ahead=ahead, density_override=density_override, r0=r0,
+                first_hit=first_hit,
             )
 
 
-def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None):
+def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None, first_hit=False):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
 
@@ -772,6 +775,16 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
 
         m = m & jnp.logical_not((imp < IMPORTANCE_OPAQUE) & (ahead > 0.5))
 
+    if first_hit:
+        # first-hit-then-break (wgsl:319-323): the first contributing
+        # sample wins; alpha = 1 retires the ray via the early-alpha gate
+        mf = m.astype(jnp.float32)
+        out_ref[0] = jnp.concatenate(
+            [acc[:3, :] * (1.0 - mf) + rgb * mf, jnp.maximum(acc_a, mf)],
+            axis=0,
+        )
+        return
+
     a = rgba[3:4, :]
     aexp = feat[F_AEXP : F_AEXP + 1, :]
     alpha = 1.0 - jnp.exp(aexp * jnp.log(jnp.maximum(1.0 - a, 1e-37)))
@@ -883,6 +896,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         smoothing=smoothing,
         occ_margin=smooth_occ_margin(n_slabs) if smoothing else 1.0,
         inverted=inverted,
+        first_hit=not (params.use_opacity or params.use_importance_coloring),
     )
     # index maps below are written in (chunk, block) order; W re-orders the
     # arguments for the inverted (slab-outer) grid
@@ -1487,11 +1501,6 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
     Importance-driven look-ahead (straight and cone) runs via the reverse
     pre-pass (:mod:`volym_tpu.ops.lookahead_kernel`); Gaussian smoothing
     via the batch-amortised slab-axis stencil (see _march_kernel)."""
-    if not params.use_opacity:
-        raise NotImplementedError(
-            "slab kernels always alpha-composite; first-hit (use_opacity="
-            "False) needs the t-step renderers"
-        )
     major, sign = slab_mod.dominant_axis(camera_matrices)
     win = window_rows(
         camera_matrices, height, width, scene.volume.shape[0], major, sign,

@@ -83,11 +83,15 @@ def render_sharded(
     if backend in ("slab", "slab_pallas"):
         from volym_tpu.render import slab as slab_mod
 
-        # same mode guards as slab.render/render_diff: the slab march
-        # always alpha-composites (smoothing and look-ahead are slab-native)
-        if not params.use_opacity:
+        # same mode guards as slab.render_diff: first-hit (use_opacity=
+        # False) renders forward-only — it is piecewise constant, so its
+        # gradients need no backend at all (match render/diff.py)
+        if differentiable and not (
+            params.use_opacity or params.use_importance_coloring
+        ):
             raise NotImplementedError(
-                "sharded slab backend always alpha-composites; use backend='ray'"
+                "the first-hit (use_opacity=False) mode is piecewise "
+                "constant; differentiable rendering needs use_opacity=True"
             )
         # host-side static choice (camera matrices are host state)
         major, sign = slab_mod.dominant_axis(camera_matrices)

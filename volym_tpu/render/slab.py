@@ -445,6 +445,12 @@ def march_slabs(
             rgb = _shade(rgb, g)
 
         m = active & dense
+        if not (params.use_opacity or params.use_importance_coloring):
+            # first-hit mode (wgsl:319-323): the first contributing sample
+            # wins; acc_a = 1 retires the ray via the early-alpha gate
+            acc_c = jnp.where(m[:, None], rgb, acc_c)
+            acc_a = jnp.where(m, 1.0, acc_a)
+            return (acc_c, acc_a), None
         alpha = 1.0 - jnp.power(1.0 - color_alpha[..., 3], alpha_exp)
         w = (1.0 - acc_a) * alpha * m
         acc_c = acc_c + rgb * w[:, None]
@@ -799,12 +805,9 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
     Importance-driven look-ahead (straight and cone) uses the slab-native
     continuum formulation (:func:`lookahead_bits`); Gaussian smoothing
     uses the slab-stencil resampling (:func:`smoothed_densities`).
+    ``use_opacity=False`` renders first-hit-then-break (wgsl:319-323) at
+    the slab discretisation.
     """
-    if not params.use_opacity:
-        raise NotImplementedError(
-            "slab mode always alpha-composites; the first-hit (use_opacity="
-            "False) mode (wgsl:319-323) needs the t-step renderers"
-        )
     major, sign = dominant_axis(camera_matrices)
     return _render_jit(
         scene, camera_matrices, params.slab_static(), height, width, major, sign
