@@ -1144,3 +1144,52 @@ def test_first_hit_shaded_matches_jnp_golden(scene, cam):
     got = _emu_forward(scene, m, p, RES, RES)
     want = np.asarray(slab.render(scene, m, p, RES, RES))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_inverted_fused_shaded_matches_chunk_outer(cam):
+    """The fused pass-2 scatter (inverted grid) must match the two-pass
+    chunk-outer backward in the SHADED mode too: d_vol, d_grad, d_lut,
+    d_feats on a >= INVERT_MIN_CHUNKS render."""
+    res = 96
+    sc = Scene.synthetic("sphere", side=64)
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(sc.volume, major)
+    grad_perm = slab.permute_gradient(slab.gradient_volume(sc.volume), major)
+    p = PARAMS.replace(use_shading=True)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, res, res, vol_perm.shape[0], major, sign, layout
+    )
+    assert feats.shape[0] >= slab_kernel.INVERT_MIN_CHUNKS
+    wvec = jnp.sin(
+        jnp.arange(
+            feats.shape[0] * 4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32
+        )
+        * 0.13
+    ).reshape(feats.shape[0], 4, slab_kernel.RAYS_PER_CHUNK)
+
+    outs = {}
+    orig = slab_kernel.INVERT_MIN_CHUNKS
+    for label, floor in (("inverted", orig), ("chunk_outer", 10**9)):
+        slab_kernel.INVERT_MIN_CHUNKS = floor
+        try:
+            with emulate(slab_kernel, slab_bwd_kernel):
+                out = slab_kernel._forward_call(
+                    p, sign, vol_perm, sc.tf_lut, feats, grad_perm=grad_perm
+                )
+                grads = slab_bwd_kernel.backward_shaded(
+                    p, major, sign, vol_perm, grad_perm, sc.tf_lut, feats,
+                    out, wvec,
+                )
+            outs[label] = tuple(np.asarray(x) for x in (out,) + tuple(grads))
+        finally:
+            slab_kernel.INVERT_MIN_CHUNKS = orig
+
+    names = ("out", "d_vol", "d_grad", "d_lut", "d_feats")
+    assert np.abs(outs["chunk_outer"][2]).max() > 0, "shading grads inactive"
+    for name, a, b in zip(names, outs["inverted"], outs["chunk_outer"]):
+        if name == "d_lut":
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)

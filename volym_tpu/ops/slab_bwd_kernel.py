@@ -171,6 +171,7 @@ def _replay_kernel(
     camera_grads: bool = True,
     occ_margin: float = 1.0,
     inverted: bool = False,
+    fuse_scatter: bool = False,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -179,9 +180,21 @@ def _replay_kernel(
     occ_ref = rest.pop(0) if occupancy else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
+    dvol_ref = dgrad_out_ref = None
     if inverted:
         (lut_ref, fin_ref, gimg_ref, acc_in_ref, dfeat_in_ref, dd_ref,
-         dlut_ref, dfeat_ref, acc_out_ref, acc_ref) = rest
+         dlut_ref, dfeat_ref, acc_out_ref) = rest[:9]
+        rest2 = rest[9:]
+        if fuse_scatter:
+            # pass-2 fusion (inverted grid only): the d_volume (and
+            # d_grad-field) slab blocks are indexed by the OUTER grid
+            # axis, so they accumulate in VMEM across the consecutive
+            # chunk revisits — the scatter reuses this step's hats
+            # instead of a second kernel rebuilding them
+            dvol_ref = rest2.pop(0)
+            if shading:
+                dgrad_out_ref = rest2.pop(0)
+        (acc_ref,) = rest2
         jb = pl.program_id(0)
     else:
         lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, dfeat_ref, acc_ref = rest
@@ -190,6 +203,13 @@ def _replay_kernel(
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _init_lut():
         dlut_ref[:] = jnp.zeros_like(dlut_ref)
+
+    if fuse_scatter:
+        @pl.when(pl.program_id(1) == 0)
+        def _init_dvol():
+            dvol_ref[:] = jnp.zeros_like(dvol_ref)
+            if dgrad_out_ref is not None:
+                dgrad_out_ref[:] = jnp.zeros_like(dgrad_out_ref)
 
     if inverted:
         # slab-outer grid: per-chunk replay state + accumulated d_feats
@@ -306,6 +326,8 @@ def _replay_kernel(
                 occ_margin=occ_margin,
                 occupied=None if occ_ref is None else occ_flags[i],
                 r0=None if r0s is None else r0s[i + halo],
+                dvol_ref=dvol_ref,
+                dgrad_out_ref=dgrad_out_ref,
             )
 
     if inverted:
@@ -318,7 +340,7 @@ def _replay_step(
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     occ_ref=None, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True, occ_margin=1.0,
-    occupied=None, r0=None,
+    occupied=None, r0=None, dvol_ref=None, dgrad_out_ref=None,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
@@ -333,7 +355,8 @@ def _replay_step(
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
             grad_ref=grad_ref, coloring=coloring, ahead=ahead,
             density_override=density_override, dsmooth_dts=dsmooth_dts,
-            camera_grads=camera_grads, r0=r0,
+            camera_grads=camera_grads, r0=r0, dvol_ref=dvol_ref,
+            dgrad_out_ref=dgrad_out_ref,
         )
         return
 
@@ -354,7 +377,8 @@ def _replay_step(
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
             grad_ref=grad_ref, coloring=coloring, ahead=ahead,
             density_override=density_override, dsmooth_dts=dsmooth_dts,
-            camera_grads=camera_grads, r0=r0,
+            camera_grads=camera_grads, r0=r0, dvol_ref=dvol_ref,
+            dgrad_out_ref=dgrad_out_ref,
         )
 
 
@@ -364,6 +388,7 @@ def _replay_step_body(
     *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True, r0=None,
+    dvol_ref=None, dgrad_out_ref=None,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
@@ -600,6 +625,28 @@ def _replay_step_body(
             dd_ref[0, dd_row] = jnp.concatenate([dd, d_gx, d_gy, d_gz], axis=0)
         else:
             dd_ref[0, dd_row] = dd
+
+        if dvol_ref is not None:
+            # fused pass 2 (inverted grid): scatter the step cotangents
+            # into the VMEM-resident slab blocks with THIS step's hats —
+            # the separate voxel-grad kernel would rebuild them
+            w_sl = pl.ds(r0, win_rows) if win_rows else slice(None)
+
+            def _outer(row):
+                return jax.lax.dot_general(
+                    hat_y, hat_x * row, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            dvol_ref[slice_row, w_sl, :] = dvol_ref[
+                slice_row, w_sl, :
+            ] + _outer(dd)
+            if dgrad_out_ref is not None:
+                for ch, dg in enumerate((d_gx, d_gy, d_gz)):
+                    dgrad_out_ref[ch, slice_row, w_sl, :] = dgrad_out_ref[
+                        ch, slice_row, w_sl, :
+                    ] + _outer(dg)
 
     # --- camera cotangents: accumulate dL/dfeats rows ------------------
     # density depends on (rows_c, cols_c) through the hats (one extra
@@ -1081,7 +1128,9 @@ def backward_shaded(
         camera_grads=params.camera_grads,
         occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
         inverted=inverted,
+        fuse_scatter=inverted and not smoothing,
     )
+    fuse = inverted and not smoothing
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
         pl.BlockSpec((sb, nr, nc), slab_index),
@@ -1156,6 +1205,15 @@ def backward_shaded(
         out_shape.append(
             jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
         )
+    if fuse:
+        # fused pass 2 (see backward()): dvol + dgrad blocks ride the
+        # OUTER grid axis, accumulated in VMEM over the chunk sweep
+        out_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
+        out_shape.append(jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32))
+        out_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
+        out_shape.append(
+            jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32)
+        )
     res = pl.pallas_call(
         replay,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
@@ -1163,11 +1221,14 @@ def backward_shaded(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
-        compiler_params=fwd_mod.vmem_params(smoothing),
+        compiler_params=fwd_mod.vmem_params(smoothing or fuse),
         input_output_aliases=aliases,
     )(*inputs)
     dd4, d_lut, d_feats = res[0], res[1], res[2]
     d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
+
+    if fuse:
+        return res[4], res[5], d_lut, d_feats
 
     if smoothing:
         # channel 0 is the SMOOTHED-density cotangent — fold the stencil
@@ -1276,7 +1337,9 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         camera_grads=params.camera_grads,
         occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
         inverted=inverted,
+        fuse_scatter=inverted and not smoothing,
     )
+    fuse = inverted and not smoothing
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
         pl.BlockSpec((sb, nr, nc), slab_index),
@@ -1351,6 +1414,10 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         out_shape.append(
             jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
         )
+    if fuse:
+        # fused pass 2: the dvol slab block rides the OUTER grid axis
+        out_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
+        out_shape.append(jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32))
     res = pl.pallas_call(
         replay,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
@@ -1362,6 +1429,10 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     )(*inputs)
     d_density, d_lut, d_feats = res[0], res[1], res[2]
     d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
+
+    if fuse:
+        d_vol = res[4]  # after acc_out
+        return d_vol, d_lut, d_feats
 
     if smoothing:
         # the replay emitted the SMOOTHED-density cotangent; fold the
