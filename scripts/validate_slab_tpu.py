@@ -70,6 +70,17 @@ def main() -> int:
     )
     # fast_math: documented preview-mode bound (threshold-boundary flips)
     check_fwd("fwd fast_math", scene, m, params.replace(fast_math=True), 32, tol=0.5)
+    check_fwd(
+        "fwd first-hit", scene, m, params.replace(use_opacity=False), 32
+    )
+    check_fwd(
+        "fwd first-hit shaded", scene, m,
+        params.replace(use_opacity=False, use_shading=True), 32,
+    )
+    check_fwd(
+        "fwd coloring+shading", scene, m,
+        params.replace(use_importance_coloring=True, use_shading=True), 32,
+    )
 
     # Gaussian smoothing (slab-axis stencil) vs the jnp slab golden
     for interp in ("trilinear", "nearest"):
@@ -201,6 +212,30 @@ def main() -> int:
     print(f"bwd coloring d_importance: relerr {rel:.2e} (scale {scale:.2e})")
     if rel > 1e-2 or not np.isfinite(bb).all():
         failures.append("bwd coloring d_importance")
+
+    # coloring + shading combined: d_importance AND d_volume (through the
+    # gradient-field chain) vs the jnp replay VJP
+    p_colsh = params.replace(use_importance_coloring=True, use_shading=True)
+
+    def loss_colsh(render_fn, imp, vol):
+        img = render_fn(
+            Scene(vol, imp, scene.tf_lut), m, p_colsh, 32, 32
+        )
+        return jnp.sum(img * w)
+
+    for argi, name in ((0, "d_importance"), (1, "d_volume")):
+        gj = jax.grad(
+            lambda i, v: loss_colsh(slab.render_diff, i, v), argnums=argi
+        )(imp_field, scene.volume)
+        gp = jax.grad(
+            lambda i, v: loss_colsh(slab_kernel.render_diff, i, v), argnums=argi
+        )(imp_field, scene.volume)
+        a, bb = np.asarray(gj), np.asarray(gp)
+        scale = max(np.abs(a).max(), 1e-9)
+        rel = np.abs(a - bb).max() / scale
+        print(f"bwd coloring+shading {name}: relerr {rel:.2e} (scale {scale:.2e})")
+        if rel > 1e-2 or not np.isfinite(bb).all():
+            failures.append(f"bwd coloring+shading {name}")
 
     # Gaussian-smoothed gradients: replay + stencil transpose + pass 2b
     # (rows/cols chain) vs the jnp replay VJP
