@@ -1193,3 +1193,58 @@ def test_inverted_fused_shaded_matches_chunk_outer(cam):
             np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
         else:
             np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+@pytest.mark.parametrize("combined", [False, True])
+def test_inverted_fused_coloring_matches_chunk_outer(cam, combined):
+    """Fused d_imp (+ d_grad when combined) == the two-pass chunk-outer
+    coloring backward on a >= INVERT_MIN_CHUNKS render."""
+    res = 96
+    sc = Scene.synthetic("sphere", side=64)
+    imp = jnp.asarray((np.asarray(sc.volume) > 0.3).astype(np.float32) * 0.8)
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(sc.volume, major)
+    imp_perm = slab.permute_volume(imp, major)
+    grad_perm = (
+        slab.permute_gradient(slab.gradient_volume(sc.volume), major)
+        if combined
+        else None
+    )
+    p = PARAMS.replace(use_importance_coloring=True, use_shading=combined)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, res, res, vol_perm.shape[0], major, sign, layout
+    )
+    assert feats.shape[0] >= slab_kernel.INVERT_MIN_CHUNKS
+    wvec = jnp.sin(
+        jnp.arange(
+            feats.shape[0] * 4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32
+        )
+        * 0.11
+    ).reshape(feats.shape[0], 4, slab_kernel.RAYS_PER_CHUNK)
+
+    outs = {}
+    orig = slab_kernel.INVERT_MIN_CHUNKS
+    for label, floor in (("inverted", orig), ("chunk_outer", 10**9)):
+        slab_kernel.INVERT_MIN_CHUNKS = floor
+        try:
+            with emulate(slab_kernel, slab_bwd_kernel):
+                out = slab_kernel._forward_call(
+                    p, sign, vol_perm, sc.tf_lut, feats, imp_perm=imp_perm,
+                    grad_perm=grad_perm,
+                )
+                grads = slab_bwd_kernel.backward_coloring(
+                    p, major, sign, vol_perm, imp_perm, feats, out, wvec,
+                    grad_perm=grad_perm,
+                )
+            outs[label] = tuple(np.asarray(x) for x in (out,) + tuple(grads))
+        finally:
+            slab_kernel.INVERT_MIN_CHUNKS = orig
+
+    names = ("out", "d_imp", "d_grad", "d_feats") if combined else (
+        "out", "d_imp", "d_feats"
+    )
+    assert np.abs(outs["chunk_outer"][1]).max() > 0, "d_imp inactive"
+    for name, a, b in zip(names, outs["inverted"], outs["chunk_outer"]):
+        np.testing.assert_array_equal(a, b, err_msg=name)

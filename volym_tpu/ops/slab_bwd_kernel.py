@@ -587,6 +587,28 @@ def _replay_step_body(
             dd_ref[0, dd_row] = jnp.concatenate([dd, d_gx, d_gy, d_gz], axis=0)
         else:
             dd_ref[0, dd_row] = dd
+
+        if dvol_ref is not None:
+            # fused pass 2 (inverted grid): d_imp scatters with the BOX
+            # hats of the importance sample; the gradient-field channels
+            # (combined mode) with the bilinear hats
+            w_sl = pl.ds(r0, win_rows) if win_rows else slice(None)
+            dvol_ref[slice_row, w_sl, :] = dvol_ref[
+                slice_row, w_sl, :
+            ] + jax.lax.dot_general(
+                bhy, bhx * dd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if dgrad_out_ref is not None:
+                for ch, dg in enumerate((d_gx, d_gy, d_gz)):
+                    dgrad_out_ref[ch, slice_row, w_sl, :] = dgrad_out_ref[
+                        ch, slice_row, w_sl, :
+                    ] + jax.lax.dot_general(
+                        hat_y, hat_x * dg, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
     else:
         # grouped-LUT gradient: dB[(ch,g), i] += onehot[g,r] d_rgba[ch,r] tri_o[i,r]
         # (folded back onto the LUT by fold_lut_groups_grad in backward())
@@ -1521,6 +1543,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         occupancy=occupancy,
         coloring=True,
         shading=grad_perm is not None,
+        fuse_scatter=inverted and not smoothing,
         smoothing=smoothing,
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
@@ -1588,6 +1611,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         jax.ShapeDtypeStruct(b.shape, jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
     ]
+    fuse = inverted and not smoothing
     if inverted:
         in_specs.append(
             pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
@@ -1605,6 +1629,16 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         out_shape.append(
             jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
         )
+    if fuse:
+        # fused pass 2 (see backward()): the d_imp slab blocks (and the
+        # gradient-field blocks in the combined mode) ride the OUTER axis
+        out_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
+        out_shape.append(jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32))
+        if grad_perm is not None:
+            out_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
+            out_shape.append(
+                jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32)
+            )
     res = pl.pallas_call(
         replay,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
@@ -1612,10 +1646,16 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
-        compiler_params=fwd_mod.vmem_params(smoothing and grad_perm is not None),
+        compiler_params=fwd_mod.vmem_params(
+            (smoothing or fuse) and grad_perm is not None
+        ),
         input_output_aliases=aliases,
     )(*inputs)
     d_imp_steps, _dlut, d_feats = res[0], res[1], res[2]
+    if fuse:
+        if grad_perm is None:
+            return res[4], d_feats
+        return res[4], res[5], d_feats
 
     # pass 2 with BOX hats: the importance grid is nearest-filtered
     vox = partial(
