@@ -182,19 +182,27 @@ def _replay_kernel(
     ahead_ref = rest.pop(0) if lookahead else None
     dvol_ref = dgrad_out_ref = None
     if inverted:
-        (lut_ref, fin_ref, gimg_ref, acc_in_ref, dfeat_in_ref, dd_ref,
-         dlut_ref, dfeat_ref, acc_out_ref) = rest[:9]
-        rest2 = rest[9:]
+        (lut_ref, fin_ref, gimg_ref, acc_in_ref, dfeat_in_ref) = rest[:5]
+        rest2 = rest[5:]
+        if not fuse_scatter:
+            dd_ref = rest2.pop(0)
+        (dlut_ref, dfeat_ref, acc_out_ref) = rest2[:3]
+        rest2 = rest2[3:]
         if fuse_scatter:
             # pass-2 fusion (inverted grid only): the d_volume (and
             # d_grad-field) slab blocks are indexed by the OUTER grid
             # axis, so they accumulate in VMEM across the consecutive
             # chunk revisits — the scatter reuses this step's hats
-            # instead of a second kernel rebuilding them
+            # instead of a second kernel rebuilding them.  The per-step
+            # cotangent block dd then has no consumer outside the kernel
+            # and lives in scratch instead of an HBM output.
             dvol_ref = rest2.pop(0)
             if shading:
                 dgrad_out_ref = rest2.pop(0)
-        (acc_ref,) = rest2
+        acc_ref = rest2.pop(0)
+        if fuse_scatter:
+            dd_ref = rest2.pop(0)
+        assert not rest2
         jb = pl.program_id(0)
     else:
         lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, dfeat_ref, acc_ref = rest
@@ -1200,33 +1208,38 @@ def backward_shaded(
     ]
     inputs += [b, fin, g_img]
     aliases = {}
-    out_specs = [
+    # in the fused path dd lives in scratch (no consumer outside)
+    out_specs = ([] if fuse else [
         pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
+    ]) + [
         pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
     ]
-    out_shape = [
+    out_shape = ([] if fuse else [
         jax.ShapeDtypeStruct((n_chunks, n_slabs, 4, RAYS_PER_CHUNK), jnp.float32),
+    ]) + [
         jax.ShapeDtypeStruct(b.shape, jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
     ]
+    o0 = 0 if fuse else 1
     if inverted:
         in_specs.append(
             pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
         )
         inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = 3  # acc_in -> acc_out
+        aliases[len(inputs) - 1] = o0 + 2  # acc_in -> acc_out
         in_specs.append(
             pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
         )
         inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = 2  # dfeat_in -> d_feats
+        aliases[len(inputs) - 1] = o0 + 1  # dfeat_in -> d_feats
         out_specs.append(
             pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
         )
         out_shape.append(
             jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
         )
+    scratch = [pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)]
     if fuse:
         # fused pass 2 (see backward()): dvol + dgrad blocks ride the
         # OUTER grid axis, accumulated in VMEM over the chunk sweep
@@ -1236,21 +1249,24 @@ def backward_shaded(
         out_shape.append(
             jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32)
         )
+        scratch.append(
+            pltpu.VMEM((1, sb, 4, RAYS_PER_CHUNK), jnp.float32)
+        )
     res = pl.pallas_call(
         replay,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=fwd_mod.vmem_params(smoothing or fuse),
         input_output_aliases=aliases,
     )(*inputs)
+    if fuse:
+        d_lut = fwd_mod.fold_lut_groups_grad(res[0], lut.shape[0])
+        return res[3], res[4], d_lut, res[1]
     dd4, d_lut, d_feats = res[0], res[1], res[2]
     d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
-
-    if fuse:
-        return res[4], res[5], d_lut, d_feats
 
     if smoothing:
         # channel 0 is the SMOOTHED-density cotangent — fold the stencil
@@ -1408,53 +1424,60 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     ]
     inputs += [b, fin, g_img]
     aliases = {}
-    out_specs = [
+    # in the fused path dd lives in scratch (no consumer outside)
+    out_specs = ([] if fuse else [
         pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
+    ]) + [
         pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
     ]
-    out_shape = [
+    out_shape = ([] if fuse else [
         jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
+    ]) + [
         jax.ShapeDtypeStruct(b.shape, jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
     ]
+    o0 = 0 if fuse else 1  # output index of dlut
     if inverted:
         # aliased per-chunk state: replay accumulator + accumulated d_feats
         in_specs.append(
             pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
         )
         inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = 3  # acc_in -> acc_out
+        aliases[len(inputs) - 1] = o0 + 2  # acc_in -> acc_out
         in_specs.append(
             pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
         )
         inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = 2  # dfeat_in -> d_feats
+        aliases[len(inputs) - 1] = o0 + 1  # dfeat_in -> d_feats
         out_specs.append(
             pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
         )
         out_shape.append(
             jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
         )
+    scratch = [pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)]
     if fuse:
         # fused pass 2: the dvol slab block rides the OUTER grid axis
         out_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         out_shape.append(jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32))
+        scratch.append(
+            pltpu.VMEM((1, sb, 1, RAYS_PER_CHUNK), jnp.float32)
+        )
     res = pl.pallas_call(
         replay,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+        scratch_shapes=scratch,
         input_output_aliases=aliases,
     )(*inputs)
+    if fuse:
+        d_lut = fwd_mod.fold_lut_groups_grad(res[0], lut.shape[0])
+        return res[3], d_lut, res[1]
     d_density, d_lut, d_feats = res[0], res[1], res[2]
     d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
-
-    if fuse:
-        d_vol = res[4]  # after acc_out
-        return d_vol, d_lut, d_feats
 
     if smoothing:
         # the replay emitted the SMOOTHED-density cotangent; fold the
@@ -1601,34 +1624,39 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     ]
     inputs += [b, fin, g_img]
     aliases = {}
-    out_specs = [
+    fuse = inverted and not smoothing
+    # in the fused path dd lives in scratch (no consumer outside)
+    out_specs = ([] if fuse else [
         pl.BlockSpec((1, sb, dd_w, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
+    ]) + [
         pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
     ]
-    out_shape = [
+    out_shape = ([] if fuse else [
         jax.ShapeDtypeStruct((n_chunks, n_slabs, dd_w, RAYS_PER_CHUNK), jnp.float32),
+    ]) + [
         jax.ShapeDtypeStruct(b.shape, jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
     ]
-    fuse = inverted and not smoothing
+    o0 = 0 if fuse else 1
     if inverted:
         in_specs.append(
             pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
         )
         inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = 3  # acc_in -> acc_out
+        aliases[len(inputs) - 1] = o0 + 2  # acc_in -> acc_out
         in_specs.append(
             pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
         )
         inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = 2  # dfeat_in -> d_feats
+        aliases[len(inputs) - 1] = o0 + 1  # dfeat_in -> d_feats
         out_specs.append(
             pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
         )
         out_shape.append(
             jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
         )
+    scratch = [pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)]
     if fuse:
         # fused pass 2 (see backward()): the d_imp slab blocks (and the
         # gradient-field blocks in the combined mode) ride the OUTER axis
@@ -1639,23 +1667,26 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
             out_shape.append(
                 jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32)
             )
+        scratch.append(
+            pltpu.VMEM((1, sb, dd_w, RAYS_PER_CHUNK), jnp.float32)
+        )
     res = pl.pallas_call(
         replay,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=fwd_mod.vmem_params(
             (smoothing or fuse) and grad_perm is not None
         ),
         input_output_aliases=aliases,
     )(*inputs)
-    d_imp_steps, _dlut, d_feats = res[0], res[1], res[2]
     if fuse:
         if grad_perm is None:
-            return res[4], d_feats
-        return res[4], res[5], d_feats
+            return res[3], res[1]
+        return res[3], res[4], res[1]
+    d_imp_steps, _dlut, d_feats = res[0], res[1], res[2]
 
     # pass 2 with BOX hats: the importance grid is nearest-filtered
     vox = partial(
