@@ -1119,12 +1119,12 @@ def backward_shaded(
     bilinear = params.interpolation == Interpolation.TRILINEAR
     # mirror the forward's batch: the grad block is 3x a slice; smoothing
     # needs sb > SMOOTH_HALO for the stencil's previous-block halo rows
-    sb = 4 if smoothing else (2 if n_slabs % 2 == 0 else 1)
+    sb = SLAB_BATCH
     if n_slabs % sb:
         sb = 1
     if smoothing and sb <= fwd_mod.SMOOTH_HALO:
         raise NotImplementedError(
-            "Pallas Gaussian smoothing needs the slab count divisible by 4"
+            "Pallas Gaussian smoothing needs the slab count divisible by 8"
         )
     n_blocks = n_slabs // sb
     b = fwd_mod.lut_groups(lut)
@@ -1339,12 +1339,12 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
     # mirror the forward's smoothing batch (3 streamed slice blocks)
-    sb = (4 if smoothing else SLAB_BATCH)
+    sb = SLAB_BATCH
     if n_slabs % sb:
         sb = 1
     if smoothing and sb <= fwd_mod.SMOOTH_HALO:
         raise NotImplementedError(
-            "Pallas Gaussian smoothing needs the slab count divisible by 4"
+            "Pallas Gaussian smoothing needs the slab count divisible by 8"
         )
     n_blocks = n_slabs // sb
     b = fwd_mod.lut_groups(lut)
@@ -1471,6 +1471,7 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        compiler_params=fwd_mod.vmem_params(smoothing or fuse),
         input_output_aliases=aliases,
     )(*inputs)
     if fuse:
@@ -1536,12 +1537,12 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
-    sb = 4 if smoothing else SLAB_BATCH
+    sb = SLAB_BATCH
     if n_slabs % sb:
         sb = 1
     if smoothing and sb <= fwd_mod.SMOOTH_HALO:
         raise NotImplementedError(
-            "Pallas Gaussian smoothing needs the slab count divisible by 4"
+            "Pallas Gaussian smoothing needs the slab count divisible by 8"
         )
     n_blocks = n_slabs // sb
     # dummy grouped LUT — the coloring replay never reads it
@@ -1678,7 +1679,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=fwd_mod.vmem_params(
-            (smoothing or fuse) and grad_perm is not None
+            smoothing or fuse or grad_perm is not None
         ),
         input_output_aliases=aliases,
     )(*inputs)

@@ -867,13 +867,16 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     # Smoothing NEEDS sb > SMOOTH_HALO: the stencil reads halo rows
     # sb+off (off in [-HALO, -1]) from the previous block, so a smaller
     # batch would index out of range.
-    sb = 4 if smoothing else (2 if shading else SLAB_BATCH)
+    # one batch size everywhere: the VMEM cost of the shaded/smoothed
+    # blocks at sb=8 fits under the raised cap (vmem_params), and fewer
+    # grid iterations amortise the per-iteration scaffold
+    sb = SLAB_BATCH
     if n_slabs % sb:
         sb = 1
     if smoothing and sb <= SMOOTH_HALO:
         raise NotImplementedError(
             "Pallas Gaussian smoothing needs the slab count divisible by "
-            f"4 (got {n_slabs}); use the jnp slab renderer or pad the grid"
+            f"8 (got {n_slabs}); use the jnp slab renderer or pad the grid"
         )
     n_blocks = n_slabs // sb
     inverted = n_chunks >= INVERT_MIN_CHUNKS
@@ -973,7 +976,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32),
-        compiler_params=vmem_params(smoothing and shading),
+        compiler_params=vmem_params(smoothing or shading),
         input_output_aliases=aliases,
     )(*inputs)
 
