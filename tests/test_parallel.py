@@ -222,7 +222,10 @@ def _lookahead_scene():
 @pytest.mark.parametrize("backend", ["slab", "slab_pallas"])
 @pytest.mark.parametrize(
     "mode",
-    ["smoothing", "lookahead", "lookahead_cone", "smoothing_shading"],
+    [
+        "smoothing", "lookahead", "lookahead_cone", "smoothing_shading",
+        "first_hit", "coloring_shading",
+    ],
 )
 def test_sharded_slab_modes_match_single(cam, backend, mode):
     """Smoothing and importance look-ahead run sharded (all slab backends)
@@ -237,6 +240,8 @@ def test_sharded_slab_modes_match_single(cam, backend, mode):
         use_shading="shading" in mode,
         use_importance_rendering="lookahead" in mode,
         use_cone_importance_check="cone" in mode,
+        use_importance_coloring="coloring" in mode,
+        use_opacity="first_hit" not in mode,
     )
     a = np.asarray(
         pmesh.render_sharded(sc, m, params, RES, RES, mesh, backend=backend)
