@@ -1248,3 +1248,63 @@ def test_inverted_fused_coloring_matches_chunk_outer(cam, combined):
     assert np.abs(outs["chunk_outer"][1]).max() > 0, "d_imp inactive"
     for name, a, b in zip(names, outs["inverted"], outs["chunk_outer"]):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+@pytest.mark.parametrize("orbit", [(210.0, 20.0), (120.0, 10.0), (30.0, 80.0)])
+def test_forward_other_majors_and_signs(scene, orbit):
+    """Forward vs the jnp golden for cameras whose dominant axis / march
+    sign differ from the module fixture (major 2 sign -1): (210,20) is
+    major 2 sign +1, (120,10) major 0, (30,80) major 1 — exercises the
+    sign-flip branches of the batched meta and the axis layouts."""
+    h, v = orbit
+    m = Camera(aspect=1.0, distance=1.2).orbit(h, v, 0.0).matrices()
+    got = _emu_forward(scene, m, PARAMS, RES, RES)
+    want = np.asarray(slab.render(scene, m, PARAMS, RES, RES))
+    assert want[..., 3].max() > 0.1
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_backward_positive_sign_matches_autodiff(scene):
+    """Two-pass/fused backward at march sign +1 (the fixture covers -1)."""
+    from volym_tpu.render import rays as rays_mod
+
+    m = Camera(aspect=1.0, distance=1.2).orbit(210.0, 20.0, 0.0).matrices()
+    major, sign = slab.dominant_axis(m)
+    assert sign > 0
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(scene.volume, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.cos(
+        jnp.arange(4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32) * 0.1
+    ).reshape(1, 4, slab_kernel.RAYS_PER_CHUNK)
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out = slab_kernel._forward_call(
+            PARAMS, sign, vol_perm, scene.tf_lut, feats
+        )
+        d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
+            PARAMS, major, sign, vol_perm, scene.tf_lut, feats, out, wvec
+        )
+
+    order = slab_kernel._tile_order(RES, RES)
+    w_rays = np.asarray(wvec).transpose(0, 2, 1).reshape(-1, 4)[: RES * RES]
+    w_img = w_rays[np.argsort(order)] if order is not None else w_rays
+    origin, dirs = rays_mod.generate_rays(m, RES, RES)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    def loss(vp, lut):
+        img = slab.march_slabs(
+            vp, slab.permute_volume(scene.importance, major), lut, origin,
+            dirs, entry, exit_, major, sign, PARAMS,
+        )
+        return jnp.sum(img * jnp.asarray(w_img))
+
+    ga_vol, ga_lut = jax.grad(loss, argnums=(0, 1))(vol_perm, scene.tf_lut)
+    for name, a, b in (("d_vol", ga_vol, d_vol), ("d_lut", ga_lut, d_lut)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert scale > 1e-5, name
+        np.testing.assert_allclose(
+            b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
+        )
