@@ -283,7 +283,10 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
     fwd_mod._batch_step_meta: the per-step reductions + branches are the
     scaffold cost, not the sampling).  Returns ``(flags, block_occ)``."""
     n_dirs = CONE_FEATURES // 7
-    ii = jnp.arange(slab_batch, dtype=jnp.float32)[:, None]  # (sb, 1)
+    # (sb, 1) iota and keepdims reductions: Mosaic prefers >= 2-D values
+    ii = jax.lax.broadcasted_iota(jnp.int32, (slab_batch, 1), 0).astype(
+        jnp.float32
+    )
     jf = (J * slab_batch).astype(jnp.float32) + ii
 
     rmin = rmax = cmin = cmax = anyin = None
@@ -303,11 +306,19 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
         )
         rows_c = jnp.clip(rows_u, 0.0, nr - 1.0)
         cols_c = jnp.clip(cols_u, 0.0, nc - 1.0)
-        rmin_c = jnp.min(jnp.where(inbox, rows_c, jnp.float32(nr)), axis=1)
-        rmax_c = jnp.max(jnp.where(inbox, rows_c, jnp.float32(-1.0)), axis=1)
-        cmin_c = jnp.min(jnp.where(inbox, cols_c, jnp.float32(nc)), axis=1)
-        cmax_c = jnp.max(jnp.where(inbox, cols_c, jnp.float32(-1.0)), axis=1)
-        any_c = jnp.any(inbox, axis=1)
+        rmin_c = jnp.min(
+            jnp.where(inbox, rows_c, jnp.float32(nr)), axis=1, keepdims=True
+        )
+        rmax_c = jnp.max(
+            jnp.where(inbox, rows_c, jnp.float32(-1.0)), axis=1, keepdims=True
+        )
+        cmin_c = jnp.min(
+            jnp.where(inbox, cols_c, jnp.float32(nc)), axis=1, keepdims=True
+        )
+        cmax_c = jnp.max(
+            jnp.where(inbox, cols_c, jnp.float32(-1.0)), axis=1, keepdims=True
+        )
+        any_c = jnp.any(inbox, axis=1, keepdims=True)
         if rmin is None:
             rmin, rmax, cmin, cmax, anyin = rmin_c, rmax_c, cmin_c, cmax_c, any_c
         else:
@@ -319,7 +330,7 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
 
     ob = occ_ref[:] > 0.5  # (sb, br, bc) physical order
     if march_sign <= 0:
-        ob = jnp.flip(ob, axis=0)
+        ob = ob[::-1]
     br, bc = ob.shape[1], ob.shape[2]
     blk = fwd_mod.OCC_BLOCK
     by = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 1).astype(
@@ -329,14 +340,16 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
         jnp.float32
     ) * blk
     inside = (
-        (by + (blk - 1) >= (rmin - 1.0)[:, None, None])
-        & (by <= (rmax + 1.0)[:, None, None])
-        & (bx + (blk - 1) >= (cmin - 1.0)[:, None, None])
-        & (bx <= (cmax + 1.0)[:, None, None])
+        (by + (blk - 1) >= rmin[:, :, None] - 1.0)
+        & (by <= rmax[:, :, None] + 1.0)
+        & (bx + (blk - 1) >= cmin[:, :, None] - 1.0)
+        & (bx <= cmax[:, :, None] + 1.0)
     )  # (sb, br, bc)
-    hit = jnp.any(ob & inside, axis=(1, 2))  # (sb,)
-    occ_vec = hit & anyin
-    flags = [occ_vec[i] for i in range(slab_batch)]
+    hit = jnp.any(
+        jnp.any(ob & inside, axis=2, keepdims=True), axis=1, keepdims=True
+    )  # (sb, 1, 1)
+    occ_vec = hit[:, :, 0] & anyin  # (sb, 1)
+    flags = [occ_vec[i, 0] for i in range(slab_batch)]
     block_occ = flags[0]
     for f in flags[1:]:
         block_occ = block_occ | f

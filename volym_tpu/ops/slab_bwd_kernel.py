@@ -858,8 +858,10 @@ def _feats_grad_kernel(
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
 
-    nzv = jnp.any(dd_ref[0] != 0.0, axis=(1, 2))  # (sb,)
-    flags = [nzv[i] for i in range(slab_batch)]
+    nzv = jnp.any(
+        jnp.any(dd_ref[0] != 0.0, axis=2, keepdims=True), axis=1, keepdims=True
+    )  # (sb, 1, 1)
+    flags = [nzv[i, 0, 0] for i in range(slab_batch)]
     block_nz = jnp.any(nzv)
     _, _, r0s = fwd_mod._batch_step_meta(
         None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
@@ -987,8 +989,10 @@ def _voxel_grad_kernel(
     # skipped replay steps emitted all-zero cotangents; flags + window
     # starts computed vectorised, one block-level branch + per-step
     # branches inside (pl.when branches cost ~230ns each on this chip)
-    nzv = jnp.any(dd_ref[0] != 0.0, axis=(1, 2))  # (sb,)
-    flags = [nzv[i] for i in range(slab_batch)]
+    nzv = jnp.any(
+        jnp.any(dd_ref[0] != 0.0, axis=2, keepdims=True), axis=1, keepdims=True
+    )  # (sb, 1, 1)
+    flags = [nzv[i, 0, 0] for i in range(slab_batch)]
     block_nz = jnp.any(nzv)
     _, _, r0s = fwd_mod._batch_step_meta(
         None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
@@ -1052,8 +1056,10 @@ def _voxel_grad_shaded_kernel(
     feat = feat_ref[0]
     rays = feat.shape[-1]
 
-    nzv = jnp.any(dd_ref[0] != 0.0, axis=(1, 2))  # (sb,)
-    flags = [nzv[i] for i in range(slab_batch)]
+    nzv = jnp.any(
+        jnp.any(dd_ref[0] != 0.0, axis=2, keepdims=True), axis=1, keepdims=True
+    )  # (sb, 1, 1)
+    flags = [nzv[i, 0, 0] for i in range(slab_batch)]
     block_nz = jnp.any(nzv)
     _, _, r0s = fwd_mod._batch_step_meta(
         None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,

@@ -223,7 +223,11 @@ def _batch_step_meta(occ_ref, feat, J, slab_batch, march_sign, nr, nc,
     the Gaussian-smoothing stencil prologue; flags stay per-central-step."""
     if occ_ref is None and not win_rows:
         return None, None, None
-    ii = jnp.arange(-halo, slab_batch + halo, dtype=jnp.float32)[:, None]
+    n_ext = slab_batch + 2 * halo
+    # (n, 1) iota — Mosaic prefers >= 2-D values throughout
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n_ext, 1), 0).astype(
+        jnp.float32
+    ) - jnp.float32(halo)
     jf = (J * slab_batch).astype(jnp.float32) + ii  # (sb + 2*halo, 1)
 
     def row(i):
@@ -250,27 +254,31 @@ def _batch_step_meta(occ_ref, feat, J, slab_batch, march_sign, nr, nc,
     else:
         act_w = active
     rows_min = jnp.min(
-        jnp.where(act_w, rows_c, jnp.float32(nr)), axis=1
-    )  # (sb + 2*halo,)
+        jnp.where(act_w, rows_c, jnp.float32(nr)), axis=1, keepdims=True
+    )  # (sb + 2*halo, 1)
 
     cen = slice(halo, halo + slab_batch)  # central (in-block) steps
     if occ_ref is not None:
-        any_active = jnp.any(active[cen], axis=1)  # (sb,)
+        any_active = jnp.any(active[cen], axis=1, keepdims=True)  # (sb, 1)
         rows_min_occ = rows_min[cen] if not halo else jnp.min(
-            jnp.where(active[cen], rows_c[cen], jnp.float32(nr)), axis=1
+            jnp.where(active[cen], rows_c[cen], jnp.float32(nr)),
+            axis=1, keepdims=True,
         )
         rows_max = jnp.max(
-            jnp.where(active[cen], rows_c[cen], jnp.float32(-1.0)), axis=1
+            jnp.where(active[cen], rows_c[cen], jnp.float32(-1.0)),
+            axis=1, keepdims=True,
         )
         cols_min = jnp.min(
-            jnp.where(active[cen], cols_c[cen], jnp.float32(nc)), axis=1
+            jnp.where(active[cen], cols_c[cen], jnp.float32(nc)),
+            axis=1, keepdims=True,
         )
         cols_max = jnp.max(
-            jnp.where(active[cen], cols_c[cen], jnp.float32(-1.0)), axis=1
+            jnp.where(active[cen], cols_c[cen], jnp.float32(-1.0)),
+            axis=1, keepdims=True,
         )
         ob = occ_ref[:] > 0.5  # (sb, br, bc) physical order
         if march_sign <= 0:
-            ob = jnp.flip(ob, axis=0)  # march order
+            ob = ob[::-1]  # march order
         br, bc = ob.shape[1], ob.shape[2]
         by = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 1).astype(
             jnp.float32
@@ -278,22 +286,24 @@ def _batch_step_meta(occ_ref, feat, J, slab_batch, march_sign, nr, nc,
         bx = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 2).astype(
             jnp.float32
         ) * OCC_BLOCK
-        rlo = (rows_min_occ - margin)[:, None, None]
-        rhi = (rows_max + margin)[:, None, None]
-        clo = (cols_min - margin)[:, None, None]
-        chi = (cols_max + margin)[:, None, None]
+        rlo = rows_min_occ[:, :, None] - margin   # (sb, 1, 1)
+        rhi = rows_max[:, :, None] + margin
+        clo = cols_min[:, :, None] - margin
+        chi = cols_max[:, :, None] + margin
         inside = (
             (by + (OCC_BLOCK - 1) >= rlo)
             & (by <= rhi)
             & (bx + (OCC_BLOCK - 1) >= clo)
             & (bx <= chi)
         )  # (sb, br, bc)
-        hit = jnp.any(ob & inside, axis=(1, 2))  # (sb,)
-        occ_vec = hit & any_active
+        hit = jnp.any(
+            jnp.any(ob & inside, axis=2, keepdims=True), axis=1, keepdims=True
+        )  # (sb, 1, 1)
+        occ_vec = hit[:, :, 0] & any_active  # (sb, 1)
     else:
-        occ_vec = jnp.any(active[cen], axis=1)
+        occ_vec = jnp.any(active[cen], axis=1, keepdims=True)
 
-    flags = [occ_vec[i] for i in range(slab_batch)]
+    flags = [occ_vec[i, 0] for i in range(slab_batch)]
     block_occ = flags[0]
     for f in flags[1:]:
         block_occ = block_occ | f
@@ -302,9 +312,9 @@ def _batch_step_meta(occ_ref, feat, J, slab_batch, march_sign, nr, nc,
     if win_rows:
         r0f = jnp.clip(
             jnp.floor((rows_min - 1.0) / 8.0) * 8.0, 0.0, nr - win_rows
-        ).astype(jnp.int32)
+        ).astype(jnp.int32)  # (sb + 2*halo, 1)
         r0s = [
-            pl.multiple_of(r0f[i], 8)
+            pl.multiple_of(r0f[i, 0], 8)
             for i in range(slab_batch + 2 * halo)
         ]
     return flags, block_occ, r0s
