@@ -80,8 +80,57 @@ def timeit(fn, *, iters: int, warmup: int = 2) -> float:
     return max((t2 - t1) / (iters - n1), 1e-9)
 
 
+def probe_device_liveness(timeout_s: float = 120.0, attempts: int = 3) -> bool:
+    """Return True iff ``jax.devices()`` responds within ``timeout_s``.
+
+    The experimental axon TPU tunnel can wedge hard: a hung kernel keeps
+    the chip claimed and every new client blocks FOREVER inside PJRT
+    client creation (no timeout knob is honored).  Probing in a throwaway
+    subprocess keeps this process unwedged so it can fall back to CPU and
+    still print its one JSON line instead of hanging the driver."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    code = "import jax; jax.devices(); print('ok')"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s,
+                capture_output=True,
+                text=True,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+            log(f"liveness probe {i+1}/{attempts}: rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"liveness probe {i+1}/{attempts}: timed out after {timeout_s:.0f}s")
+        time.sleep(10.0)
+    return False
+
+
 def main() -> int:
+    import os
+
+    cpu_fallback = False
+    if not probe_device_liveness():
+        # the accelerator is unreachable (wedged tunnel) — measure the same
+        # protocol on CPU rather than hang; the JSON says so explicitly.
+        log("device unreachable; falling back to JAX_PLATFORMS=cpu")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        cpu_fallback = True
+
     import jax
+
+    if cpu_fallback:
+        # the env var alone is not enough: the axon plugin's register()
+        # hook (sitecustomize) forces jax_platforms='axon,cpu', and
+        # initialising the axon backend blocks forever on a wedged
+        # terminal.  An explicit config update wins as long as no backend
+        # has been initialised (same pattern as tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from volym_tpu import Camera, RenderParams, Scene
@@ -158,6 +207,8 @@ def main() -> int:
         "unit": "rays/s",
         "vs_baseline": round(rays_prod / rays_base, 3),
     }
+    if cpu_fallback:
+        result["metric"] += "_CPU_FALLBACK_tpu_unreachable"
     print(json.dumps(result))
     return 0
 

@@ -107,33 +107,31 @@ def cmd_run(args) -> int:
     cam = _camera(args)
     frames, t_last, n_last = 0, time.perf_counter(), 0
     img = None
-    ctx = _maybe_profile(args)
-    ctx.__enter__()
-    for i in range(args.frames):
-        cam = cam.orbit(2.0, 0.0, 0.0)  # orbit sweep stands in for mouse input
-        if args.live_sweep and _backend(args) == "ray":
-            # live parameter mutation (the egui-panel capability,
-            # src/gui.rs:196-277): the traced-knob split means these float
-            # changes re-render WITHOUT recompiling
-            from volym_tpu.render import fast
+    with _maybe_profile(args):
+        for i in range(args.frames):
+            cam = cam.orbit(2.0, 0.0, 0.0)  # orbit sweep stands in for mouse input
+            if args.live_sweep and _backend(args) == "ray":
+                # live parameter mutation (the egui-panel capability,
+                # src/gui.rs:196-277): the traced-knob split means these float
+                # changes re-render WITHOUT recompiling
+                from volym_tpu.render import fast
 
-            live = params.replace(
-                density_threshold=0.05 + 0.2 * (i % 10) / 10.0,
-                raymarching_step_size=params.raymarching_step_size
-                * (1.0 + 0.5 * (i % 7) / 7.0),
-            )
-            img = fast.render(scene, cam.matrices(), live, args.height, args.width)
-        else:
-            img = render(cam.matrices())
-        from volym_tpu.bench.harness import force_sync
+                live = params.replace(
+                    density_threshold=0.05 + 0.2 * (i % 10) / 10.0,
+                    raymarching_step_size=params.raymarching_step_size
+                    * (1.0 + 0.5 * (i % 7) / 7.0),
+                )
+                img = fast.render(scene, cam.matrices(), live, args.height, args.width)
+            else:
+                img = render(cam.matrices())
+            from volym_tpu.bench.harness import force_sync
 
-        force_sync(img)
-        frames += 1
-        now = time.perf_counter()
-        if now - t_last >= 1.0:
-            log.info("FPS: %.1f", (frames - n_last) / (now - t_last))
-            t_last, n_last = now, frames
-    ctx.__exit__(None, None, None)
+            force_sync(img)
+            frames += 1
+            now = time.perf_counter()
+            if now - t_last >= 1.0:
+                log.info("FPS: %.1f", (frames - n_last) / (now - t_last))
+                t_last, n_last = now, frames
     path = vio.save_screenshot(img, ".")
     log.info("saved %s", path)
     return 0

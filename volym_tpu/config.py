@@ -130,6 +130,15 @@ class RenderParams:
         combination.  The static copy zeroes those fields; code holding it
         must take the values from the vector (``resolved_max_steps`` is not
         meaningful on the static copy unless ``max_steps`` is set)."""
+        if self.importance_check_ahead_steps > 25:
+            # the traced look-ahead probes a static 25-iteration cap
+            # (render/golden.py AHEAD_CAP — the reference GUI slider max,
+            # src/gui.rs:239) and masks unused probes; a larger traced
+            # value would silently probe only the first 25/K of the range
+            raise ValueError(
+                "importance_check_ahead_steps > 25 cannot travel as a "
+                "traced knob (AHEAD_CAP); use the static-params renderers"
+            )
         static = self.replace(
             density_threshold=0.0,
             raymarching_step_size=0.0,

@@ -137,7 +137,7 @@ def _straight_kernel(
                 row=i,
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 win_rows=win_rows,
-                occupied=None if flags is None else flags[i],
+                occupied=None if flags in (None, False) else flags[i],
                 r0=None if r0s is None else r0s[i],
                 sample=flags is not False,
             )

@@ -888,6 +888,14 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             "Pallas Gaussian smoothing needs the slab count divisible by "
             f"8 (got {n_slabs}); use the jnp slab renderer or pad the grid"
         )
+    if smoothing and n_slabs * 0.01 > SMOOTH_HALO:
+        # same stencil-reach bound as render/slab.py smoothed_densities:
+        # tap offset |u| <= GAUSSIAN_KERNEL_SIZE*GAUSSIAN_STEP*N = 0.01*N
+        # march indices must fit the +-SMOOTH_HALO rows the kernel streams
+        raise NotImplementedError(
+            f"Gaussian smoothing stencil (halo {SMOOTH_HALO}) only covers "
+            f"volumes up to {int(SMOOTH_HALO / 0.01)} slabs (got {n_slabs})"
+        )
     n_blocks = n_slabs // sb
     inverted = n_chunks >= INVERT_MIN_CHUNKS
     kernel = partial(

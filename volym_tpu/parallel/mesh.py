@@ -258,8 +258,9 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
         )
     if differentiable:
         if params.use_importance_coloring:
+            # grad_perm non-None = the combined coloring+shading mode
             out = sk.march_pallas_coloring(
-                params, major, sign, 0, vol_perm, imp_perm, fc
+                params, major, sign, 0, vol_perm, imp_perm, fc, grad_perm
             )
         elif lookahead:
             out = sk.march_pallas_lookahead(
@@ -305,6 +306,15 @@ def make_train_step(
     takes per-call matrices for pose refinement around it).
     """
     fixed = params.replace(adaptive_stepping=False)
+    if not (params.use_opacity or params.use_importance_coloring):
+        # same guard as render/diff.py:336 and slab.render_diff: the replay
+        # VJPs reconstruct per-step transmittance from the alpha-compositing
+        # identity, which does not hold for a first-hit forward — without
+        # this they would return nonzero, meaningless gradients
+        raise NotImplementedError(
+            "the first-hit (use_opacity=False) mode is piecewise constant; "
+            "differentiable rendering needs use_opacity=True"
+        )
     _ray_count(height, width, mesh)
     axes = _mesh_axes(mesh)
     spec_r = P(axes)

@@ -270,6 +270,16 @@ def smoothed_densities(vol_perm, origin, dirs, major: int, sign: int, params):
     )
 
     n_slabs, n_rows, n_cols = vol_perm.shape
+    if GAUSSIAN_KERNEL_SIZE * GAUSSIAN_STEP * n_slabs > SMOOTH_HALO:
+        # the tap offset |u| <= kernel_size*step*N march indices must fit
+        # the +-SMOOTH_HALO stencil (2.56 at N=256); beyond it the outer
+        # taps would silently get zero weight while still renormalised
+        raise NotImplementedError(
+            f"Gaussian smoothing stencil (halo {SMOOTH_HALO}) only covers "
+            f"volumes up to "
+            f"{int(SMOOTH_HALO / (GAUSSIAN_KERNEL_SIZE * GAUSSIAN_STEP))} "
+            f"slabs (got {n_slabs}); use the t-step renderers"
+        )
     _, row_comp, col_comp = _AXIS_LAYOUT[major]
     o_m, d_m = origin[major], dirs[:, major]
     safe_dm = jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
