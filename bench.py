@@ -39,45 +39,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def fetch_scalar(out):
-    """Force completion by materialising one scalar on the host.
-
-    ``block_until_ready`` is not a reliable fence on the experimental axon
-    TPU platform (it returns before execution finishes, yielding absurd
-    timings); a device->host fetch is."""
-    import jax
-    import numpy as np
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(np.asarray(leaf).ravel()[0])
-
-
 def timeit(fn, *, iters: int, warmup: int = 2) -> float:
-    """Steady-state seconds/frame: the MARGINAL cost per dispatch.
+    """Steady-state seconds/frame — the MARGINAL cost per dispatch, fenced
+    by device->host fetches (``block_until_ready`` is not a reliable fence
+    on the axon platform).  One canonical implementation:
+    :func:`volym_tpu.bench.harness.marginal_time`."""
+    from volym_tpu.bench.harness import marginal_time
 
-    Dispatches queue asynchronously on the device, so timing a batch of
-    N dispatches with ONE trailing fetch and differencing two batch sizes
-    cancels the fixed host<->device round-trip (~60 ms through the axon
-    tunnel — 4x the actual kernel time at 256^2).  This is what a
-    production loop pays per frame: it dispatches steps back-to-back and
-    only fetches to checkpoint/log."""
-
-    def batch(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn()
-        fetch_scalar(out)
-        return time.perf_counter() - t0
-
-    for _ in range(warmup):
-        fetch_scalar(fn())
-    n1 = max(1, iters // 5)
-    t1 = batch(n1)
-    t2 = batch(iters)
-    if iters == n1:
-        return t2 / iters
-    return max((t2 - t1) / (iters - n1), 1e-9)
+    return marginal_time(fn, iters=iters, warmup=warmup)
 
 
 def probe_device_liveness(timeout_s: float = 120.0, attempts: int = 3) -> bool:

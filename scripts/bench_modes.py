@@ -1,18 +1,22 @@
-"""Per-mode forward timing on the real chip (dev aid, not the driver bench).
+"""Steady-state per-mode timings on the real chip (dispatch-batched).
 
-Times the Pallas slab forward for each render mode on the bonsai-class
-256^3 scene at 256x256 (the BASELINE.md mode table).  Usage:
+Companion to scripts/validate_slab_tpu.py (exactness): this measures the
+marginal frame time of each production mode at 256x256 on the synthetic
+bonsai-class 256^3 scene — the BASELINE.md mode table — printing one line
+per mode.  Usage:
 
-    python scripts/bench_modes.py [mode ...]
+    python scripts/bench_modes.py [substring ...]   # filter by mode name
+    python scripts/bench_modes.py --dense-importance ...
 
-Modes: base shading smoothing lookahead cone coloring fwd_bwd.
+``--dense-importance`` marks the dense half of the volume important so
+the look-ahead pre-pass cannot skip everything (worst-case pre-pass
+cost); the default uses the synthetic scene's own importance blob.
 """
 
 from __future__ import annotations
 
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -21,75 +25,79 @@ import jax.numpy as jnp
 import numpy as np
 
 from volym_tpu import Camera, RenderParams, Scene
+from volym_tpu.bench.harness import marginal_time
 from volym_tpu.ops import slab_kernel
 
-RES = 256
+HEIGHT = WIDTH = 256
+BASE = dict(
+    density_threshold=0.15,
+    raymarching_step_size=0.005,
+    use_gaussian_smoothing=False,
+    interpolation="trilinear",
+    adaptive_stepping=False,
+    use_shading=False,
+)
 
 
-def fetch(x):
-    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
-
-
-def timeit(fn, iters=25, warmup=2):
-    """Marginal (steady-state) s/frame: batch-difference timing with one
-    trailing fetch per batch, cancelling the fixed tunnel round-trip (see
-    bench.py)."""
-
-    def batch(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn()
-        fetch(out)
-        return time.perf_counter() - t0
-
-    for _ in range(warmup):
-        fetch(fn())
-    n1 = max(1, iters // 5)
-    t1, t2 = batch(n1), batch(iters)
-    return max((t2 - t1) / (iters - n1), 1e-9)
-
-
-def main():
-    params = RenderParams(
-        density_threshold=0.15,
-        use_gaussian_smoothing=False,
-        interpolation="trilinear",
-        adaptive_stepping=False,
-        use_shading=False,
+def fwd(scene, m, params):
+    f = jax.jit(
+        lambda v, l: slab_kernel.render(
+            Scene(v, scene.importance, l), m, params, HEIGHT, WIDTH
+        )
     )
+    return lambda: f(scene.volume, scene.tf_lut)
+
+
+def fwdbwd(scene, m, params):
+    def loss(vol, lut):
+        img = slab_kernel.render_diff(
+            Scene(vol, scene.importance, lut), m, params, HEIGHT, WIDTH
+        )
+        return jnp.sum(img)
+
+    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    return lambda: step(scene.volume, scene.tf_lut)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    dense_imp = "--dense-importance" in args
+    want = [a for a in args if not a.startswith("--")]
+
     scene = Scene.synthetic("bonsai", side=256)
-    # dense-ish importance so the look-ahead pre-pass cannot skip
-    # everything: mark the dense half of the volume important
-    imp = (np.asarray(scene.volume) > 0.3).astype(np.float32)
-    scene = Scene(scene.volume, jnp.asarray(imp), scene.tf_lut)
+    if dense_imp:
+        imp = (np.asarray(scene.volume) > 0.3).astype(np.float32)
+        scene = Scene(scene.volume, jnp.asarray(imp), scene.tf_lut)
     m = Camera(aspect=1.0, distance=1.0).orbit(30.0, 20.0, 0.0).matrices()
 
-    modes = {
-        "base": params,
-        "shading": params.replace(use_shading=True),
-        "smoothing": params.replace(use_gaussian_smoothing=True),
-        "lookahead": params.replace(use_importance_rendering=True),
-        "cone": params.replace(
-            use_importance_rendering=True, use_cone_importance_check=True
-        ),
-        "coloring": params.replace(use_importance_coloring=True),
-    }
-    want = sys.argv[1:] or list(modes) + ["fwd_bwd"]
-    for name in want:
-        if name == "fwd_bwd":
-            def loss(vol, lut):
-                img = slab_kernel.render_diff(
-                    Scene(vol, scene.importance, lut), m, params, RES, RES
-                )
-                return jnp.sum(img)
+    def P(**kw):
+        return RenderParams(**{**BASE, **kw})
 
-            step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-            t = timeit(lambda: step(scene.volume, scene.tf_lut))
-        else:
-            p = modes[name]
-            t = timeit(lambda: slab_kernel.render(scene, m, p, RES, RES))
-        print(f"{name:10s} {t*1e3:7.1f} ms  {RES*RES/t:>11,.0f} rays/s")
+    modes = [
+        ("fwd base", fwd(scene, m, P())),
+        ("fwd floor t=0.9", fwd(scene, m, P(density_threshold=0.9))),
+        ("fwd coloring", fwd(scene, m, P(use_importance_coloring=True))),
+        ("fwd lookahead", fwd(scene, m, P(use_importance_rendering=True))),
+        ("fwd lookahead cone", fwd(scene, m, P(
+            use_importance_rendering=True, use_cone_importance_check=True,
+        ))),
+        ("fwd gaussian", fwd(scene, m, P(use_gaussian_smoothing=True))),
+        ("fwd shading", fwd(scene, m, P(use_shading=True))),
+        ("fwd shading fast_math", fwd(scene, m, P(
+            use_shading=True, fast_math=True,
+        ))),
+        ("fwd+bwd scene-grads", fwdbwd(scene, m, P(camera_grads=False))),
+        ("fwd+bwd full-grads", fwdbwd(scene, m, P())),
+        ("fwd+bwd smoothed scene-grads", fwdbwd(scene, m, P(
+            use_gaussian_smoothing=True, camera_grads=False,
+        ))),
+    ]
+    for name, fn in modes:
+        if want and not any(w in name for w in want):
+            continue
+        ms = marginal_time(fn) * 1e3
+        rays = HEIGHT * WIDTH / (ms / 1e3)
+        print(f"{name:32s}: {ms:7.2f} ms  {rays/1e6:6.2f} M rays/s", flush=True)
     return 0
 
 

@@ -95,6 +95,34 @@ def force_sync(out) -> float:
     return float(np.asarray(leaves[0]).ravel()[0])
 
 
+def marginal_time(fn, *, iters: int = 25, warmup: int = 2) -> float:
+    """Steady-state seconds/frame of ``fn``: the MARGINAL cost per dispatch.
+
+    Dispatches queue asynchronously on the device, so timing a batch of N
+    dispatches with ONE trailing fence (``force_sync``) and differencing
+    two batch sizes cancels the fixed host<->device round trip (~60 ms
+    through the axon tunnel — several times a 256^2 frame's device time).
+    This is what a production loop pays per frame: it dispatches steps
+    back-to-back and only fetches to checkpoint/log.  The single
+    implementation behind bench.py and the scripts/ timing aids."""
+    def batch(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        force_sync(out)
+        return time.perf_counter() - t0
+
+    for _ in range(warmup):
+        force_sync(fn())
+    n1 = max(1, iters // 5)
+    t1 = batch(n1)
+    t2 = batch(iters)
+    if iters == n1:
+        return t2 / iters
+    return max((t2 - t1) / (iters - n1), 1e-9)
+
+
 #: frames dispatched between fences (device->host fetches).  The fetch is
 #: a ~60 ms round trip through the axon tunnel — 4x a 256^2 frame's device
 #: time — and is NOT part of rendering (the reference presents device-side
