@@ -1102,29 +1102,33 @@ def _voxel_grad_shaded_kernel(
                     ] + outer(dd4[ch + 1 : ch + 2])
 
 
-def backward_shaded(
-    params, major, sign, vol_perm, grad_perm, lut, feats, fin, g_img,
-    win_rows=0, imp_perm=None, ahead=None,
+def _backward_call(
+    params, sign, vol_perm, lut, feats, fin, g_img, *,
+    win_rows=0, imp_perm=None, ahead=None, grad_perm=None, coloring=False,
 ):
-    """Both backward passes for the Blinn-Phong-shaded mode.
+    """Shared driver behind :func:`backward` / :func:`backward_shaded` /
+    :func:`backward_coloring`.
 
-    Returns ``(d_vol_perm, d_grad_perm, d_lut, d_feats)``: the replay
-    re-samples the precomputed gradient field (``slab.gradient_volume``)
-    with the same hats and chains the shading analytically — the field
-    cotangent scatters back into ``grad_perm`` (-> the volume through the
-    jnp ``gradient_volume`` chain outside), the half-vector cotangent
-    lands in the F_HX..F_HZ feats rows (-> camera dirs).
-    ``imp_perm``/``ahead`` enable the look-ahead gate (zero-gradient mask).
-    """
+    Runs the replay (pass 1) and, when the fused single-pass layout does
+    not apply (chunk-outer grid or Gaussian smoothing), the voxel-gradient
+    scatter (pass 2) plus the smoothing camera chain (pass 2b).  Returns
+    ``(d_scatter, d_grad, d_lut, d_feats)``: ``d_scatter`` is d_vol_perm
+    for the TF modes or d_imp_perm for coloring; ``d_grad`` is the
+    gradient-field cotangent (None unless shaded); ``d_lut`` is None for
+    coloring (its rgba never reads the LUT).  The grid/alias/out-spec
+    bookkeeping — historically triplicated and a proven drift hazard —
+    lives HERE once; the wrappers only select arguments and unpack."""
     from volym_tpu.config import Interpolation
 
     lookahead = ahead is not None
+    shading = grad_perm is not None
     smoothing = params.use_gaussian_smoothing
+    assert not (coloring and lookahead), "coloring replaces the look-ahead gate"
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
-    # mirror the forward's batch: the grad block is 3x a slice; smoothing
-    # needs sb > SMOOTH_HALO for the stencil's previous-block halo rows
+    # mirror the forward's batch; smoothing needs sb > SMOOTH_HALO for the
+    # stencil's previous-block halo rows
     sb = SLAB_BATCH
     if n_slabs % sb:
         sb = 1
@@ -1133,9 +1137,22 @@ def backward_shaded(
             "Pallas Gaussian smoothing needs the slab count divisible by 8"
         )
     n_blocks = n_slabs // sb
-    b = fwd_mod.lut_groups(lut)
+    if coloring:
+        # dummy grouped LUT — the coloring replay never reads it
+        b = jnp.zeros(
+            (4 * (256 // fwd_mod.TF_GROUP), fwd_mod.TF_GROUP + 1), jnp.float32
+        )
+    else:
+        b = fwd_mod.lut_groups(lut)
     inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
+    # pass-2 fusion (inverted grid only, see _replay_kernel): the scatter
+    # blocks ride the OUTER grid axis and accumulate in VMEM, so dd never
+    # touches HBM and pass 2 disappears
+    fuse = inverted and not smoothing
+    dd_w = 4 if shading else 1  # density (or d_imp) + 3 grad-field channels
 
+    # index maps below are written in (chunk, block) order; W re-orders the
+    # arguments for the inverted (slab-outer) grid — see INVERT_MIN_CHUNKS
     W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
     slab_index = W(
         (lambda c, j: (j, 0, 0)) if sign > 0 else (
@@ -1157,22 +1174,25 @@ def backward_shaded(
         slab_batch=sb,
         march_sign=sign,
         occupancy=occupancy,
-        shading=True,
+        coloring=coloring,
+        shading=shading,
         lookahead=lookahead,
         smoothing=smoothing,
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
         occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
         inverted=inverted,
-        fuse_scatter=inverted and not smoothing,
+        fuse_scatter=fuse,
     )
-    fuse = inverted and not smoothing
+    # inputs in the replay kernel's pop order (see _replay_kernel *rest)
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
         pl.BlockSpec((sb, nr, nc), slab_index),
     ]
     inputs = [feats, vol_perm]
     if smoothing:
+        # previous / next MARCH blocks (clamped at the sweep ends) for the
+        # slab-axis stencil's halo rows
         if sign > 0:
             prev_index = lambda c, j: (jnp.maximum(j - 1, 0), 0, 0)
             next_index = lambda c, j: (jnp.minimum(j + 1, n_blocks - 1), 0, 0)
@@ -1185,7 +1205,7 @@ def backward_shaded(
         inputs.append(vol_perm)
         in_specs.append(pl.BlockSpec((sb, nr, nc), W(next_index)))
         inputs.append(vol_perm)
-    if lookahead:
+    if coloring or lookahead:
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         inputs.append(imp_perm)
     if occupancy:
@@ -1200,8 +1220,9 @@ def backward_shaded(
             )
         )
         inputs.append(occ)
-    in_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
-    inputs.append(grad_perm)
+    if shading:
+        in_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
+        inputs.append(grad_perm)
     if lookahead:
         in_specs.append(
             pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0)))
@@ -1216,229 +1237,15 @@ def backward_shaded(
     aliases = {}
     # in the fused path dd lives in scratch (no consumer outside)
     out_specs = ([] if fuse else [
-        pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
+        pl.BlockSpec((1, sb, dd_w, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
     ]) + [
         pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
     ]
     out_shape = ([] if fuse else [
-        jax.ShapeDtypeStruct((n_chunks, n_slabs, 4, RAYS_PER_CHUNK), jnp.float32),
-    ]) + [
-        jax.ShapeDtypeStruct(b.shape, jnp.float32),
-        jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
-    ]
-    o0 = 0 if fuse else 1
-    if inverted:
-        in_specs.append(
-            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = o0 + 2  # acc_in -> acc_out
-        in_specs.append(
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = o0 + 1  # dfeat_in -> d_feats
-        out_specs.append(
-            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
-        )
-    scratch = [pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)]
-    if fuse:
-        # fused pass 2 (see backward()): dvol + dgrad blocks ride the
-        # OUTER grid axis, accumulated in VMEM over the chunk sweep
-        out_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
-        out_shape.append(jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32))
-        out_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
-        out_shape.append(
-            jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32)
-        )
-        scratch.append(
-            pltpu.VMEM((1, sb, 4, RAYS_PER_CHUNK), jnp.float32)
-        )
-    res = pl.pallas_call(
-        replay,
-        grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        compiler_params=fwd_mod.vmem_params(smoothing or fuse),
-        input_output_aliases=aliases,
-    )(*inputs)
-    if fuse:
-        d_lut = fwd_mod.fold_lut_groups_grad(res[0], lut.shape[0])
-        return res[3], res[4], d_lut, res[1]
-    dd4, d_lut, d_feats = res[0], res[1], res[2]
-    d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
-
-    if smoothing:
-        # channel 0 is the SMOOTHED-density cotangent — fold the stencil
-        # back onto plain rows; the gradient-field channels (1..3) sample
-        # at each step's own coords and scatter as-is
-        dd0 = _smooth_dd_transpose(
-            feats, dd4[:, :, 0:1, :], n_slabs, bilinear
-        )
-        dd4 = jnp.concatenate([dd0, dd4[:, :, 1:, :]], axis=2)
-
-    vox = partial(
-        _voxel_grad_shaded_kernel, bilinear=bilinear, nr=nr, nc=nc,
-        win_rows=win_rows, slab_batch=sb, march_sign=sign,
-        halo=fwd_mod.SMOOTH_HALO if smoothing else 0,
-    )
-    phys_index = (lambda j, c: (j, 0, 0)) if sign > 0 else (
-        lambda j, c: (n_blocks - 1 - j, 0, 0)
-    )
-    phys_grad_index = (lambda j, c: (0, j, 0, 0)) if sign > 0 else (
-        lambda j, c: (0, n_blocks - 1 - j, 0, 0)
-    )
-    d_vol, d_grad = pl.pallas_call(
-        vox,
-        grid=(n_blocks, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)),
-            pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((sb, nr, nc), phys_index),
-            pl.BlockSpec((3, sb, nr, nc), phys_grad_index),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32),
-        ],
-    )(feats, dd4)
-
-    if smoothing and bilinear and params.camera_grads:
-        # Pass 2b on the density channel (see backward()): the plain rows'
-        # own hats chain, unavailable during the replay under smoothing
-        d_feats2 = _run_feats_grad(
-            feats, vol_perm, dd4[:, :, 0:1, :], bilinear=bilinear,
-            win_rows=win_rows, sb=sb, sign=sign,
-        )
-        d_feats = d_feats + d_feats2
-
-    return d_vol, d_grad, d_lut, d_feats
-
-
-def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, imp_perm=None, ahead=None):
-    """Run both backward passes.
-
-    Args:
-      feats: (C, 16, RAYS) packed per-ray coefficients (fwd layout).
-      fin:   (C, 4, RAYS) forward output (residual).
-      g_img: (C, 4, RAYS) upstream cotangent.
-      win_rows: static y-window size (0 = full slices).
-      imp_perm/ahead: permuted importance grid + (C, n_slabs, 1, R) ahead
-        bits — enables the importance-driven look-ahead gate in the replay
-        (a zero-gradient mask; both inputs get no cotangent).
-    Returns:
-      (d_vol_perm, d_lut, d_feats).
-    """
-    from volym_tpu.config import Interpolation
-
-    lookahead = ahead is not None
-    smoothing = params.use_gaussian_smoothing
-    n_chunks = feats.shape[0]
-    n_slabs, nr, nc = vol_perm.shape
-    bilinear = params.interpolation == Interpolation.TRILINEAR
-    # mirror the forward's smoothing batch (3 streamed slice blocks)
-    sb = SLAB_BATCH
-    if n_slabs % sb:
-        sb = 1
-    if smoothing and sb <= fwd_mod.SMOOTH_HALO:
-        raise NotImplementedError(
-            "Pallas Gaussian smoothing needs the slab count divisible by 8"
-        )
-    n_blocks = n_slabs // sb
-    b = fwd_mod.lut_groups(lut)
-    inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
-
-    # index maps below are written in (chunk, block) order; W re-orders the
-    # arguments for the inverted (slab-outer) grid — see INVERT_MIN_CHUNKS
-    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
-    slab_index = W(
-        (lambda c, j: (j, 0, 0)) if sign > 0 else (
-            lambda c, j: (n_blocks - 1 - j, 0, 0)
-        )
-    )
-    # smoothing skips via the dilated grid + widened margin (fwd rule)
-    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
-    replay = partial(
-        _replay_kernel,
-        bilinear=bilinear,
-        early_alpha=params.early_termination_alpha,
-        threshold=params.density_threshold,
-        win_rows=win_rows,
-        slab_batch=sb,
-        march_sign=sign,
-        occupancy=occupancy,
-        lookahead=lookahead,
-        smoothing=smoothing,
-        num_steps=n_slabs,
-        camera_grads=params.camera_grads,
-        occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
-        inverted=inverted,
-        fuse_scatter=inverted and not smoothing,
-    )
-    fuse = inverted and not smoothing
-    in_specs = [
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
-        pl.BlockSpec((sb, nr, nc), slab_index),
-    ]
-    inputs = [feats, vol_perm]
-    if smoothing:
-        # previous / next march blocks for the stencil halo (fwd layout)
-        if sign > 0:
-            prev_index = lambda c, j: (jnp.maximum(j - 1, 0), 0, 0)
-            next_index = lambda c, j: (jnp.minimum(j + 1, n_blocks - 1), 0, 0)
-        else:
-            prev_index = lambda c, j: (n_blocks - 1 - jnp.maximum(j - 1, 0), 0, 0)
-            next_index = lambda c, j: (
-                n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
-            )
-        in_specs.append(pl.BlockSpec((sb, nr, nc), W(prev_index)))
-        inputs.append(vol_perm)
-        in_specs.append(pl.BlockSpec((sb, nr, nc), W(next_index)))
-        inputs.append(vol_perm)
-    if lookahead:
-        in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
-        inputs.append(imp_perm)
-    if occupancy:
-        occ = (
-            fwd_mod.occupancy_grid_smooth(vol_perm, params.density_threshold)
-            if smoothing
-            else fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
-        )
-        in_specs.append(
-            pl.BlockSpec(
-                (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slab_index
-            )
-        )
-        inputs.append(occ)
-    if lookahead:
-        in_specs.append(
-            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0)))
-        )
-        inputs.append(ahead)
-    in_specs += [
-        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
-    ]
-    inputs += [b, fin, g_img]
-    aliases = {}
-    # in the fused path dd lives in scratch (no consumer outside)
-    out_specs = ([] if fuse else [
-        pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
-    ]) + [
-        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
-    ]
-    out_shape = ([] if fuse else [
-        jax.ShapeDtypeStruct((n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (n_chunks, n_slabs, dd_w, RAYS_PER_CHUNK), jnp.float32
+        ),
     ]) + [
         jax.ShapeDtypeStruct(b.shape, jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
@@ -1464,12 +1271,16 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         )
     scratch = [pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)]
     if fuse:
-        # fused pass 2: the dvol slab block rides the OUTER grid axis
+        # fused pass 2: the scatter blocks (d_vol — or d_imp for coloring —
+        # plus the gradient field when shaded) ride the OUTER grid axis
         out_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         out_shape.append(jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32))
-        scratch.append(
-            pltpu.VMEM((1, sb, 1, RAYS_PER_CHUNK), jnp.float32)
-        )
+        if shading:
+            out_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
+            out_shape.append(
+                jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32)
+            )
+        scratch.append(pltpu.VMEM((1, sb, dd_w, RAYS_PER_CHUNK), jnp.float32))
     res = pl.pallas_call(
         replay,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
@@ -1477,52 +1288,149 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        compiler_params=fwd_mod.vmem_params(smoothing or fuse),
+        compiler_params=fwd_mod.vmem_params(
+            smoothing or fuse or (coloring and shading)
+        ),
         input_output_aliases=aliases,
     )(*inputs)
+
+    def fold(dlx):
+        return None if coloring else fwd_mod.fold_lut_groups_grad(dlx, lut.shape[0])
+
     if fuse:
-        d_lut = fwd_mod.fold_lut_groups_grad(res[0], lut.shape[0])
-        return res[3], d_lut, res[1]
-    d_density, d_lut, d_feats = res[0], res[1], res[2]
-    d_lut = fwd_mod.fold_lut_groups_grad(d_lut, lut.shape[0])
+        return res[3], (res[4] if shading else None), fold(res[0]), res[1]
 
-    if smoothing:
-        # the replay emitted the SMOOTHED-density cotangent; fold the
-        # slab-axis stencil back onto plain density rows before pass 2
-        d_density = _smooth_dd_transpose(feats, d_density, n_slabs, bilinear)
+    dd, d_lut, d_feats = res[0], fold(res[1]), res[2]
+    if smoothing and not coloring:
+        # channel 0 is the SMOOTHED-density cotangent — fold the stencil
+        # back onto plain rows before scattering; any gradient-field
+        # channels (1..3) sample at each step's own coords and pass as-is.
+        # (Coloring never folds: its row 0 is the d_imp cotangent — under
+        # smoothing the density only gates the threshold mask there.)
+        dd0 = _smooth_dd_transpose(feats, dd[:, :, 0:1, :], n_slabs, bilinear)
+        dd = jnp.concatenate([dd0, dd[:, :, 1:, :]], axis=2) if shading else dd0
 
-    # Pass 2: note d_density is indexed by MARCH step j; the dvol output
-    # block is the PHYSICAL slab block.
-    vox = partial(
-        _voxel_grad_kernel, bilinear=bilinear, nr=nr, nc=nc,
-        win_rows=win_rows, slab_batch=sb, march_sign=sign,
-        halo=fwd_mod.SMOOTH_HALO if smoothing else 0,
-    )
+    # Pass 2: dd is indexed by MARCH step j; the scatter output block is
+    # the PHYSICAL slab block.
     phys_index = (lambda j, c: (j, 0, 0)) if sign > 0 else (
         lambda j, c: (n_blocks - 1 - j, 0, 0)
     )
-    d_vol = pl.pallas_call(
-        vox,
-        grid=(n_blocks, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)),
-            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((sb, nr, nc), phys_index),
-        out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
-    )(feats, d_density)
+    phys_grad_index = (lambda j, c: (0, j, 0, 0)) if sign > 0 else (
+        lambda j, c: (0, n_blocks - 1 - j, 0, 0)
+    )
+    halo2 = fwd_mod.SMOOTH_HALO if (smoothing and not coloring) else 0
+    feat_spec = pl.BlockSpec(
+        (1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)
+    )
 
-    if smoothing and bilinear and params.camera_grads:
+    def scatter_plain(dd1, box):
+        """(C, slabs, 1, R) step cotangents -> (slabs, nr, nc) grid."""
+        vox = partial(
+            _voxel_grad_kernel, bilinear=False if box else bilinear,
+            nr=nr, nc=nc, win_rows=win_rows, slab_batch=sb, march_sign=sign,
+            halo=halo2,
+        )
+        return pl.pallas_call(
+            vox,
+            grid=(n_blocks, n_chunks),
+            in_specs=[
+                feat_spec,
+                pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((sb, nr, nc), phys_index),
+            out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
+        )(feats, dd1)
+
+    def scatter_shaded(dd4):
+        """(C, slabs, 4, R) -> ((slabs, nr, nc), (3, slabs, nr, nc))."""
+        voxs = partial(
+            _voxel_grad_shaded_kernel, bilinear=bilinear, nr=nr, nc=nc,
+            win_rows=win_rows, slab_batch=sb, march_sign=sign, halo=halo2,
+        )
+        return pl.pallas_call(
+            voxs,
+            grid=(n_blocks, n_chunks),
+            in_specs=[
+                feat_spec,
+                pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((sb, nr, nc), phys_index),
+                pl.BlockSpec((3, sb, nr, nc), phys_grad_index),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
+                jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32),
+            ],
+        )(feats, dd4)
+
+    d_grad = None
+    if coloring:
+        # d_imp scatters with BOX hats (nearest-filtered importance grid)
+        d_scatter = scatter_plain(dd[:, :, 0:1, :], box=True)
+        if shading:
+            # combined mode: the gradient-field rows 1..3 scatter with
+            # BILINEAR hats (row 0 zeroed — the direct d_volume term is
+            # zero a.e., density only gates the threshold mask)
+            dd4z = jnp.concatenate(
+                [jnp.zeros_like(dd[:, :, 0:1, :]), dd[:, :, 1:, :]], axis=2
+            )
+            _dvol_zero, d_grad = scatter_shaded(dd4z)
+    elif shading:
+        d_scatter, d_grad = scatter_shaded(dd)
+    else:
+        d_scatter = scatter_plain(dd, box=False)
+
+    if smoothing and bilinear and params.camera_grads and not coloring:
         # Pass 2b: the plain rows' own bilinear-hat camera chain (fused
         # into pass 1 when unsmoothed; see _feats_grad_kernel).  Box
         # (nearest) hats have zero coordinate gradient -> skipped.
-        d_feats2 = _run_feats_grad(
-            feats, vol_perm, d_density, bilinear=bilinear,
+        d_feats = d_feats + _run_feats_grad(
+            feats, vol_perm, dd[:, :, 0:1, :], bilinear=bilinear,
             win_rows=win_rows, sb=sb, sign=sign,
         )
-        d_feats = d_feats + d_feats2
+    return d_scatter, d_grad, d_lut, d_feats
 
+
+def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, imp_perm=None, ahead=None):
+    """Run both backward passes.
+
+    Args:
+      feats: (C, 16, RAYS) packed per-ray coefficients (fwd layout).
+      fin:   (C, 4, RAYS) forward output (residual).
+      g_img: (C, 4, RAYS) upstream cotangent.
+      win_rows: static y-window size (0 = full slices).
+      imp_perm/ahead: permuted importance grid + (C, n_slabs, 1, R) ahead
+        bits — enables the importance-driven look-ahead gate in the replay
+        (a zero-gradient mask; both inputs get no cotangent).
+    Returns:
+      (d_vol_perm, d_lut, d_feats).
+    """
+    d_vol, _d_grad, d_lut, d_feats = _backward_call(
+        params, sign, vol_perm, lut, feats, fin, g_img,
+        win_rows=win_rows, imp_perm=imp_perm, ahead=ahead,
+    )
     return d_vol, d_lut, d_feats
+
+
+def backward_shaded(
+    params, major, sign, vol_perm, grad_perm, lut, feats, fin, g_img,
+    win_rows=0, imp_perm=None, ahead=None,
+):
+    """Both backward passes for the Blinn-Phong-shaded mode.
+
+    Returns ``(d_vol_perm, d_grad_perm, d_lut, d_feats)``: the replay
+    re-samples the precomputed gradient field (``slab.gradient_volume``)
+    with the same hats and chains the shading analytically — the field
+    cotangent scatters back into ``grad_perm`` (-> the volume through the
+    jnp ``gradient_volume`` chain outside), the half-vector cotangent
+    lands in the F_HX..F_HZ feats rows (-> camera dirs).
+    ``imp_perm``/``ahead`` enable the look-ahead gate (zero-gradient mask).
+    """
+    return _backward_call(
+        params, sign, vol_perm, lut, feats, fin, g_img,
+        win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, grad_perm=grad_perm,
+    )
 
 
 def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0, grad_perm=None):
@@ -1537,214 +1445,11 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     channel cotangents scatter into ``grad_perm`` (-> the volume via the
     jnp ``gradient_volume`` chain outside).
     """
-    from volym_tpu.config import Interpolation
-
-    smoothing = params.use_gaussian_smoothing
-    n_chunks = feats.shape[0]
-    n_slabs, nr, nc = vol_perm.shape
-    bilinear = params.interpolation == Interpolation.TRILINEAR
-    sb = SLAB_BATCH
-    if n_slabs % sb:
-        sb = 1
-    if smoothing and sb <= fwd_mod.SMOOTH_HALO:
-        raise NotImplementedError(
-            "Pallas Gaussian smoothing needs the slab count divisible by 8"
-        )
-    n_blocks = n_slabs // sb
-    # dummy grouped LUT — the coloring replay never reads it
-    b = jnp.zeros((4 * (256 // fwd_mod.TF_GROUP), fwd_mod.TF_GROUP + 1), jnp.float32)
-    inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
-
-    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
-    slab_index = W(
-        (lambda c, j: (j, 0, 0)) if sign > 0 else (
-            lambda c, j: (n_blocks - 1 - j, 0, 0)
-        )
-    )
-    occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
-    replay = partial(
-        _replay_kernel,
-        bilinear=bilinear,
-        early_alpha=params.early_termination_alpha,
-        threshold=params.density_threshold,
-        win_rows=win_rows,
-        slab_batch=sb,
-        march_sign=sign,
-        occupancy=occupancy,
+    d_imp, d_grad, _d_lut, d_feats = _backward_call(
+        params, sign, vol_perm, None, feats, fin, g_img,
+        win_rows=win_rows, imp_perm=imp_perm, grad_perm=grad_perm,
         coloring=True,
-        shading=grad_perm is not None,
-        fuse_scatter=inverted and not smoothing,
-        smoothing=smoothing,
-        num_steps=n_slabs,
-        camera_grads=params.camera_grads,
-        occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
-        inverted=inverted,
     )
-    in_specs = [
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
-        pl.BlockSpec((sb, nr, nc), slab_index),
-    ]
-    inputs = [feats, vol_perm]
-    if smoothing:
-        # smoothing moves only the threshold MASK here (coloring rgba is
-        # density-free): stream the halo blocks so the replay's smoothed
-        # density replicates the forward's compositing exactly
-        if sign > 0:
-            prev_index = lambda c, j: (jnp.maximum(j - 1, 0), 0, 0)
-            next_index = lambda c, j: (jnp.minimum(j + 1, n_blocks - 1), 0, 0)
-        else:
-            prev_index = lambda c, j: (n_blocks - 1 - jnp.maximum(j - 1, 0), 0, 0)
-            next_index = lambda c, j: (
-                n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
-            )
-        in_specs.append(pl.BlockSpec((sb, nr, nc), W(prev_index)))
-        inputs.append(vol_perm)
-        in_specs.append(pl.BlockSpec((sb, nr, nc), W(next_index)))
-        inputs.append(vol_perm)
-    in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
-    inputs.append(imp_perm)
-    if occupancy:
-        occ = (
-            fwd_mod.occupancy_grid_smooth(vol_perm, params.density_threshold)
-            if smoothing
-            else fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
-        )
-        in_specs.append(
-            pl.BlockSpec(
-                (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slab_index
-            )
-        )
-        inputs.append(occ)
-    if grad_perm is not None:
-        grad_index = W(
-            (lambda c, j: (0, j, 0, 0)) if sign > 0 else (
-                lambda c, j: (0, n_blocks - 1 - j, 0, 0)
-            )
-        )
-        in_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
-        inputs.append(grad_perm)
-    dd_w = 4 if grad_perm is not None else 1
-    in_specs += [
-        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
-    ]
-    inputs += [b, fin, g_img]
-    aliases = {}
-    fuse = inverted and not smoothing
-    # in the fused path dd lives in scratch (no consumer outside)
-    out_specs = ([] if fuse else [
-        pl.BlockSpec((1, sb, dd_w, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
-    ]) + [
-        pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
-    ]
-    out_shape = ([] if fuse else [
-        jax.ShapeDtypeStruct((n_chunks, n_slabs, dd_w, RAYS_PER_CHUNK), jnp.float32),
-    ]) + [
-        jax.ShapeDtypeStruct(b.shape, jnp.float32),
-        jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
-    ]
-    o0 = 0 if fuse else 1
-    if inverted:
-        in_specs.append(
-            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = o0 + 2  # acc_in -> acc_out
-        in_specs.append(
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = o0 + 1  # dfeat_in -> d_feats
-        out_specs.append(
-            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
-        )
-    scratch = [pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)]
-    if fuse:
-        # fused pass 2 (see backward()): the d_imp slab blocks (and the
-        # gradient-field blocks in the combined mode) ride the OUTER axis
-        out_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
-        out_shape.append(jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32))
-        if grad_perm is not None:
-            out_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
-            out_shape.append(
-                jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32)
-            )
-        scratch.append(
-            pltpu.VMEM((1, sb, dd_w, RAYS_PER_CHUNK), jnp.float32)
-        )
-    res = pl.pallas_call(
-        replay,
-        grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        compiler_params=fwd_mod.vmem_params(
-            smoothing or fuse or grad_perm is not None
-        ),
-        input_output_aliases=aliases,
-    )(*inputs)
-    if fuse:
-        if grad_perm is None:
-            return res[3], res[1]
-        return res[3], res[4], res[1]
-    d_imp_steps, _dlut, d_feats = res[0], res[1], res[2]
-
-    # pass 2 with BOX hats: the importance grid is nearest-filtered
-    vox = partial(
-        _voxel_grad_kernel, bilinear=False, nr=nr, nc=nc,
-        win_rows=win_rows, slab_batch=sb, march_sign=sign,
-    )
-    phys_index = (lambda j, c: (j, 0, 0)) if sign > 0 else (
-        lambda j, c: (n_blocks - 1 - j, 0, 0)
-    )
-    d_imp = pl.pallas_call(
-        vox,
-        grid=(n_blocks, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)),
-            pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((sb, nr, nc), phys_index),
-        out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
-    )(feats, d_imp_steps[:, :, 0:1, :])
-
     if grad_perm is None:
         return d_imp, d_feats
-
-    # combined mode, pass 2 for the gradient field: scatter rows 1..3 with
-    # BILINEAR hats via the shaded voxel kernel (row 0 zeroed — the direct
-    # d_volume term is zero a.e., density only gates the threshold mask)
-    dd4z = jnp.concatenate(
-        [jnp.zeros_like(d_imp_steps[:, :, 0:1, :]), d_imp_steps[:, :, 1:, :]],
-        axis=2,
-    )
-    voxs = partial(
-        _voxel_grad_shaded_kernel, bilinear=bilinear, nr=nr, nc=nc,
-        win_rows=win_rows, slab_batch=sb, march_sign=sign,
-    )
-    phys_grad_index = (lambda j, c: (0, j, 0, 0)) if sign > 0 else (
-        lambda j, c: (0, n_blocks - 1 - j, 0, 0)
-    )
-    _dvol_zero, d_grad = pl.pallas_call(
-        voxs,
-        grid=(n_blocks, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)),
-            pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((sb, nr, nc), phys_index),
-            pl.BlockSpec((3, sb, nr, nc), phys_grad_index),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32),
-        ],
-    )(feats, dd4z)
     return d_imp, d_grad, d_feats
