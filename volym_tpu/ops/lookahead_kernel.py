@@ -330,7 +330,7 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
 
     ob = occ_ref[:] > 0.5  # (sb, br, bc) physical order
     if march_sign <= 0:
-        ob = ob[::-1]
+        ob = fwd_mod._flip_leading(ob)
     br, bc = ob.shape[1], ob.shape[2]
     blk = fwd_mod.OCC_BLOCK
     by = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 1).astype(
@@ -349,7 +349,9 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
         jnp.any(ob & inside, axis=2, keepdims=True), axis=1, keepdims=True
     )  # (sb, 1, 1)
     occ_vec = hit[:, :, 0] & anyin  # (sb, 1)
-    flags = [occ_vec[i, 0] for i in range(slab_batch)]
+    # Mosaic can only squeeze 32-bit elements to scalars: extract via int32
+    occ_i = occ_vec.astype(jnp.int32)
+    flags = [occ_i[i, 0] > 0 for i in range(slab_batch)]
     block_occ = flags[0]
     for f in flags[1:]:
         block_occ = block_occ | f

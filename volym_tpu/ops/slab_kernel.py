@@ -67,6 +67,19 @@ CONE_FEATURES = 56
 CF_RS, CF_RB, CF_CS, CF_CB, CF_TS, CF_TB, CF_RATE = range(7)
 
 
+def _flip_leading(x):
+    """Reverse axis 0 with static slices (Mosaic has no ``rev`` lowering).
+
+    The leading axis is the slab batch (small, static), so an unrolled
+    concatenate of single-slab slices compiles to cheap relayouts instead
+    of the unsupported ``lax.rev`` primitive.
+    """
+    n = x.shape[0]
+    if n <= 1:
+        return x
+    return jnp.concatenate([x[i : i + 1] for i in range(n - 1, -1, -1)], axis=0)
+
+
 def _march_kernel(
     feat_ref,  # (1, 16, RAYS)
     slice_ref,  # (sb, NR, NC) volume slices for this march block
@@ -278,7 +291,7 @@ def _batch_step_meta(occ_ref, feat, J, slab_batch, march_sign, nr, nc,
         )
         ob = occ_ref[:] > 0.5  # (sb, br, bc) physical order
         if march_sign <= 0:
-            ob = ob[::-1]  # march order
+            ob = _flip_leading(ob)  # march order
         br, bc = ob.shape[1], ob.shape[2]
         by = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 1).astype(
             jnp.float32
@@ -303,7 +316,9 @@ def _batch_step_meta(occ_ref, feat, J, slab_batch, march_sign, nr, nc,
     else:
         occ_vec = jnp.any(active[cen], axis=1, keepdims=True)
 
-    flags = [occ_vec[i, 0] for i in range(slab_batch)]
+    # Mosaic can only squeeze 32-bit elements to scalars: extract via int32
+    occ_i = occ_vec.astype(jnp.int32)
+    flags = [occ_i[i, 0] > 0 for i in range(slab_batch)]
     block_occ = flags[0]
     for f in flags[1:]:
         block_occ = block_occ | f
