@@ -36,6 +36,7 @@ from volym_tpu.ops.slab_kernel import (
     CF_CB,
     CF_CS,
     CF_RATE,
+    CF_STRIDE,
     CF_RB,
     CF_RS,
     CF_TB,
@@ -220,7 +221,7 @@ def _straight_step(feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, s
 
 def _cone_kernel(
     feat_ref,   # (1, 16, R) main-ray features
-    cfeat_ref,  # (1, 56, R) per-cone-direction coefficients
+    cfeat_ref,  # (1, CONE_FEATURES, R) per-cone-direction coefficients
     slice_ref,  # (sb, NR, NC) importance slices
     *rest,      # [occ_ref] [ns_in_ref if inverted] ahead_ref,
                 # [ns_out_ref if inverted] ns_ref (scratch, (8, R))
@@ -282,7 +283,7 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
     (sb, R)-vectorised outside any branch (same rationale as
     fwd_mod._batch_step_meta: the per-step reductions + branches are the
     scaffold cost, not the sampling).  Returns ``(flags, block_occ)``."""
-    n_dirs = CONE_FEATURES // 7
+    n_dirs = CONE_FEATURES // CF_STRIDE
     # (sb, 1) iota and keepdims reductions: Mosaic prefers >= 2-D values
     ii = jax.lax.broadcasted_iota(jnp.int32, (slab_batch, 1), 0).astype(
         jnp.float32
@@ -291,7 +292,7 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
 
     rmin = rmax = cmin = cmax = anyin = None
     for c in range(n_dirs):
-        base = c * 7
+        base = c * CF_STRIDE
 
         def crow(i, base=base):
             return cf[base + i : base + i + 1, :]
@@ -361,7 +362,7 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
 def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
-    cf = cfeat_ref[0]  # (56, R)
+    cf = cfeat_ref[0]  # (CONE_FEATURES, R)
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
     _, _, t = _coords_t(feat, jf)
@@ -377,10 +378,10 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j,
     )
     d_range = _row(feat, F_EXIT) - norm_pos  # world distance
 
-    n_dirs = CONE_FEATURES // 7
+    n_dirs = CONE_FEATURES // CF_STRIDE
     ahead = jnp.zeros((1, rays), bool)
     for c in range(n_dirs):
-        rate = cf[c * 7 + CF_RATE : c * 7 + CF_RATE + 1, :]
+        rate = cf[c * CF_STRIDE + CF_RATE : c * CF_STRIDE + CF_RATE + 1, :]
         # loads of ns_ref happen BEFORE this step's update below (a cone
         # probe looks strictly ahead of the current sample)
         ahead = ahead | (
@@ -399,7 +400,7 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j,
         # and the importance slices pre-binarised (see _boxhat_sample).
         rows_s, cols_s, inbox_l = [], [], []
         for c in range(n_dirs):
-            base = c * 7
+            base = c * CF_STRIDE
 
             def crow(i, base=base):
                 return cf[base + i : base + i + 1, :]
@@ -483,7 +484,7 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
         )
         inputs.append(occ)
 
-    n_dirs = CONE_FEATURES // 7 if cone_feats is not None else 1
+    n_dirs = CONE_FEATURES // CF_STRIDE if cone_feats is not None else 1
     if cone_feats is not None:
         kernel = partial(
             _cone_kernel, slab_batch=sb, march_sign=sign, n_blocks=n_blocks,

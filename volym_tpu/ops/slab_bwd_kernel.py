@@ -861,8 +861,10 @@ def _feats_grad_kernel(
     nzv = jnp.any(
         jnp.any(dd_ref[0] != 0.0, axis=2, keepdims=True), axis=1, keepdims=True
     )  # (sb, 1, 1)
-    flags = [nzv[i, 0, 0] for i in range(slab_batch)]
-    block_nz = jnp.any(nzv)
+    # Mosaic can only squeeze 32-bit elements to scalars: extract via int32
+    nzi = nzv.astype(jnp.int32)
+    flags = [nzi[i, 0, 0] > 0 for i in range(slab_batch)]
+    block_nz = jnp.max(nzi) > 0
     _, _, r0s = fwd_mod._batch_step_meta(
         None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
         halo=halo,
@@ -992,8 +994,10 @@ def _voxel_grad_kernel(
     nzv = jnp.any(
         jnp.any(dd_ref[0] != 0.0, axis=2, keepdims=True), axis=1, keepdims=True
     )  # (sb, 1, 1)
-    flags = [nzv[i, 0, 0] for i in range(slab_batch)]
-    block_nz = jnp.any(nzv)
+    # Mosaic can only squeeze 32-bit elements to scalars: extract via int32
+    nzi = nzv.astype(jnp.int32)
+    flags = [nzi[i, 0, 0] > 0 for i in range(slab_batch)]
+    block_nz = jnp.max(nzi) > 0
     _, _, r0s = fwd_mod._batch_step_meta(
         None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
         halo=halo,
@@ -1059,8 +1063,10 @@ def _voxel_grad_shaded_kernel(
     nzv = jnp.any(
         jnp.any(dd_ref[0] != 0.0, axis=2, keepdims=True), axis=1, keepdims=True
     )  # (sb, 1, 1)
-    flags = [nzv[i, 0, 0] for i in range(slab_batch)]
-    block_nz = jnp.any(nzv)
+    # Mosaic can only squeeze 32-bit elements to scalars: extract via int32
+    nzi = nzv.astype(jnp.int32)
+    flags = [nzi[i, 0, 0] > 0 for i in range(slab_batch)]
+    block_nz = jnp.max(nzi) > 0
     _, _, r0s = fwd_mod._batch_step_meta(
         None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
         halo=halo,

@@ -62,8 +62,13 @@ INVERT_MIN_CHUNKS = 8
 F_RS, F_RB, F_CS, F_CB, F_TS, F_TB, F_ENTRY, F_EXIT, F_AEXP, F_SIGNOK = range(10)
 F_HX, F_HY, F_HZ = 10, 11, 12  # per-ray Blinn-Phong half vector
 F_CD, F_C2 = 13, 14  # cam.dir and |cam|^2: the look-ahead range quirk
-#: per-direction cone look-ahead coefficient rows (8 dirs x 7 rows)
-CONE_FEATURES = 56
+#: per-direction cone look-ahead coefficient rows: 8 dirs x 7 coefficients,
+#: padded to an 8-row stride so every direction's row i lives at sublane
+#: offset i — Mosaic's concatenate requires equal offsets on the non-concat
+#: dimension, and the wide cone sample concatenates the 8 per-direction
+#: (1, R) coordinate rows along lanes.
+CF_STRIDE = 8
+CONE_FEATURES = 8 * CF_STRIDE
 CF_RS, CF_RB, CF_CS, CF_CB, CF_TS, CF_TB, CF_RATE = range(7)
 
 
@@ -1364,8 +1369,9 @@ def cone_features_from_rays(origin, dirs, n_slabs, major, sign, layout):
             ts,
             tb,
             d_m * n * sign,
+            jnp.zeros_like(ts),  # pad to CF_STRIDE (sublane alignment)
         ]
-    return jnp.stack(rows)  # (56, R)
+    return jnp.stack(rows)  # (CONE_FEATURES, R)
 
 
 def _assemble(out, miss, r, height, width):
