@@ -12,8 +12,15 @@ classes broke the production path this round:
 
 This lint traces every kernel mode (both grid layouts, both march signs)
 with ``jax.make_jaxpr`` and walks the ``pallas_call`` sub-jaxprs for
-those patterns, so the known-unlowarable ops fail CI on CPU in
-milliseconds instead of at compile time on the chip.
+those patterns, so the known-unlowerable ops fail CI on CPU, without a
+TPU (tracing all ~90 mode combinations takes a couple of minutes),
+instead of at compile time on the chip.
+
+A third Mosaic-only failure class from the same round —
+sublane-offset-mismatched lane concatenation in the wide cone sample —
+has no jaxpr-level signature (the offsets are a layout property); it is
+prevented structurally by the CF_STRIDE=8 padding of the cone-feature
+rows (ops/slab_kernel.py), not by this lint.
 """
 
 from __future__ import annotations
