@@ -24,6 +24,7 @@ from types import SimpleNamespace
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as real_pl
+from jax.experimental.pallas import tpu as real_pltpu
 
 
 class _DS:
@@ -142,6 +143,8 @@ EMU_PL = SimpleNamespace(
 EMU_PLTPU = SimpleNamespace(
     VMEM=lambda shape, dtype: SimpleNamespace(shape=shape, dtype=dtype),
     CompilerParams=lambda **kw: SimpleNamespace(**kw),
+    # memory-space tag only (BlockSpec carries it through unexamined)
+    SMEM=real_pltpu.SMEM,
 )
 
 

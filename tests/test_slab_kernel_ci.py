@@ -944,12 +944,11 @@ def test_smoothing_occupancy_skip_is_exact(cam):
         np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
 
 
-def test_batch_step_meta_matches_per_step(cam):
-    """The (sb, R)-vectorised footprint/window meta must agree exactly with
-    the per-step primitives it replaces (_step_occupied / _window_start),
-    including the smoothing halo extension."""
-    from tests.pallas_emu import FakeRef
-
+def test_build_step_meta_matches_per_step(cam):
+    """The once-per-frame XLA step meta (build_step_meta) must agree
+    exactly with straightforward per-step evaluations of the same
+    semantics — the footprint-vs-occupancy flag and the window start —
+    including the smoothing halo extension of the r0 list."""
     sc = Scene.synthetic("sphere", side=64)  # 64^3: occupancy blocks engage
     m = cam.matrices()
     major, sign = slab.dominant_axis(m)
@@ -959,51 +958,75 @@ def test_batch_step_meta_matches_per_step(cam):
     feats, miss, r = slab_kernel._chunked_feats(
         m, 32, 32, n_slabs, major, sign, layout
     )
-    occ = slab_kernel.occupancy_grid(vol_perm, 0.12)
+    occ = np.asarray(slab_kernel.occupancy_grid(vol_perm, 0.12))
     sb = 8
     win = 8  # any multiple of 8 <= nr
     halo = slab_kernel.SMOOTH_HALO
+    blk = slab_kernel.OCC_BLOCK
+    meta = np.asarray(
+        slab_kernel.build_step_meta(
+            feats, jnp.asarray(occ), n_slabs=n_slabs, sb=sb, sign=sign,
+            nr=nr, nc=nc, margin=1.0, win_rows=win, halo=halo,
+        )
+    )
+    assert meta.shape == (
+        feats.shape[0], n_slabs // sb, 1, 1 + sb + sb + 2 * halo
+    )
+    meta = meta[:, :, 0, :]
+
+    feats = np.asarray(feats)
+    F = slab_kernel
+
+    def ray_state(feat, j, widen=0.0):
+        jf = float(j)
+        rows = np.clip(feat[F.F_RS] * jf + feat[F.F_RB], 0.0, nr - 1.0)
+        cols = np.clip(feat[F.F_CS] * jf + feat[F.F_CB], 0.0, nc - 1.0)
+        t = feat[F.F_TS] * jf + feat[F.F_TB]
+        slack = np.abs(feat[F.F_TS]) * widen
+        active = (
+            (feat[F.F_SIGNOK] > 0.5)
+            & (t >= feat[F.F_ENTRY] - slack)
+            & (t < feat[F.F_EXIT] + slack)
+        )
+        return rows, cols, active
+
     for c in range(feats.shape[0]):
         feat = feats[c]
         for jb in range(n_slabs // sb):
-            block = occ[jb * sb : (jb + 1) * sb] if sign > 0 else occ[
-                n_slabs - (jb + 1) * sb : n_slabs - jb * sb
-            ]
-            flags, block_occ, r0s = slab_kernel._batch_step_meta(
-                FakeRef(block), feat, jnp.int32(jb), sb, sign, nr, nc,
-                1.0, win, halo=halo,
-            )
-            assert len(r0s) == sb + 2 * halo
             for i in range(sb):
-                jf = jnp.float32(jb * sb + i)
-                rows_c = jnp.clip(
-                    feat[0:1] * jf + feat[1:2], 0.0, nr - 1.0
-                )
-                cols_c = jnp.clip(
-                    feat[2:3] * jf + feat[3:4], 0.0, nc - 1.0
-                )
-                t = feat[4:5] * jf + feat[5:6]
-                slice_row = i if sign > 0 else sb - 1 - i
-                want = slab_kernel._step_occupied(
-                    FakeRef(block), slice_row, feat, t, rows_c, cols_c,
-                    nr, nc, margin=1.0,
-                )
-                assert bool(flags[i]) == bool(want), (c, jb, i)
+                j = jb * sb + i
+                rows, cols, active = ray_state(feat, j)
+                slab_phys = j if sign > 0 else n_slabs - 1 - j
+                ob = occ[slab_phys] > 0.5
+                if not active.any():
+                    want = False
+                else:
+                    rlo = rows[active].min() - 1.0
+                    rhi = rows[active].max() + 1.0
+                    clo = cols[active].min() - 1.0
+                    chi = cols[active].max() + 1.0
+                    by = np.arange(ob.shape[0]) * blk
+                    bx = np.arange(ob.shape[1]) * blk
+                    inside = (
+                        ((by + blk - 1 >= rlo) & (by <= rhi))[:, None]
+                        & ((bx + blk - 1 >= clo) & (bx <= chi))[None, :]
+                    )
+                    want = bool((ob & inside).any())
+                assert bool(meta[c, jb, 1 + i]) == want, (c, jb, i)
+            assert bool(meta[c, jb, 0]) == any(
+                meta[c, jb, 1 : 1 + sb] > 0
+            ), (c, jb)
             # halo > 0 widens the window-placement activity interval by
-            # halo*|ts| (smoothing-stencil readers) — replicate by widening
-            # entry/exit on the feats fed to the per-step primitive
-            slack = jnp.abs(feat[4:5]) * float(halo)
-            featw = feat.at[slab_kernel.F_ENTRY : slab_kernel.F_ENTRY + 1].add(
-                -slack
-            ).at[slab_kernel.F_EXIT : slab_kernel.F_EXIT + 1].add(slack)
+            # halo*|ts| (smoothing-stencil readers past a ray's exit)
             for off in range(-halo, sb + halo):
-                jf = jnp.float32(jb * sb + off)
-                rows_c = jnp.clip(
-                    feat[0:1] * jf + feat[1:2], 0.0, nr - 1.0
+                j = jb * sb + off
+                rows, _, act_w = ray_state(feat, j, widen=float(halo))
+                rows_min = rows[act_w].min() if act_w.any() else float(nr)
+                want_r0 = int(
+                    np.clip(np.floor((rows_min - 1.0) / 8.0) * 8.0, 0, nr - win)
                 )
-                t = feat[4:5] * jf + feat[5:6]
-                want_r0 = slab_kernel._window_start(featw, t, rows_c, nr, win)
-                assert int(r0s[off + halo]) == int(want_r0), (c, jb, off)
+                got = int(meta[c, jb, 1 + sb + off + halo])
+                assert got == want_r0, (c, jb, off)
 
 
 def test_windowed_smoothing_boundary_rays():

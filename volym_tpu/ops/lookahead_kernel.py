@@ -82,8 +82,7 @@ def _boxhat_sample(slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows,
         return v if base is None else v + base.astype(jnp.float32)
 
     if win_rows:
-        if r0 is None:
-            r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+        assert r0 is not None, "windowed sampling needs a precomputed r0"
         hat_y = boxk(rows_c, iota(win_rows, r0))
         sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
     else:
@@ -104,8 +103,8 @@ def _boxhat_sample(slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows,
 def _straight_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC) importance slices (physical order)
-    *rest,      # [occ_ref] [ns_in_ref if inverted] ahead_ref,
-                # [ns_out_ref if inverted] ns_ref (scratch)
+    *rest,      # [meta_ref if occupancy|win] [ns_in_ref if inverted]
+                # ahead_ref, [ns_out_ref if inverted] ns_ref (scratch)
     win_rows: int,
     slab_batch: int,
     march_sign: int,
@@ -114,7 +113,7 @@ def _straight_kernel(
     inverted: bool = False,
 ):
     rest = list(rest)
-    occ_ref = rest.pop(0) if occupancy else None
+    meta_ref = rest.pop(0) if (occupancy or win_rows) else None
     if inverted:
         ns_in_ref, ahead_ref, ns_out_ref, ns_ref = rest
         jb = pl.program_id(0)
@@ -133,7 +132,7 @@ def _straight_kernel(
     def steps(flags, r0s):
         for i in reversed(range(slab_batch)):
             _straight_step(
-                feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref,
+                feat_ref, slice_ref, ahead_ref, ns_ref,
                 j=mb * slab_batch + i,
                 row=i,
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
@@ -143,21 +142,18 @@ def _straight_kernel(
                 sample=flags is not False,
             )
 
-    if occ_ref is None:
-        _, _, r0s = fwd_mod._batch_step_meta(
-            None, feat_ref[0], mb, slab_batch, march_sign, nr, nc, 1.0,
-            win_rows,
-        )
+    # footprint flags + window starts precomputed once per frame
+    # (fwd_mod.build_step_meta on the importance occupancy grid), indexed
+    # by the MARCH block mb via the meta BlockSpec
+    flags, block_occ, r0s = fwd_mod._read_step_meta(
+        meta_ref, slab_batch, win_rows, 0, occupancy
+    )
+    if not occupancy:
         steps(None, r0s)
     else:
-        # batched footprint flags + ONE live/dead branch pair per block:
-        # in a union-unoccupied block no step can update ns, so only the
-        # (branch-free) ahead rows are emitted there
-        flags, block_occ, r0s = fwd_mod._batch_step_meta(
-            occ_ref, feat_ref[0], mb, slab_batch, march_sign, nr, nc, 1.0,
-            win_rows,
-        )
-
+        # ONE live/dead branch pair per block: in a union-unoccupied block
+        # no step can update ns, so only the (branch-free) ahead rows are
+        # emitted there
         @pl.when(block_occ)
         def _live():
             steps(flags, r0s)
@@ -170,7 +166,7 @@ def _straight_kernel(
         ns_out_ref[0] = ns_ref[:]
 
 
-def _straight_step(feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row, win_rows, occupied=None, r0=None, sample=True):
+def _straight_step(feat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, win_rows, occupied=None, r0=None, sample=True):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
@@ -206,14 +202,9 @@ def _straight_step(feat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, s
         hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & valid
         ns_ref[:] = jnp.where(hit, jf, ns_ref[:])
 
-    if occ_ref is None:
+    if occupied is None:
         _sample_update()
     else:
-        if occupied is None:
-            occupied = fwd_mod._step_occupied(
-                occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc
-            )
-
         @pl.when(occupied)
         def _do():
             _sample_update()
@@ -223,7 +214,7 @@ def _cone_kernel(
     feat_ref,   # (1, 16, R) main-ray features
     cfeat_ref,  # (1, CONE_FEATURES, R) per-cone-direction coefficients
     slice_ref,  # (sb, NR, NC) importance slices
-    *rest,      # [occ_ref] [ns_in_ref if inverted] ahead_ref,
+    *rest,      # [meta_ref if occupancy] [ns_in_ref if inverted] ahead_ref,
                 # [ns_out_ref if inverted] ns_ref (scratch, (8, R))
     slab_batch: int,
     march_sign: int,
@@ -232,7 +223,7 @@ def _cone_kernel(
     inverted: bool = False,
 ):
     rest = list(rest)
-    occ_ref = rest.pop(0) if occupancy else None
+    meta_ref = rest.pop(0) if occupancy else None
     if inverted:
         ns_in_ref, ahead_ref, ns_out_ref, ns_ref = rest
         jb = pl.program_id(0)
@@ -251,7 +242,7 @@ def _cone_kernel(
     def steps(flags):
         for i in reversed(range(slab_batch)):
             _cone_step(
-                feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref,
+                feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref,
                 j=mb * slab_batch + i,
                 row=i,
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
@@ -259,11 +250,15 @@ def _cone_kernel(
                 sample=flags is not False,
             )
 
-    if occ_ref is None:
+    if not occupancy:
         steps(None)
     else:
-        flags, block_occ = _cone_union_meta(
-            cfeat_ref[0], occ_ref, mb, slab_batch, march_sign, nr, nc
+        # per-step UNION footprint flags over the 8 cone directions,
+        # precomputed once per frame (build_cone_step_meta); ONE live/dead
+        # branch pair per block — in a union-unoccupied block no step can
+        # update ns, so only the (branch-free) ahead rows are emitted there
+        flags, block_occ, _ = fwd_mod._read_step_meta(
+            meta_ref, slab_batch, 0, 0, True
         )
 
         @pl.when(block_occ)
@@ -278,26 +273,27 @@ def _cone_kernel(
         ns_out_ref[0] = ns_ref[:]
 
 
-def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
-    """Per-step UNION footprint flags for the cone directions, computed
-    (sb, R)-vectorised outside any branch (same rationale as
-    fwd_mod._batch_step_meta: the per-step reductions + branches are the
-    scaffold cost, not the sampling).  Returns ``(flags, block_occ)``."""
+def build_cone_step_meta(cone_feats, occ, *, n_slabs, sb, sign, nr, nc):
+    """Per-(chunk, march-block) UNION footprint flags of the 8 cone
+    look-ahead directions vs the importance occupancy grid, precomputed
+    once per frame as XLA ops (the cone analog of
+    :func:`volym_tpu.ops.slab_kernel.build_step_meta`; same packed layout
+    ``[block_occ, flags[0..sb)]``, no window starts).
+
+    Returns int32 (C, n_blocks, 1, 1 + sb).
+    """
     n_dirs = CONE_FEATURES // CF_STRIDE
-    # (sb, 1) iota and keepdims reductions: Mosaic prefers >= 2-D values
-    ii = jax.lax.broadcasted_iota(jnp.int32, (slab_batch, 1), 0).astype(
-        jnp.float32
-    )
-    jf = (J * slab_batch).astype(jnp.float32) + ii
+    n_blocks = n_slabs // sb
+    jf = jnp.arange(n_slabs, dtype=jnp.float32)[None, :, None]  # (1, S, 1)
 
     rmin = rmax = cmin = cmax = anyin = None
     for c in range(n_dirs):
         base = c * CF_STRIDE
 
         def crow(i, base=base):
-            return cf[base + i : base + i + 1, :]
+            return cone_feats[:, base + i, :][:, None, :]  # (C, 1, R)
 
-        rows_u = crow(CF_RS) * jf + crow(CF_RB)  # (sb, R)
+        rows_u = crow(CF_RS) * jf + crow(CF_RB)  # (C, S, R)
         cols_u = crow(CF_CS) * jf + crow(CF_CB)
         t_c = crow(CF_TS) * jf + crow(CF_TB)
         inbox = (
@@ -307,19 +303,11 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
         )
         rows_c = jnp.clip(rows_u, 0.0, nr - 1.0)
         cols_c = jnp.clip(cols_u, 0.0, nc - 1.0)
-        rmin_c = jnp.min(
-            jnp.where(inbox, rows_c, jnp.float32(nr)), axis=1, keepdims=True
-        )
-        rmax_c = jnp.max(
-            jnp.where(inbox, rows_c, jnp.float32(-1.0)), axis=1, keepdims=True
-        )
-        cmin_c = jnp.min(
-            jnp.where(inbox, cols_c, jnp.float32(nc)), axis=1, keepdims=True
-        )
-        cmax_c = jnp.max(
-            jnp.where(inbox, cols_c, jnp.float32(-1.0)), axis=1, keepdims=True
-        )
-        any_c = jnp.any(inbox, axis=1, keepdims=True)
+        rmin_c = jnp.min(jnp.where(inbox, rows_c, jnp.float32(nr)), axis=2)
+        rmax_c = jnp.max(jnp.where(inbox, rows_c, jnp.float32(-1.0)), axis=2)
+        cmin_c = jnp.min(jnp.where(inbox, cols_c, jnp.float32(nc)), axis=2)
+        cmax_c = jnp.max(jnp.where(inbox, cols_c, jnp.float32(-1.0)), axis=2)
+        any_c = jnp.any(inbox, axis=2)  # (C, S)
         if rmin is None:
             rmin, rmax, cmin, cmax, anyin = rmin_c, rmax_c, cmin_c, cmax_c, any_c
         else:
@@ -329,37 +317,28 @@ def _cone_union_meta(cf, occ_ref, J, slab_batch, march_sign, nr, nc):
             cmax = jnp.maximum(cmax, cmax_c)
             anyin = anyin | any_c
 
-    ob = occ_ref[:] > 0.5  # (sb, br, bc) physical order
-    if march_sign <= 0:
-        ob = fwd_mod._flip_leading(ob)
+    # march step j reads physical slab j (sign>0) or n_slabs-1-j
+    sidx = jnp.arange(n_slabs) if sign > 0 else n_slabs - 1 - jnp.arange(n_slabs)
+    ob = occ[sidx] > 0.5  # (S, br, bc) march order
     br, bc = ob.shape[1], ob.shape[2]
     blk = fwd_mod.OCC_BLOCK
-    by = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 1).astype(
-        jnp.float32
-    ) * blk
-    bx = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 2).astype(
-        jnp.float32
-    ) * blk
+    by = (jnp.arange(br, dtype=jnp.float32) * blk)[None, None, :, None]
+    bx = (jnp.arange(bc, dtype=jnp.float32) * blk)[None, None, None, :]
     inside = (
-        (by + (blk - 1) >= rmin[:, :, None] - 1.0)
-        & (by <= rmax[:, :, None] + 1.0)
-        & (bx + (blk - 1) >= cmin[:, :, None] - 1.0)
-        & (bx <= cmax[:, :, None] + 1.0)
-    )  # (sb, br, bc)
-    hit = jnp.any(
-        jnp.any(ob & inside, axis=2, keepdims=True), axis=1, keepdims=True
-    )  # (sb, 1, 1)
-    occ_vec = hit[:, :, 0] & anyin  # (sb, 1)
-    # Mosaic can only squeeze 32-bit elements to scalars: extract via int32
-    occ_i = occ_vec.astype(jnp.int32)
-    flags = [occ_i[i, 0] > 0 for i in range(slab_batch)]
-    block_occ = flags[0]
-    for f in flags[1:]:
-        block_occ = block_occ | f
-    return flags, block_occ
+        (by + (blk - 1) >= (rmin - 1.0)[:, :, None, None])
+        & (by <= (rmax + 1.0)[:, :, None, None])
+        & (bx + (blk - 1) >= (cmin - 1.0)[:, :, None, None])
+        & (bx <= (cmax + 1.0)[:, :, None, None])
+    )  # (C, S, br, bc)
+    hit = jnp.any(ob[None] & inside, axis=(2, 3))  # (C, S)
+    flags = (hit & anyin).reshape(-1, n_blocks, sb)
+    block_occ = jnp.any(flags, axis=2, keepdims=True)
+    return jnp.concatenate(
+        [block_occ.astype(jnp.int32), flags.astype(jnp.int32)], axis=2
+    )[:, :, None, :]
 
 
-def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True):
+def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     cf = cfeat_ref[0]  # (CONE_FEATURES, R)
@@ -426,12 +405,12 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, occ_ref, ahead_ref, ns_ref, *, j,
             hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox_l[c]
             ns_ref[c : c + 1, :] = jnp.where(hit, jf, ns_ref[c : c + 1, :])
 
-    if occ_ref is None:
+    if occupied is None:
         _sample_update()
     else:
-        # the union-footprint flag comes precomputed from _cone_union_meta
-        # (batched over the whole slab batch); a union-unoccupied step can
-        # update nothing (every direction's samples are sub-threshold)
+        # the union-footprint flag comes precomputed from
+        # build_cone_step_meta; a union-unoccupied step can update nothing
+        # (every direction's samples are sub-threshold)
         @pl.when(occupied)
         def _do():
             _sample_update()
@@ -475,14 +454,34 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
         inputs.append(cone_feats)
     in_specs.append(pl.BlockSpec((sb, nr, nc), slice_index))
     inputs.append(imp_perm)
-    if occupancy:
-        occ = fwd_mod.occupancy_grid(imp_perm, IMPORTANT_AHEAD_THRESHOLD)
+    # footprint flags + window starts precomputed per frame, indexed by
+    # the MARCH block mb = n_blocks - 1 - jb of the reverse sweep
+    occ = (
+        fwd_mod.occupancy_grid(imp_perm, IMPORTANT_AHEAD_THRESHOLD)
+        if occupancy
+        else None
+    )
+    meta_index = W(lambda c, j: (c, n_blocks - 1 - j, 0, 0))
+    if cone_feats is not None:
+        meta = (
+            build_cone_step_meta(
+                cone_feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc
+            )
+            if occupancy
+            else None
+        )
+    else:
+        meta = fwd_mod.build_step_meta(
+            feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
+            margin=1.0, win_rows=win_rows,
+        )
+    if meta is not None:
         in_specs.append(
             pl.BlockSpec(
-                (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slice_index
+                (1, 1, 1, meta.shape[3]), meta_index, memory_space=pltpu.SMEM
             )
         )
-        inputs.append(occ)
+        inputs.append(meta)
 
     n_dirs = CONE_FEATURES // CF_STRIDE if cone_feats is not None else 1
     if cone_feats is not None:

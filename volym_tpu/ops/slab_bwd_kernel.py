@@ -151,7 +151,7 @@ def _replay_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC)
     *rest,      # [prev_ref, next_ref if smoothing]
-                # [imp_ref if coloring|lookahead] [occ_ref if occupancy]
+                # [imp_ref if coloring|lookahead] [meta_ref if occupancy|win]
                 # [grad_ref if shading] [ahead_ref if lookahead] lut_ref(B),
                 # fin_ref, gimg_ref, [acc_in_ref, dfeat_in_ref if inverted]
                 # dd_ref, dlut_ref, dfeat_ref, [acc_out_ref if inverted]
@@ -169,7 +169,6 @@ def _replay_kernel(
     smoothing: bool = False,
     num_steps: int = 0,
     camera_grads: bool = True,
-    occ_margin: float = 1.0,
     inverted: bool = False,
     fuse_scatter: bool = False,
 ):
@@ -177,7 +176,7 @@ def _replay_kernel(
     prev_ref = rest.pop(0) if smoothing else None
     next_ref = rest.pop(0) if smoothing else None
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
-    occ_ref = rest.pop(0) if occupancy else None
+    meta_ref = rest.pop(0) if (occupancy or win_rows) else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
     dvol_ref = dgrad_out_ref = None
@@ -245,17 +244,15 @@ def _replay_kernel(
     )
     chunk_active = jnp.any(can_contribute) | (jb == 0)
     # same block-level empty-space gate as the forward
-    # (fwd_mod._march_kernel): flags + window starts computed
-    # (sb, R)-vectorised up front, ONE branch skips the whole batch
-    # (incl. the stencil prologue under smoothing); per-step branches
-    # only run inside live blocks
+    # (fwd_mod._march_kernel): flags + window starts PRECOMPUTED once per
+    # frame (fwd_mod.build_step_meta) and read as SMEM scalars; ONE branch
+    # skips the whole batch (incl. the stencil prologue under smoothing);
+    # per-step branches only run inside live blocks
     halo = fwd_mod.SMOOTH_HALO if (smoothing and win_rows) else 0
-    occ_flags, block_occ, r0s = fwd_mod._batch_step_meta(
-        occ_ref, feat0, jb, slab_batch, march_sign,
-        slice_ref.shape[1], slice_ref.shape[2], occ_margin, win_rows,
-        halo=halo,
+    occ_flags, block_occ, r0s = fwd_mod._read_step_meta(
+        meta_ref, slab_batch, win_rows, halo, occupancy
     )
-    if occ_ref is not None:
+    if occupancy:
         chunk_active = chunk_active & (block_occ | (jb == 0))
 
     # the dd block is written every iteration: pre-zero it once (cheap
@@ -325,14 +322,13 @@ def _replay_kernel(
                 dd_row=i,
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 bilinear=bilinear, early_alpha=early_alpha,
-                threshold=threshold, win_rows=win_rows, occ_ref=occ_ref,
+                threshold=threshold, win_rows=win_rows,
                 imp_ref=imp_ref, grad_ref=grad_ref, coloring=coloring,
                 ahead=ahead_ref[0, i] if lookahead else None,
                 density_override=None if smooth_rows is None else smooth_rows[i],
                 dsmooth_dts=None if dts_rows is None else dts_rows[i],
                 camera_grads=camera_grads,
-                occ_margin=occ_margin,
-                occupied=None if occ_ref is None else occ_flags[i],
+                occupied=None if occ_flags is None else occ_flags[i],
                 r0=None if r0s is None else r0s[i + halo],
                 dvol_ref=dvol_ref,
                 dgrad_out_ref=dgrad_out_ref,
@@ -346,8 +342,8 @@ def _replay_step(
     feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref,
     dfeat_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
-    occ_ref=None, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
-    density_override=None, dsmooth_dts=None, camera_grads=True, occ_margin=1.0,
+    imp_ref=None, grad_ref=None, coloring=False, ahead=None,
+    density_override=None, dsmooth_dts=None, camera_grads=True,
     occupied=None, r0=None, dvol_ref=None, dgrad_out_ref=None,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
@@ -355,7 +351,7 @@ def _replay_step(
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rows_c, cols_c, t = _coords(feat, jf, nr, nc)
 
-    if occ_ref is None:
+    if occupied is None:
         _replay_step_body(
             feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
@@ -368,16 +364,11 @@ def _replay_step(
         )
         return
 
-    if occupied is None:
-        occupied = fwd_mod._step_occupied(
-            occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc,
-            margin=occ_margin,
-        )
-
     @pl.when(occupied)
     def _do():
-        # an empty-footprint step contributes nothing: the dd block was
-        # pre-zeroed by the caller, so skipping is a no-op
+        # an empty-footprint step (precomputed flag, fwd_mod.build_step_meta)
+        # contributes nothing: the dd block was pre-zeroed by the caller,
+        # so skipping is a no-op
         _replay_step_body(
             feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
@@ -402,8 +393,7 @@ def _replay_step_body(
     rays = feat.shape[-1]
 
     if win_rows:
-        if r0 is None:
-            r0 = fwd_mod._window_start(feat, t, rows_c, nr, win_rows)
+        assert r0 is not None, "windowed sampling needs a precomputed r0"
         hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
         dhat_y = (
             _dhat(rows_c, win_rows, rays, bilinear, base=r0)
@@ -827,7 +817,7 @@ def _feats_grad_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC) volume slices for this march block
     dd_ref,     # (1, sb, 1, R) PLAIN-row density cotangent (march order)
-    *rest,      # [dfeat_in_ref if inverted] dfeat_ref (out)
+    *rest,      # [meta_ref if win] [dfeat_in_ref if inverted] dfeat_ref (out)
     bilinear: bool,
     win_rows: int = 0,
     slab_batch: int = 1,
@@ -842,6 +832,8 @@ def _feats_grad_kernel(
     transpose; this kernel re-derives each row's bilinear-hat derivative
     (one dhat_y matmul + one hat_y matmul per step) and accumulates the
     F_RS/F_RB/F_CS/F_CB rows of d_feats."""
+    rest = list(rest)
+    meta_ref = rest.pop(0) if win_rows else None
     if inverted:
         dfeat_in_ref, dfeat_ref = rest
         jb = pl.program_id(0)
@@ -865,10 +857,7 @@ def _feats_grad_kernel(
     nzi = nzv.astype(jnp.int32)
     flags = [nzi[i, 0, 0] > 0 for i in range(slab_batch)]
     block_nz = jnp.max(nzi) > 0
-    _, _, r0s = fwd_mod._batch_step_meta(
-        None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
-        halo=halo,
-    )
+    _, _, r0s = fwd_mod._read_step_meta(meta_ref, slab_batch, win_rows, halo, False)
 
     @pl.when(block_nz)
     def _block():
@@ -944,6 +933,18 @@ def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign):
         pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
     ]
     inputs = [feats, vol_perm, dd]
+    if win_rows:
+        meta = fwd_mod.build_step_meta(
+            feats, None, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
+            margin=1.0, win_rows=win_rows, halo=fwd_mod.SMOOTH_HALO,
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, meta.shape[3]), W(lambda c, j: (c, j, 0, 0)),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        inputs.append(meta)
     aliases = {}
     if inverted:
         in_specs.append(
@@ -968,8 +969,7 @@ def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign):
 def _voxel_grad_kernel(
     feat_ref,  # (1, 16, R)
     dd_ref,    # (1, sb, 1, R) d_density for this (slab block, chunk)
-    dvol_ref,  # (sb, NR, NC) out gradient slices, revisited over chunks
-    *,
+    *rest,     # [meta_ref if win] dvol_ref (out, revisited over chunks)
     bilinear: bool,
     nr: int,
     nc: int,
@@ -978,6 +978,9 @@ def _voxel_grad_kernel(
     march_sign: int = 1,
     halo: int = 0,
 ):
+    rest = list(rest)
+    meta_ref = rest.pop(0) if win_rows else None
+    (dvol_ref,) = rest
     c = pl.program_id(1)
     jb = pl.program_id(0)
 
@@ -988,9 +991,9 @@ def _voxel_grad_kernel(
     feat = feat_ref[0]
     rays = feat.shape[-1]
 
-    # skipped replay steps emitted all-zero cotangents; flags + window
-    # starts computed vectorised, one block-level branch + per-step
-    # branches inside (pl.when branches cost ~230ns each on this chip)
+    # skipped replay steps emitted all-zero cotangents; window starts come
+    # precomputed (fwd_mod.build_step_meta), one block-level branch +
+    # per-step branches inside (pl.when branches cost ~230ns each here)
     nzv = jnp.any(
         jnp.any(dd_ref[0] != 0.0, axis=2, keepdims=True), axis=1, keepdims=True
     )  # (sb, 1, 1)
@@ -998,10 +1001,7 @@ def _voxel_grad_kernel(
     nzi = nzv.astype(jnp.int32)
     flags = [nzi[i, 0, 0] > 0 for i in range(slab_batch)]
     block_nz = jnp.max(nzi) > 0
-    _, _, r0s = fwd_mod._batch_step_meta(
-        None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
-        halo=halo,
-    )
+    _, _, r0s = fwd_mod._read_step_meta(meta_ref, slab_batch, win_rows, halo, False)
 
     @pl.when(block_nz)
     def _block():
@@ -1038,9 +1038,8 @@ def _voxel_grad_kernel(
 def _voxel_grad_shaded_kernel(
     feat_ref,   # (1, 16, R)
     dd_ref,     # (1, sb, 4, R): density + 3 gradient-channel cotangents
-    dvol_ref,   # (sb, NR, NC) out, revisited over chunks
-    dgrad_ref,  # (3, sb, NR, NC) out, revisited over chunks
-    *,
+    *rest,      # [meta_ref if win] dvol_ref (sb, NR, NC),
+                # dgrad_ref (3, sb, NR, NC) — both revisited over chunks
     bilinear: bool,
     nr: int,
     nc: int,
@@ -1049,6 +1048,9 @@ def _voxel_grad_shaded_kernel(
     march_sign: int = 1,
     halo: int = 0,
 ):
+    rest = list(rest)
+    meta_ref = rest.pop(0) if win_rows else None
+    dvol_ref, dgrad_ref = rest
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -1067,10 +1069,7 @@ def _voxel_grad_shaded_kernel(
     nzi = nzv.astype(jnp.int32)
     flags = [nzi[i, 0, 0] > 0 for i in range(slab_batch)]
     block_nz = jnp.max(nzi) > 0
-    _, _, r0s = fwd_mod._batch_step_meta(
-        None, feat, jb, slab_batch, march_sign, nr, nc, 1.0, win_rows,
-        halo=halo,
-    )
+    _, _, r0s = fwd_mod._read_step_meta(meta_ref, slab_batch, win_rows, halo, False)
 
     @pl.when(block_nz)
     def _block():
@@ -1186,7 +1185,6 @@ def _backward_call(
         smoothing=smoothing,
         num_steps=n_slabs,
         camera_grads=params.camera_grads,
-        occ_margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
         inverted=inverted,
         fuse_scatter=fuse,
     )
@@ -1214,18 +1212,27 @@ def _backward_call(
     if coloring or lookahead:
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         inputs.append(imp_perm)
-    if occupancy:
-        occ = (
-            fwd_mod.occupancy_grid_smooth(vol_perm, params.density_threshold)
-            if smoothing
-            else fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+    if occupancy or win_rows:
+        occ = None
+        if occupancy:
+            occ = (
+                fwd_mod.occupancy_grid_smooth(vol_perm, params.density_threshold)
+                if smoothing
+                else fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+            )
+        halo = fwd_mod.SMOOTH_HALO if (smoothing and win_rows) else 0
+        meta = fwd_mod.build_step_meta(
+            feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
+            margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
+            win_rows=win_rows, halo=halo,
         )
         in_specs.append(
             pl.BlockSpec(
-                (sb, nr // fwd_mod.OCC_BLOCK, nc // fwd_mod.OCC_BLOCK), slab_index
+                (1, 1, 1, meta.shape[3]), W(lambda c, j: (c, j, 0, 0)),
+                memory_space=pltpu.SMEM,
             )
         )
-        inputs.append(occ)
+        inputs.append(meta)
     if shading:
         in_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
         inputs.append(grad_perm)
@@ -1328,6 +1335,19 @@ def _backward_call(
     feat_spec = pl.BlockSpec(
         (1, N_FEATURES, RAYS_PER_CHUNK), lambda j, c: (c, 0, 0)
     )
+    meta_p2_specs, meta_p2_inputs = [], []
+    if win_rows:
+        meta_p2 = fwd_mod.build_step_meta(
+            feats, None, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
+            margin=1.0, win_rows=win_rows, halo=halo2,
+        )
+        meta_p2_specs = [
+            pl.BlockSpec(
+                (1, 1, 1, meta_p2.shape[3]), lambda j, c: (c, j, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        ]
+        meta_p2_inputs = [meta_p2]
 
     def scatter_plain(dd1, box):
         """(C, slabs, 1, R) step cotangents -> (slabs, nr, nc) grid."""
@@ -1342,10 +1362,10 @@ def _backward_call(
             in_specs=[
                 feat_spec,
                 pl.BlockSpec((1, sb, 1, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
-            ],
+            ] + meta_p2_specs,
             out_specs=pl.BlockSpec((sb, nr, nc), phys_index),
             out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
-        )(feats, dd1)
+        )(feats, dd1, *meta_p2_inputs)
 
     def scatter_shaded(dd4):
         """(C, slabs, 4, R) -> ((slabs, nr, nc), (3, slabs, nr, nc))."""
@@ -1359,7 +1379,7 @@ def _backward_call(
             in_specs=[
                 feat_spec,
                 pl.BlockSpec((1, sb, 4, RAYS_PER_CHUNK), lambda j, c: (c, j, 0, 0)),
-            ],
+            ] + meta_p2_specs,
             out_specs=[
                 pl.BlockSpec((sb, nr, nc), phys_index),
                 pl.BlockSpec((3, sb, nr, nc), phys_grad_index),
@@ -1368,7 +1388,7 @@ def _backward_call(
                 jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
                 jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32),
             ],
-        )(feats, dd4)
+        )(feats, dd4, *meta_p2_inputs)
 
     d_grad = None
     if coloring:

@@ -72,23 +72,10 @@ CONE_FEATURES = 8 * CF_STRIDE
 CF_RS, CF_RB, CF_CS, CF_CB, CF_TS, CF_TB, CF_RATE = range(7)
 
 
-def _flip_leading(x):
-    """Reverse axis 0 with static slices (Mosaic has no ``rev`` lowering).
-
-    The leading axis is the slab batch (small, static), so an unrolled
-    concatenate of single-slab slices compiles to cheap relayouts instead
-    of the unsupported ``lax.rev`` primitive.
-    """
-    n = x.shape[0]
-    if n <= 1:
-        return x
-    return jnp.concatenate([x[i : i + 1] for i in range(n - 1, -1, -1)], axis=0)
-
-
 def _march_kernel(
     feat_ref,  # (1, 16, RAYS)
     slice_ref,  # (sb, NR, NC) volume slices for this march block
-    *rest,  # [occ_ref if occupancy] [imp_ref if coloring] [grad_ref if shading] lut_ref, [acc_in_ref if inverted], out_ref
+    *rest,  # [meta_ref if occupancy|win] [imp_ref if coloring] [grad_ref if shading] lut_ref, [acc_in_ref if inverted], out_ref
     num_steps: int,
     bilinear: bool,
     early_alpha: float,
@@ -102,14 +89,13 @@ def _march_kernel(
     occupancy: bool = False,
     lookahead: bool = False,
     smoothing: bool = False,
-    occ_margin: float = 1.0,
     inverted: bool = False,
     first_hit: bool = False,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
     next_ref = rest.pop(0) if smoothing else None
-    occ_ref = rest.pop(0) if occupancy else None
+    meta_ref = rest.pop(0) if (occupancy or win_rows) else None
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
@@ -146,16 +132,16 @@ def _march_kernel(
     )
     chunk_active = jnp.any(can_contribute)
     # Block-level empty-space gate: per-step footprint flags and window
-    # starts computed (sb, R)-vectorised up front; ONE branch skips the
-    # whole batch when no step touches an occupied block, and the
-    # per-step branches only execute inside live blocks.
+    # starts PRECOMPUTED once per frame on the XLA side (build_step_meta)
+    # and read here as SMEM scalars; ONE branch skips the whole batch when
+    # no step touches an occupied block, and the per-step branches only
+    # execute inside live blocks.  (The in-kernel (sb, R) reductions this
+    # replaces were ~2.7 ms/frame at 256² — the all-mode floor.)
     halo = SMOOTH_HALO if (smoothing and win_rows) else 0
-    occ_flags, block_occ, r0s = _batch_step_meta(
-        occ_ref, feat0, J, slab_batch, march_sign,
-        slice_ref.shape[1], slice_ref.shape[2], occ_margin, win_rows,
-        halo=halo,
+    occ_flags, block_occ, r0s = _read_step_meta(
+        meta_ref, slab_batch, win_rows, halo, occupancy
     )
-    if occ_ref is not None:
+    if occupancy:
         chunk_active = chunk_active & block_occ
 
     @pl.when(chunk_active | (J == 0))
@@ -211,151 +197,147 @@ def _march_kernel(
                 j=J * slab_batch + i,
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
-                precision=precision, win_rows=win_rows, occ_ref=occ_ref,
+                precision=precision, win_rows=win_rows,
                 coloring=coloring, ahead_ref=ahead_ref, ahead_row=i,
                 density_override=None if smooth_rows is None else smooth_rows[i],
-                occ_margin=occ_margin,
-                occupied=None if occ_ref is None else occ_flags[i],
+                occupied=None if occ_flags is None else occ_flags[i],
                 r0=None if r0s is None else r0s[i + halo],
                 first_hit=first_hit,
             )
 
 
-def _batch_step_meta(occ_ref, feat, J, slab_batch, march_sign, nr, nc,
-                     margin, win_rows, halo=0):
-    """Footprint occupancy + window starts for a whole slab batch, computed
-    as (sb, R)-vectorised reductions OUTSIDE any branch.
+def _meta_cols(slab_batch: int, win_rows: int, halo: int, occupancy: bool) -> int:
+    """Width of the packed per-(chunk, march-block) meta row: [block_occ,
+    flags[0..sb)] when occupancy, then [r0s[0..sb+2*halo)] when windowed."""
+    k = (1 + slab_batch) if occupancy else 0
+    if win_rows:
+        k += slab_batch + 2 * halo
+    return k
 
-    The per-step versions (:func:`_step_occupied` / :func:`_window_start`)
-    cost ~280ns per sub-slab on this chip (~4.5 ms/frame at 256²: the
-    min/max reductions dominate the sparse-frame floor).  Batched over the
-    sub-slabs, the same math is one reduction pass over (sb, R) tensors
-    (~8x fewer reduction ops) plus static-index scalar extracts.
+
+def _read_step_meta(meta_ref, slab_batch, win_rows, halo, occupancy):
+    """Unpack the precomputed step meta (see :func:`build_step_meta`) from
+    its (1, 1, 1, K) SMEM block: scalar reads instead of the in-kernel
+    (sb, R) lane reductions that used to be the per-iteration floor.
 
     Returns ``(flags, block_occ, r0s)``: ``flags[i]`` scalar bool per
     march-local step (footprint touches an occupied block AND any ray
     active), ``block_occ`` their OR, ``r0s[i]`` scalar int32 window starts
-    (multiples of 8; ``None`` when ``win_rows == 0``).  ``occ_ref`` may be
-    None: flags are then ray-activity only.  ``halo`` extends the r0 list
-    to march offsets [-halo, slab_batch + halo) — r0s[off + halo] — for
-    the Gaussian-smoothing stencil prologue; flags stay per-central-step."""
-    if occ_ref is None and not win_rows:
+    (multiples of 8; ``None`` when ``win_rows == 0``).  ``halo`` extends
+    the r0 list to march offsets [-halo, slab_batch + halo) —
+    ``r0s[off + halo]`` — for the Gaussian-smoothing stencil prologue."""
+    if meta_ref is None:
         return None, None, None
-    n_ext = slab_batch + 2 * halo
-    # (n, 1) iota — Mosaic prefers >= 2-D values throughout
-    ii = jax.lax.broadcasted_iota(jnp.int32, (n_ext, 1), 0).astype(
-        jnp.float32
-    ) - jnp.float32(halo)
-    jf = (J * slab_batch).astype(jnp.float32) + ii  # (sb + 2*halo, 1)
-
-    def row(i):
-        return feat[i : i + 1, :]  # (1, R)
-
-    rows_c = jnp.clip(row(F_RS) * jf + row(F_RB), 0.0, nr - 1.0)
-    cols_c = jnp.clip(row(F_CS) * jf + row(F_CB), 0.0, nc - 1.0)
-    t = row(F_TS) * jf + row(F_TB)
-    active = (row(F_SIGNOK) > 0.5) & (t >= row(F_ENTRY)) & (t < row(F_EXIT))
-    if halo:
-        # Gaussian smoothing: window PLACEMENT must cover every ray whose
-        # stencil can read this index's plain row — active at ANY step
-        # within +-halo, i.e. t within [entry - halo*|ts|, exit + halo*|ts|)
-        # (window_rows sizes the static window with the same widened mask).
-        # The occupancy flags below keep the EXACT activity: skip
-        # exactness under smoothing is provided by the dilated occupancy
-        # grid + widened margin, not by this mask.
-        slack = jnp.abs(row(F_TS)) * jnp.float32(halo)
-        act_w = (
-            (row(F_SIGNOK) > 0.5)
-            & (t >= row(F_ENTRY) - slack)
-            & (t < row(F_EXIT) + slack)
-        )
-    else:
-        act_w = active
-    rows_min = jnp.min(
-        jnp.where(act_w, rows_c, jnp.float32(nr)), axis=1, keepdims=True
-    )  # (sb + 2*halo, 1)
-
-    cen = slice(halo, halo + slab_batch)  # central (in-block) steps
-    if occ_ref is not None:
-        any_active = jnp.any(active[cen], axis=1, keepdims=True)  # (sb, 1)
-        rows_min_occ = rows_min[cen] if not halo else jnp.min(
-            jnp.where(active[cen], rows_c[cen], jnp.float32(nr)),
-            axis=1, keepdims=True,
-        )
-        rows_max = jnp.max(
-            jnp.where(active[cen], rows_c[cen], jnp.float32(-1.0)),
-            axis=1, keepdims=True,
-        )
-        cols_min = jnp.min(
-            jnp.where(active[cen], cols_c[cen], jnp.float32(nc)),
-            axis=1, keepdims=True,
-        )
-        cols_max = jnp.max(
-            jnp.where(active[cen], cols_c[cen], jnp.float32(-1.0)),
-            axis=1, keepdims=True,
-        )
-        ob = occ_ref[:] > 0.5  # (sb, br, bc) physical order
-        if march_sign <= 0:
-            ob = _flip_leading(ob)  # march order
-        br, bc = ob.shape[1], ob.shape[2]
-        by = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 1).astype(
-            jnp.float32
-        ) * OCC_BLOCK
-        bx = jax.lax.broadcasted_iota(jnp.int32, (1, br, bc), 2).astype(
-            jnp.float32
-        ) * OCC_BLOCK
-        rlo = rows_min_occ[:, :, None] - margin   # (sb, 1, 1)
-        rhi = rows_max[:, :, None] + margin
-        clo = cols_min[:, :, None] - margin
-        chi = cols_max[:, :, None] + margin
-        inside = (
-            (by + (OCC_BLOCK - 1) >= rlo)
-            & (by <= rhi)
-            & (bx + (OCC_BLOCK - 1) >= clo)
-            & (bx <= chi)
-        )  # (sb, br, bc)
-        hit = jnp.any(
-            jnp.any(ob & inside, axis=2, keepdims=True), axis=1, keepdims=True
-        )  # (sb, 1, 1)
-        occ_vec = hit[:, :, 0] & any_active  # (sb, 1)
-    else:
-        occ_vec = jnp.any(active[cen], axis=1, keepdims=True)
-
-    # Mosaic can only squeeze 32-bit elements to scalars: extract via int32
-    occ_i = occ_vec.astype(jnp.int32)
-    flags = [occ_i[i, 0] > 0 for i in range(slab_batch)]
-    block_occ = flags[0]
-    for f in flags[1:]:
-        block_occ = block_occ | f
-
-    r0s = None
+    flags = block_occ = r0s = None
+    off = 0
+    if occupancy:
+        block_occ = meta_ref[0, 0, 0, 0] > 0
+        flags = [meta_ref[0, 0, 0, 1 + i] > 0 for i in range(slab_batch)]
+        off = 1 + slab_batch
     if win_rows:
-        r0f = jnp.clip(
-            jnp.floor((rows_min - 1.0) / 8.0) * 8.0, 0.0, nr - win_rows
-        ).astype(jnp.int32)  # (sb + 2*halo, 1)
         r0s = [
-            pl.multiple_of(r0f[i, 0], 8)
+            pl.multiple_of(meta_ref[0, 0, 0, off + i], 8)
             for i in range(slab_batch + 2 * halo)
         ]
     return flags, block_occ, r0s
 
 
-def _window_start(feat, t, rows_c, nr, win_rows):
-    """Dynamic (per chunk, slab) start of the y window: the smallest active
-    ray row, floored to a sublane-tile multiple.  Window placement considers
-    only rays *active at this slab* (t within [entry, exit) and correct
-    march sign); inactive rays are masked out of the compositing anyway, and
-    their clamped crossings can lie anywhere on the slice."""
-    active_rows = (
-        (feat[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
-        & (t >= feat[F_ENTRY : F_ENTRY + 1, :])
-        & (t < feat[F_EXIT : F_EXIT + 1, :])
-    )
-    rows_min = jnp.min(jnp.where(active_rows, rows_c, jnp.float32(nr)))
-    # window start aligned down to a sublane tile (Mosaic requires the
-    # dynamic index to be a provable multiple of 8)
-    r0f = jnp.clip(jnp.floor((rows_min - 1.0) / 8.0) * 8.0, 0.0, nr - win_rows)
-    return pl.multiple_of(r0f.astype(jnp.int32), 8)
+def build_step_meta(feats, occ, *, n_slabs, sb, sign, nr, nc, margin,
+                    win_rows, halo=0):
+    """Per-(chunk, march-block) kernel scaffold meta, computed ONCE per
+    frame as plain XLA ops (fused under the caller's jit) instead of per
+    grid iteration inside the kernel.
+
+    The kernels' only data-dependent control flow is (a) the block-level
+    empty-space gate — does march step j's active-ray sampling footprint
+    touch any occupied occupancy block? — and (b) the dynamic start of the
+    static y window.  Both are pure functions of the per-ray feats, the
+    occupancy grid, and the march index, so hoisting them out of the
+    kernel removes ~6 cross-lane min/max reductions per grid iteration
+    (measured ~2.7 ms/frame at 256² — the all-mode kernel floor; the
+    builder itself is ~0.13 ms on the same chip).
+
+    Args:
+      feats: (C, N_FEATURES, R) chunked per-ray coefficients.
+      occ:   (n_slabs, nr/32, nc/32) occupancy grid in PHYSICAL slab order
+             (:func:`occupancy_grid`), or ``None`` for window starts only.
+      margin: in-plane footprint margin in texels (1 texel hat support;
+             :func:`smooth_occ_margin` under Gaussian smoothing).
+      halo:  widens the window-placement activity interval by ``halo*|ts|``
+             and extends the r0 list to march offsets [-halo, sb + halo)
+             (the Gaussian-smoothing stencil prologue reads plain rows
+             there).  The occupancy flags keep the EXACT central-step
+             activity: skip exactness under smoothing is provided by the
+             dilated occupancy grid + widened margin, not by this mask.
+
+    Returns int32 (C, n_blocks, 1, K) with K = :func:`_meta_cols`; row
+    layout ``[block_occ, flags[0..sb)][, r0s[0..sb+2*halo)]``, consumed by
+    :func:`_read_step_meta` from a (1, 1, 1, K) SMEM block per grid step
+    (4-D so the block's trailing dims equal the array's — the Mosaic
+    block-shape divisibility rule).
+    """
+    occupancy = occ is not None
+    if not occupancy and not win_rows:
+        return None
+    n_blocks = n_slabs // sb
+    n_ext = n_slabs + 2 * halo
+    jf = (jnp.arange(n_ext, dtype=jnp.float32) - halo)[None, :, None]
+
+    def row(i):
+        return feats[:, i, :][:, None, :]  # (C, 1, R)
+
+    rows_c = jnp.clip(row(F_RS) * jf + row(F_RB), 0.0, nr - 1.0)  # (C, S', R)
+    t = row(F_TS) * jf + row(F_TB)
+    signok = row(F_SIGNOK) > 0.5
+    entry, exit_ = row(F_ENTRY), row(F_EXIT)
+    active = signok & (t >= entry) & (t < exit_)
+    if halo:
+        slack = jnp.abs(row(F_TS)) * jnp.float32(halo)
+        act_w = signok & (t >= entry - slack) & (t < exit_ + slack)
+    else:
+        act_w = active
+
+    cols = []
+    cen = slice(halo, halo + n_slabs) if halo else slice(None)
+    if occupancy:
+        a_c = active[:, cen]
+        r_c = rows_c[:, cen]
+        cols_c = jnp.clip(row(F_CS) * jf + row(F_CB), 0.0, nc - 1.0)[:, cen]
+        any_active = jnp.any(a_c, axis=2)  # (C, S)
+        rmin = jnp.min(jnp.where(a_c, r_c, jnp.float32(nr)), axis=2)
+        rmax = jnp.max(jnp.where(a_c, r_c, jnp.float32(-1.0)), axis=2)
+        cmin = jnp.min(jnp.where(a_c, cols_c, jnp.float32(nc)), axis=2)
+        cmax = jnp.max(jnp.where(a_c, cols_c, jnp.float32(-1.0)), axis=2)
+        # march step j reads physical slab j (sign>0) or n_slabs-1-j
+        sidx = jnp.arange(n_slabs) if sign > 0 else n_slabs - 1 - jnp.arange(n_slabs)
+        ob = occ[sidx] > 0.5  # (S, br, bc) march order
+        br, bc = ob.shape[1], ob.shape[2]
+        by = (jnp.arange(br, dtype=jnp.float32) * OCC_BLOCK)[None, None, :, None]
+        bx = (jnp.arange(bc, dtype=jnp.float32) * OCC_BLOCK)[None, None, None, :]
+        inside = (
+            (by + (OCC_BLOCK - 1) >= (rmin - margin)[:, :, None, None])
+            & (by <= (rmax + margin)[:, :, None, None])
+            & (bx + (OCC_BLOCK - 1) >= (cmin - margin)[:, :, None, None])
+            & (bx <= (cmax + margin)[:, :, None, None])
+        )  # (C, S, br, bc)
+        hit = jnp.any(ob[None] & inside, axis=(2, 3))  # (C, S)
+        flags = (hit & any_active).reshape(-1, n_blocks, sb)
+        block_occ = jnp.any(flags, axis=2, keepdims=True)
+        cols += [block_occ.astype(jnp.int32), flags.astype(jnp.int32)]
+    if win_rows:
+        rows_min_w = jnp.min(
+            jnp.where(act_w, rows_c, jnp.float32(nr)), axis=2
+        )  # (C, S')
+        r0 = jnp.clip(
+            jnp.floor((rows_min_w - 1.0) / 8.0) * 8.0, 0.0, nr - win_rows
+        ).astype(jnp.int32)
+        idx = (
+            jnp.arange(n_blocks)[:, None] * sb
+            + jnp.arange(sb + 2 * halo)[None, :]
+        )  # (NB, sb + 2*halo): march index b*sb + k - halo, shifted by +halo
+        cols.append(r0[:, idx])  # (C, NB, sb + 2*halo)
+    meta = jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+    return meta[:, :, None, :]  # (C, NB, 1, K)
 
 
 #: side of the square occupancy blocks for empty-space skipping
@@ -385,7 +367,7 @@ def occupancy_grid_smooth(vol_perm, threshold: float):
     of plain samples from slabs j-3..j+3, so if every sample the stencil
     can touch lies below the threshold the smoothed value does too, and
     the step contributes exactly nothing.  The in-plane tap displacement
-    (|u| <= 0.01*N texels) is covered by the margin in _step_occupied."""
+    (|u| <= 0.01*N texels) is covered by the margin in build_step_meta."""
     occ = occupancy_grid(vol_perm, threshold)
     n = occ.shape[0]
     idx = jnp.arange(n)
@@ -404,33 +386,6 @@ def smooth_occ_margin(n_slabs: int) -> float:
     from volym_tpu.render.golden import GAUSSIAN_KERNEL_SIZE, GAUSSIAN_STEP
 
     return 1.0 + GAUSSIAN_KERNEL_SIZE * GAUSSIAN_STEP * n_slabs
-
-
-def _step_occupied(occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc, margin=1.0):
-    """Scalar: does this step's (active-ray) sampling footprint touch any
-    occupied occupancy block?  The default +-1 texel margin covers the hat
-    support; Gaussian smoothing widens it to the stencil's in-plane tap
-    reach (see occupancy_grid_smooth)."""
-    active = (
-        (feat[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
-        & (t >= feat[F_ENTRY : F_ENTRY + 1, :])
-        & (t < feat[F_EXIT : F_EXIT + 1, :])
-    )
-    rlo = jnp.min(jnp.where(active, rows_c, jnp.float32(nr))) - margin
-    rhi = jnp.max(jnp.where(active, rows_c, jnp.float32(-1.0))) + margin
-    clo = jnp.min(jnp.where(active, cols_c, jnp.float32(nc))) - margin
-    chi = jnp.max(jnp.where(active, cols_c, jnp.float32(-1.0))) + margin
-    ob = occ_ref[slice_row]  # (NR/32, NC/32)
-    br, bc = ob.shape
-    by = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0).astype(jnp.float32) * OCC_BLOCK
-    bx = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1).astype(jnp.float32) * OCC_BLOCK
-    inside = (
-        (by + (OCC_BLOCK - 1) >= rlo)
-        & (by <= rhi)
-        & (bx + (OCC_BLOCK - 1) >= clo)
-        & (bx <= chi)
-    )
-    return jnp.any((ob > 0.5) & inside) & jnp.any(active)
 
 
 def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precision, r0=None):
@@ -458,8 +413,7 @@ def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precisio
         return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
 
     if win_rows:
-        if r0 is None:
-            r0 = _window_start(feat, t, rows_c, nr, win_rows)
+        assert r0 is not None, "windowed sampling needs a precomputed r0"
         hat_y = hat(rows_c, iota(win_rows, r0))
         sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
     else:
@@ -608,7 +562,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, occ_ref=None, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occ_margin=1.0, occupied=None, r0=None, first_hit=False):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occupied=None, r0=None, first_hit=False):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -623,7 +577,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
     cols_c = jnp.clip(cols_c, 0.0, nc - 1.0)
 
     ahead = ahead_ref[0, ahead_row] if ahead_ref is not None else None
-    if occ_ref is None:
+    if occupied is None:
         _march_step_body(
             feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref,
             out_ref, slice_row=slice_row, bilinear=bilinear,
@@ -632,12 +586,9 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             density_override=density_override, r0=r0, first_hit=first_hit,
         )
     else:
-        if occupied is None:
-            occupied = _step_occupied(
-                occ_ref, slice_row, feat, t, rows_c, cols_c, nr, nc,
-                margin=occ_margin,
-            )
-
+        # the precomputed empty-space flag (build_step_meta): a step whose
+        # active-ray footprint misses every occupied block contributes
+        # exactly nothing — skip its matmuls
         @pl.when(occupied)
         def _occupied_step():
             _march_step_body(
@@ -716,8 +667,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     if not grids:
         colvals = None
     elif win_rows:
-        if r0 is None:
-            r0 = _window_start(feat, t, rows_c, nr, win_rows)
+        assert r0 is not None, "windowed sampling needs a precomputed r0"
         idx = y_iota(win_rows) + r0.astype(jnp.float32)
         w = pl.ds(r0, win_rows)
         colvals = jnp.stack(
@@ -935,7 +885,6 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         occupancy=occupancy,
         lookahead=lookahead,
         smoothing=smoothing,
-        occ_margin=smooth_occ_margin(n_slabs) if smoothing else 1.0,
         inverted=inverted,
         first_hit=not (params.use_opacity or params.use_importance_coloring),
     )
@@ -972,16 +921,27 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), W(next_index))
         )
         inputs.append(vol_perm)
-    if occupancy:
-        occ = (
-            occupancy_grid_smooth(vol_perm, params.density_threshold)
-            if smoothing
-            else occupancy_grid(vol_perm, params.density_threshold)
+    if occupancy or win_rows:
+        occ = None
+        if occupancy:
+            occ = (
+                occupancy_grid_smooth(vol_perm, params.density_threshold)
+                if smoothing
+                else occupancy_grid(vol_perm, params.density_threshold)
+            )
+        halo = SMOOTH_HALO if (smoothing and win_rows) else 0
+        meta = build_step_meta(
+            feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
+            margin=smooth_occ_margin(n_slabs) if smoothing else 1.0,
+            win_rows=win_rows, halo=halo,
         )
         in_specs.append(
-            pl.BlockSpec((sb, nr // OCC_BLOCK, nc // OCC_BLOCK), slab_index)
+            pl.BlockSpec(
+                (1, 1, 1, meta.shape[3]), W(lambda c, j: (c, j, 0, 0)),
+                memory_space=pltpu.SMEM,
+            )
         )
-        inputs.append(occ)
+        inputs.append(meta)
     if coloring or lookahead:
         in_specs.append(slice_spec)
         inputs.append(imp_perm)
@@ -1208,7 +1168,7 @@ def window_rows(camera_matrices, height, width, n_slabs, major, sign, halo=0) ->
     as the kernel places its window (clamped rows over the rays active at
     that slab).  ``halo`` (= SMOOTH_HALO under Gaussian smoothing) widens
     the per-ray activity interval by halo*|ts| exactly as the kernel's
-    window placement does (_batch_step_meta), so the static size covers
+    window placement does (build_step_meta), so the static size covers
     every ray whose smoothing stencil reads a given slab's plain row.
     Returns 0 (contract full slices) when the image does not tile or no
     window smaller than the slice exists."""
