@@ -406,9 +406,8 @@ def _replay_step_body(
         sl = slice_ref[slice_row]
     hat_x = _hat(cols_c, nc, rays, bilinear)
     if density_override is None:
-        colvals = jax.lax.dot_general(
+        colvals = fwd_mod.kernel_dot(
             sl, hat_y, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
@@ -427,9 +426,8 @@ def _replay_step_body(
                 gsl = grad_ref[ch, slice_row, pl.ds(r0, win_rows), :]
             else:
                 gsl = grad_ref[ch, slice_row]
-            cv = jax.lax.dot_general(
+            cv = fwd_mod.kernel_dot(
                 gsl, hat_y, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
             g_colvals.append(cv)
@@ -450,9 +448,8 @@ def _replay_step_body(
         else:
             bhy = _hat(rows_c, nr, rays, False)
             isl = imp_ref[slice_row]
-        icolvals = jax.lax.dot_general(
+        icolvals = fwd_mod.kernel_dot(
             isl, bhy, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         imp = jnp.sum(icolvals * bhx, axis=0, keepdims=True)  # (1, R)
@@ -593,18 +590,16 @@ def _replay_step_body(
             w_sl = pl.ds(r0, win_rows) if win_rows else slice(None)
             dvol_ref[slice_row, w_sl, :] = dvol_ref[
                 slice_row, w_sl, :
-            ] + jax.lax.dot_general(
+            ] + fwd_mod.kernel_dot(
                 bhy, bhx * dd, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
             if dgrad_out_ref is not None:
                 for ch, dg in enumerate((d_gx, d_gy, d_gz)):
                     dgrad_out_ref[ch, slice_row, w_sl, :] = dgrad_out_ref[
                         ch, slice_row, w_sl, :
-                    ] + jax.lax.dot_general(
+                    ] + fwd_mod.kernel_dot(
                         hat_y, hat_x * dg, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
     else:
@@ -613,18 +608,18 @@ def _replay_step_body(
         p = jnp.concatenate(
             [onehot * d_rgba[ch : ch + 1, :] for ch in range(4)], axis=0
         )  # (4G, R)
-        dlut_ref[:] = dlut_ref[:] + jax.lax.dot_general(
+        dlut_ref[:] = dlut_ref[:] + fwd_mod.kernel_dot(
             p, tri_o, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         # density cotangent through the TF hat: d tri/d tf_c = -sign(diff)
         # where |diff| < 1 (diff is the within-group offset minus the entry
         # index; d offset/d tf_c = 1)
         dtri_o = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
-        zd = jax.lax.dot_general(
+        zd = fwd_mod.kernel_dot(
             b, dtri_o, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (4G, R)
         drgba_dc = jnp.concatenate(
             [
@@ -653,9 +648,8 @@ def _replay_step_body(
             w_sl = pl.ds(r0, win_rows) if win_rows else slice(None)
 
             def _outer(row):
-                return jax.lax.dot_general(
+                return fwd_mod.kernel_dot(
                     hat_y, hat_x * row, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
 
@@ -686,9 +680,8 @@ def _replay_step_body(
             # (under coloring, dd is the importance cotangent and the
             # box-hat imp sample has zero rows/cols derivative a.e. —
             # only the bilinear gradient-field chain below contributes)
-            colvals_dy = jax.lax.dot_general(
+            colvals_dy = fwd_mod.kernel_dot(
                 sl, dhat_y, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
             ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
@@ -708,9 +701,8 @@ def _replay_step_body(
                     gsl = grad_ref[ch, slice_row, pl.ds(r0, win_rows), :]
                 else:
                     gsl = grad_ref[ch, slice_row]
-                g_cv_dy = jax.lax.dot_general(
+                g_cv_dy = fwd_mod.kernel_dot(
                     gsl, dhat_y, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 dg_drows = jnp.sum(g_cv_dy * hat_x, axis=0, keepdims=True)
@@ -881,14 +873,12 @@ def _feats_grad_kernel(
                     hat_y = _hat(rows_c, nr, rays, bilinear)
                     dhat_y = _dhat(rows_c, nr, rays, bilinear)
                     sl = slice_ref[slice_row]
-                colvals = jax.lax.dot_general(
+                colvals = fwd_mod.kernel_dot(
                     sl, hat_y, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                colvals_dy = jax.lax.dot_general(
+                colvals_dy = fwd_mod.kernel_dot(
                     sl, dhat_y, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
@@ -1021,16 +1011,14 @@ def _voxel_grad_kernel(
                     w = pl.ds(r0, win_rows)
                     dvol_ref[slice_row, w, :] = dvol_ref[
                         slice_row, w, :
-                    ] + jax.lax.dot_general(
+                    ] + fwd_mod.kernel_dot(
                         hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
                 else:
                     hat_y = _hat(rows_c, nr, rays, bilinear)
-                    dvol_ref[slice_row] = dvol_ref[slice_row] + jax.lax.dot_general(
+                    dvol_ref[slice_row] = dvol_ref[slice_row] + fwd_mod.kernel_dot(
                         hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
 
@@ -1092,9 +1080,8 @@ def _voxel_grad_shaded_kernel(
                     w = slice(None)
 
                 def outer(dd_row):
-                    return jax.lax.dot_general(
+                    return fwd_mod.kernel_dot(
                         hat_y, hat_x * dd_row, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
 

@@ -206,6 +206,42 @@ def _march_kernel(
             )
 
 
+#: implementation of the "exact" (HIGHEST-precision) kernel contractions:
+#: "x6" = Mosaic HIGHEST (6 single-pass bf16 matmuls, fp32-faithful);
+#: "x3" = manual 3-pass bf16 split — operands split as x = hi + lo with
+#: hi = bf16(x), lo = bf16(x - hi); hi@hi + hi@lo + lo@hi drops only the
+#: lo@lo term, bounding the error by ~2^-16 of each product (vs ~2^-24
+#: for x6) at half the MXU passes.  Read at trace time (a flip after the
+#: first jit call does NOT retrace — select in a fresh process via the
+#: VOLYM_EXACT_DOT env var).  Shipped default: x3 — every mode passes
+#: hardware validation against the f32 goldens (images 6e-5 class,
+#: gradients 4e-4 worst-case rel, scripts/validate_slab_tpu.py) at
+#: 1.4-1.8x the x6 frame rate; set VOLYM_EXACT_DOT=x6 for fp32-faithful
+#: contractions.
+EXACT_DOT = __import__("os").environ.get("VOLYM_EXACT_DOT", "x3")
+
+
+def kernel_dot(a, b, dims, precision):
+    """MXU contraction with the kernel's precision policy: HIGHEST routes
+    through :data:`EXACT_DOT`; anything else is a plain dot_general."""
+    if precision != jax.lax.Precision.HIGHEST or EXACT_DOT == "x6":
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32, precision=precision
+        )
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _meta_cols(slab_batch: int, win_rows: int, halo: int, occupancy: bool) -> int:
     """Width of the packed per-(chunk, march-block) meta row: [block_occ,
     flags[0..sb)] when occupancy, then [r0s[0..sb+2*halo)] when windowed."""
@@ -419,10 +455,7 @@ def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precisio
     else:
         hat_y = hat(rows_c, iota(nr))
         sl = slice_ref[slice_row]
-    colvals = jax.lax.dot_general(
-        sl, hat_y, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    colvals = kernel_dot(sl, hat_y, (((0,), (0,)), ((), ())), precision)
     return jnp.sum(colvals * hat(cols_c, iota(nc)), axis=0, keepdims=True)
 
 
@@ -544,10 +577,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (ni, rays), 0).astype(jnp.float32)
     diff = o - iota_i  # (NI, R)
     tri_o = jnp.maximum(0.0, 1.0 - jnp.abs(diff))
-    z = jax.lax.dot_general(
-        b, tri_o, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )  # (4G, R)
+    z = kernel_dot(b, tri_o, (((1,), (0,)), ((), ())), precision)  # (4G, R)
     rgba = jnp.concatenate(
         [
             jnp.sum(
@@ -672,10 +702,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         w = pl.ds(r0, win_rows)
         colvals = jnp.stack(
             [
-                jax.lax.dot_general(
-                    g(w), k(rows_c, idx), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
+                kernel_dot(g(w), k(rows_c, idx), (((0,), (0,)), ((), ())), prec)
                 for g, k, prec in grids
             ]
         )  # (G, NC, R)
@@ -683,10 +710,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         idx = y_iota(nr)
         colvals = jnp.stack(
             [
-                jax.lax.dot_general(
-                    g(), k(rows_c, idx), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
+                kernel_dot(g(), k(rows_c, idx), (((0,), (0,)), ((), ())), prec)
                 for g, k, prec in grids
             ]
         )
