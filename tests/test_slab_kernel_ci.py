@@ -1331,3 +1331,89 @@ def test_backward_positive_sign_matches_autodiff(scene):
         np.testing.assert_allclose(
             b, a, atol=3e-3 * scale, rtol=2e-2, err_msg=name
         )
+
+
+@pytest.mark.parametrize("mode", ["base", "shaded", "coloring"])
+def test_colwin_matches_full(cam, mode):
+    """The column-windowed contraction (per-step 128-aligned lane window
+    with a precomputed fits bit; straddling steps fall back to the full
+    width) must reproduce the full-width kernels exactly: forward, fused
+    backward (inverted grid), and camera cotangents.  WIN_COLS is patched
+    to 32 so a side-64 scene at 96x96 genuinely mixes both branches."""
+    res = 96
+    sc = Scene.synthetic("sphere", side=64)
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(sc.volume, major)
+    imp_perm = grad_perm = None
+    if mode == "coloring":
+        imp = jnp.asarray((np.asarray(sc.volume) > 0.3).astype(np.float32) * 0.8)
+        imp_perm = slab.permute_volume(imp, major)
+    if mode == "shaded":
+        grad_perm = slab.permute_gradient(slab.gradient_volume(sc.volume), major)
+    p = PARAMS.replace(
+        use_shading=mode == "shaded", use_importance_coloring=mode == "coloring"
+    )
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, res, res, vol_perm.shape[0], major, sign, layout
+    )
+    assert feats.shape[0] >= slab_kernel.INVERT_MIN_CHUNKS
+    win_rows = slab_kernel.window_rows(m, res, res, vol_perm.shape[0], major, sign)
+    wvec = jnp.sin(
+        jnp.arange(
+            feats.shape[0] * 4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32
+        )
+        * 0.07
+    ).reshape(feats.shape[0], 4, slab_kernel.RAYS_PER_CHUNK)
+
+    # the patched WIN_COLS must genuinely mix fits / straddling batches
+    sb = slab_kernel.SLAB_BATCH
+    meta = slab_kernel.build_step_meta(
+        feats, None, n_slabs=vol_perm.shape[0], sb=sb, sign=sign,
+        nr=vol_perm.shape[1], nc=vol_perm.shape[2], margin=1.0,
+        win_rows=0, win_cols=32,
+    )
+    fits = np.asarray(meta[:, :, 0, 1])  # per-batch [c0, fits] rows
+    assert 0 < fits.sum() < fits.size, "WIN_COLS=32 must mix both branches"
+
+    def run():
+        with emulate(slab_kernel, slab_bwd_kernel):
+            out = slab_kernel._forward_call(
+                p, sign, vol_perm, sc.tf_lut, feats, imp_perm=imp_perm,
+                grad_perm=grad_perm, win_rows=win_rows,
+            )
+            if mode == "base":
+                grads = slab_bwd_kernel.backward(
+                    p, major, sign, vol_perm, sc.tf_lut, feats, out, wvec,
+                    win_rows=win_rows,
+                )
+            elif mode == "shaded":
+                grads = slab_bwd_kernel.backward_shaded(
+                    p, major, sign, vol_perm, grad_perm, sc.tf_lut, feats,
+                    out, wvec, win_rows=win_rows,
+                )
+            else:
+                grads = slab_bwd_kernel.backward_coloring(
+                    p, major, sign, vol_perm, imp_perm, feats, out, wvec,
+                    win_rows=win_rows,
+                )
+        return tuple(np.asarray(x) for x in (out,) + tuple(grads))
+
+    orig = slab_kernel.WIN_COLS
+    orig_bwd = slab_bwd_kernel.BWD_WIN_COLS
+    try:
+        slab_kernel.WIN_COLS = 32
+        slab_bwd_kernel.BWD_WIN_COLS = 1  # opt-in: off by default (perf)
+        with_colwin = run()
+        slab_kernel.WIN_COLS = 10**9  # window_cols() -> 0: colwin off
+        slab_bwd_kernel.BWD_WIN_COLS = 0
+        without = run()
+    finally:
+        slab_kernel.WIN_COLS = orig
+        slab_bwd_kernel.BWD_WIN_COLS = orig_bwd
+
+    assert np.abs(without[1]).max() > 0, "gradients inactive"
+    names = ("out", "g0", "g1", "g2", "g3")
+    for name, a, b in zip(names, with_colwin, without):
+        np.testing.assert_array_equal(a, b, err_msg=f"{mode}:{name}")

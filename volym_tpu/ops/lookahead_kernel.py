@@ -145,7 +145,7 @@ def _straight_kernel(
     # footprint flags + window starts precomputed once per frame
     # (fwd_mod.build_step_meta on the importance occupancy grid), indexed
     # by the MARCH block mb via the meta BlockSpec
-    flags, block_occ, r0s = fwd_mod._read_step_meta(
+    flags, block_occ, r0s, _, _ = fwd_mod._read_step_meta(
         meta_ref, slab_batch, win_rows, 0, occupancy
     )
     if not occupancy:
@@ -257,7 +257,7 @@ def _cone_kernel(
         # precomputed once per frame (build_cone_step_meta); ONE live/dead
         # branch pair per block — in a union-unoccupied block no step can
         # update ns, so only the (branch-free) ahead rows are emitted there
-        flags, block_occ, _ = fwd_mod._read_step_meta(
+        flags, block_occ, _, _, _ = fwd_mod._read_step_meta(
             meta_ref, slab_batch, 0, 0, True
         )
 

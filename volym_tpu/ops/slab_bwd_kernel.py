@@ -63,6 +63,8 @@ from volym_tpu.ops.slab_kernel import (
 )
 
 _EPS = 1e-7
+#: opt-in column windowing for the backward kernels (see _backward_call)
+BWD_WIN_COLS = int(__import__("os").environ.get("VOLYM_BWD_WIN_COLS", "0"))
 _LOG_FLOOR = 1e-37
 
 
@@ -160,6 +162,7 @@ def _replay_kernel(
     early_alpha: float,
     threshold: float,
     win_rows: int = 0,
+    win_cols: int = 0,
     slab_batch: int = 1,
     march_sign: int = 1,
     occupancy: bool = False,
@@ -176,7 +179,7 @@ def _replay_kernel(
     prev_ref = rest.pop(0) if smoothing else None
     next_ref = rest.pop(0) if smoothing else None
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
-    meta_ref = rest.pop(0) if (occupancy or win_rows) else None
+    meta_ref = rest.pop(0) if (occupancy or win_rows or win_cols) else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
     dvol_ref = dgrad_out_ref = None
@@ -249,8 +252,8 @@ def _replay_kernel(
     # skips the whole batch (incl. the stencil prologue under smoothing);
     # per-step branches only run inside live blocks
     halo = fwd_mod.SMOOTH_HALO if (smoothing and win_rows) else 0
-    occ_flags, block_occ, r0s = fwd_mod._read_step_meta(
-        meta_ref, slab_batch, win_rows, halo, occupancy
+    occ_flags, block_occ, r0s, c0_b, fits_b = fwd_mod._read_step_meta(
+        meta_ref, slab_batch, win_rows, halo, occupancy, win_cols
     )
     if occupancy:
         chunk_active = chunk_active & (block_occ | (jb == 0))
@@ -314,25 +317,41 @@ def _replay_kernel(
                     )
                     for i in range(slab_batch)
                 ]
-        for i in range(slab_batch):
-            _replay_step(
-                feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
-                dlut_ref, dfeat_ref, acc_ref,
-                j=jb * slab_batch + i,
-                dd_row=i,
-                slice_row=i if march_sign > 0 else slab_batch - 1 - i,
-                bilinear=bilinear, early_alpha=early_alpha,
-                threshold=threshold, win_rows=win_rows,
-                imp_ref=imp_ref, grad_ref=grad_ref, coloring=coloring,
-                ahead=ahead_ref[0, i] if lookahead else None,
-                density_override=None if smooth_rows is None else smooth_rows[i],
-                dsmooth_dts=None if dts_rows is None else dts_rows[i],
-                camera_grads=camera_grads,
-                occupied=None if occ_flags is None else occ_flags[i],
-                r0=None if r0s is None else r0s[i + halo],
-                dvol_ref=dvol_ref,
-                dgrad_out_ref=dgrad_out_ref,
-            )
+        def steps(win_c, c0):
+            for i in range(slab_batch):
+                _replay_step(
+                    feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
+                    dlut_ref, dfeat_ref, acc_ref,
+                    j=jb * slab_batch + i,
+                    dd_row=i,
+                    slice_row=i if march_sign > 0 else slab_batch - 1 - i,
+                    bilinear=bilinear, early_alpha=early_alpha,
+                    threshold=threshold, win_rows=win_rows, win_cols=win_c,
+                    imp_ref=imp_ref, grad_ref=grad_ref, coloring=coloring,
+                    ahead=ahead_ref[0, i] if lookahead else None,
+                    density_override=(
+                        None if smooth_rows is None else smooth_rows[i]
+                    ),
+                    dsmooth_dts=None if dts_rows is None else dts_rows[i],
+                    camera_grads=camera_grads,
+                    occupied=None if occ_flags is None else occ_flags[i],
+                    r0=None if r0s is None else r0s[i + halo],
+                    c0=c0,
+                    dvol_ref=dvol_ref,
+                    dgrad_out_ref=dgrad_out_ref,
+                )
+
+        if win_cols and fits_b is not None:
+            # one column-window branch per slab batch (fwd_mod._march_kernel)
+            @pl.when(fits_b)
+            def _win_steps():
+                steps(win_cols, c0_b)
+
+            @pl.when(jnp.logical_not(fits_b))
+            def _full_steps():
+                steps(0, None)
+        else:
+            steps(0, None)
 
     if inverted:
         acc_out_ref[0] = acc_ref[:]
@@ -342,16 +361,16 @@ def _replay_step(
     feat_ref, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref,
     dfeat_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
-    imp_ref=None, grad_ref=None, coloring=False, ahead=None,
+    win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True,
-    occupied=None, r0=None, dvol_ref=None, dgrad_out_ref=None,
+    occupied=None, r0=None, c0=None, dvol_ref=None, dgrad_out_ref=None,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rows_c, cols_c, t = _coords(feat, jf, nr, nc)
 
-    if occupied is None:
+    def body():
         _replay_step_body(
             feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
             dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
@@ -360,37 +379,37 @@ def _replay_step(
             grad_ref=grad_ref, coloring=coloring, ahead=ahead,
             density_override=density_override, dsmooth_dts=dsmooth_dts,
             camera_grads=camera_grads, r0=r0, dvol_ref=dvol_ref,
-            dgrad_out_ref=dgrad_out_ref,
+            dgrad_out_ref=dgrad_out_ref, win_cols=win_cols, c0=c0,
         )
-        return
 
-    @pl.when(occupied)
-    def _do():
+    if occupied is None:
+        body()
+    else:
         # an empty-footprint step (precomputed flag, fwd_mod.build_step_meta)
         # contributes nothing: the dd block was pre-zeroed by the caller,
         # so skipping is a no-op
-        _replay_step_body(
-            feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref,
-            dd_ref, dlut_ref, dfeat_ref, acc_ref, dd_row=dd_row,
-            slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
-            threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
-            grad_ref=grad_ref, coloring=coloring, ahead=ahead,
-            density_override=density_override, dsmooth_dts=dsmooth_dts,
-            camera_grads=camera_grads, r0=r0, dvol_ref=dvol_ref,
-            dgrad_out_ref=dgrad_out_ref,
-        )
+        @pl.when(occupied)
+        def _do():
+            body()
 
 
 def _replay_step_body(
     feat, jf, rows_c, cols_c, t, slice_ref, lut_ref, fin_ref, gimg_ref, dd_ref,
     dlut_ref, dfeat_ref, acc_ref,
     *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
-    imp_ref=None, grad_ref=None, coloring=False, ahead=None,
+    win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True, r0=None,
-    dvol_ref=None, dgrad_out_ref=None,
+    c0=None, dvol_ref=None, dgrad_out_ref=None,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
+    if win_cols:
+        assert c0 is not None, "column-windowed sampling needs a c0"
+        cw = pl.ds(c0, win_cols)
+        nx, cbase = win_cols, c0
+    else:
+        cw = slice(None)
+        nx, cbase = nc, None
 
     if win_rows:
         assert r0 is not None, "windowed sampling needs a precomputed r0"
@@ -399,12 +418,12 @@ def _replay_step_body(
             _dhat(rows_c, win_rows, rays, bilinear, base=r0)
             if camera_grads else None
         )
-        sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
+        sl = slice_ref[slice_row, pl.ds(r0, win_rows), cw]
     else:
         hat_y = _hat(rows_c, nr, rays, bilinear)
         dhat_y = _dhat(rows_c, nr, rays, bilinear) if camera_grads else None
-        sl = slice_ref[slice_row]
-    hat_x = _hat(cols_c, nc, rays, bilinear)
+        sl = slice_ref[slice_row, :, cw]
+    hat_x = _hat(cols_c, nx, rays, bilinear, base=cbase)
     if density_override is None:
         colvals = fwd_mod.kernel_dot(
             sl, hat_y, (((0,), (0,)), ((), ())),
@@ -423,9 +442,9 @@ def _replay_step_body(
         g_samp = []
         for ch in range(3):
             if win_rows:
-                gsl = grad_ref[ch, slice_row, pl.ds(r0, win_rows), :]
+                gsl = grad_ref[ch, slice_row, pl.ds(r0, win_rows), cw]
             else:
-                gsl = grad_ref[ch, slice_row]
+                gsl = grad_ref[ch, slice_row, :, cw]
             cv = fwd_mod.kernel_dot(
                 gsl, hat_y, (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
@@ -441,13 +460,13 @@ def _replay_step_body(
     if imp_ref is not None:
         # box-filtered importance sample: the coloring rgba source and/or
         # the look-ahead gate (both nearest-filtered, importance.rs:122-131)
-        bhx = _hat(cols_c, nc, rays, False)
+        bhx = _hat(cols_c, nx, rays, False, base=cbase)
         if win_rows:
             bhy = _hat(rows_c, win_rows, rays, False, base=r0)
-            isl = imp_ref[slice_row, pl.ds(r0, win_rows), :]
+            isl = imp_ref[slice_row, pl.ds(r0, win_rows), cw]
         else:
             bhy = _hat(rows_c, nr, rays, False)
-            isl = imp_ref[slice_row]
+            isl = imp_ref[slice_row, :, cw]
         icolvals = fwd_mod.kernel_dot(
             isl, bhy, (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -586,20 +605,30 @@ def _replay_step_body(
         if dvol_ref is not None:
             # fused pass 2 (inverted grid): d_imp scatters with the BOX
             # hats of the importance sample; the gradient-field channels
-            # (combined mode) with the bilinear hats
+            # (combined mode) with the bilinear hats.  The scatter runs at
+            # FULL lane width even under the column window — a dynamic-
+            # lane-offset read-modify-write on the VMEM accumulator is
+            # slower than the halved matmul saves (measured +7ms/frame at
+            # 256²); the windowed SAMPLING above is where the win is.
             w_sl = pl.ds(r0, win_rows) if win_rows else slice(None)
+            bhx_s = (
+                _hat(cols_c, nc, rays, False) if win_cols else bhx
+            )
             dvol_ref[slice_row, w_sl, :] = dvol_ref[
                 slice_row, w_sl, :
             ] + fwd_mod.kernel_dot(
-                bhy, bhx * dd, (((1,), (1,)), ((), ())),
+                bhy, bhx_s * dd, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
             )
             if dgrad_out_ref is not None:
+                hat_x_s = (
+                    _hat(cols_c, nc, rays, bilinear) if win_cols else hat_x
+                )
                 for ch, dg in enumerate((d_gx, d_gy, d_gz)):
                     dgrad_out_ref[ch, slice_row, w_sl, :] = dgrad_out_ref[
                         ch, slice_row, w_sl, :
                     ] + fwd_mod.kernel_dot(
-                        hat_y, hat_x * dg, (((1,), (1,)), ((), ())),
+                        hat_y, hat_x_s * dg, (((1,), (1,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
                     )
     else:
@@ -644,12 +673,16 @@ def _replay_step_body(
         if dvol_ref is not None:
             # fused pass 2 (inverted grid): scatter the step cotangents
             # into the VMEM-resident slab blocks with THIS step's hats —
-            # the separate voxel-grad kernel would rebuild them
+            # the separate voxel-grad kernel would rebuild them.  Full
+            # lane width even under the column window (see the coloring
+            # scatter above): dynamic-lane-offset VMEM read-modify-write
+            # costs more than the halved matmul saves.
             w_sl = pl.ds(r0, win_rows) if win_rows else slice(None)
+            hat_x_s = _hat(cols_c, nc, rays, bilinear) if win_cols else hat_x
 
             def _outer(row):
                 return fwd_mod.kernel_dot(
-                    hat_y, hat_x * row, (((1,), (1,)), ((), ())),
+                    hat_y, hat_x_s * row, (((1,), (1,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                 )
 
@@ -671,7 +704,7 @@ def _replay_step_body(
     if dhat_y is not None and (not coloring or grad_ref is not None):
         from volym_tpu.ops.slab_kernel import F_CB, F_CS, F_RB, F_RS
 
-        dhat_x = _dhat(cols_c, nc, rays, True)
+        dhat_x = _dhat(cols_c, nx, rays, True, base=cbase)
         rows_raw = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]
         cols_raw = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
         rows_in = ((rows_raw > 0.0) & (rows_raw < nr - 1.0)).astype(jnp.float32)
@@ -698,9 +731,9 @@ def _replay_step_body(
             d_gs = (d_gx, d_gy, d_gz)
             for ch in range(3):
                 if win_rows:
-                    gsl = grad_ref[ch, slice_row, pl.ds(r0, win_rows), :]
+                    gsl = grad_ref[ch, slice_row, pl.ds(r0, win_rows), cw]
                 else:
-                    gsl = grad_ref[ch, slice_row]
+                    gsl = grad_ref[ch, slice_row, :, cw]
                 g_cv_dy = fwd_mod.kernel_dot(
                     gsl, dhat_y, (((0,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
@@ -849,7 +882,7 @@ def _feats_grad_kernel(
     nzi = nzv.astype(jnp.int32)
     flags = [nzi[i, 0, 0] > 0 for i in range(slab_batch)]
     block_nz = jnp.max(nzi) > 0
-    _, _, r0s = fwd_mod._read_step_meta(meta_ref, slab_batch, win_rows, halo, False)
+    _, _, r0s, _, _ = fwd_mod._read_step_meta(meta_ref, slab_batch, win_rows, halo, False)
 
     @pl.when(block_nz)
     def _block():
@@ -991,7 +1024,7 @@ def _voxel_grad_kernel(
     nzi = nzv.astype(jnp.int32)
     flags = [nzi[i, 0, 0] > 0 for i in range(slab_batch)]
     block_nz = jnp.max(nzi) > 0
-    _, _, r0s = fwd_mod._read_step_meta(meta_ref, slab_batch, win_rows, halo, False)
+    _, _, r0s, _, _ = fwd_mod._read_step_meta(meta_ref, slab_batch, win_rows, halo, False)
 
     @pl.when(block_nz)
     def _block():
@@ -1057,7 +1090,7 @@ def _voxel_grad_shaded_kernel(
     nzi = nzv.astype(jnp.int32)
     flags = [nzi[i, 0, 0] > 0 for i in range(slab_batch)]
     block_nz = jnp.max(nzi) > 0
-    _, _, r0s = fwd_mod._read_step_meta(meta_ref, slab_batch, win_rows, halo, False)
+    _, _, r0s, _, _ = fwd_mod._read_step_meta(meta_ref, slab_batch, win_rows, halo, False)
 
     @pl.when(block_nz)
     def _block():
@@ -1157,12 +1190,22 @@ def _backward_call(
         )
     )
     occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+    # Column windowing stays OFF in the backward: the replay body is big
+    # enough that the per-batch fits/full branch DUPLICATION alone costs
+    # ~+10ms/frame at 256² (measured with identical full bodies in both
+    # branches), swamping the halved matmuls.  The plumbing is kept (and
+    # CI-pinned exact vs full width) for architectures where it pays;
+    # enable via VOLYM_BWD_WIN_COLS=1.
+    win_cols = (
+        fwd_mod.window_cols(nc, smoothing) if BWD_WIN_COLS else 0
+    )
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
         early_alpha=params.early_termination_alpha,
         threshold=params.density_threshold,
         win_rows=win_rows,
+        win_cols=win_cols,
         slab_batch=sb,
         march_sign=sign,
         occupancy=occupancy,
@@ -1199,7 +1242,7 @@ def _backward_call(
     if coloring or lookahead:
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         inputs.append(imp_perm)
-    if occupancy or win_rows:
+    if occupancy or win_rows or win_cols:
         occ = None
         if occupancy:
             occ = (
@@ -1211,7 +1254,7 @@ def _backward_call(
         meta = fwd_mod.build_step_meta(
             feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
             margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
-            win_rows=win_rows, halo=halo,
+            win_rows=win_rows, halo=halo, win_cols=win_cols,
         )
         in_specs.append(
             pl.BlockSpec(

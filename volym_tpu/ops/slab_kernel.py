@@ -37,14 +37,17 @@ from volym_tpu.config import Interpolation, RenderParams
 from volym_tpu.render import rays as rays_mod
 from volym_tpu.render import slab as slab_mod
 
-RAYS_PER_CHUNK = 1024
+#: pixel tile side; chunks are TILE*TILE rays.  Smaller tiles shrink every
+#: per-step footprint (tighter y windows, tighter occupancy flags) at the
+#: cost of more grid iterations; env-overridable for experiments.
+TILE = int(__import__("os").environ.get("VOLYM_TILE", "32"))
+RAYS_PER_CHUNK = TILE * TILE
 N_FEATURES = 16  # padded to a sublane tile multiple
 #: slack the y-window must carry beyond the rows spread: 1 texel for the
 #: hat support + up to 8 for sublane alignment of the window start + 1
 WIN_SLACK = 10
 #: smallest window worth emitting (sublane tile floor)
 MIN_WIN_ROWS = 16
-TILE = 32  # pixel tile side; chunks are TILE*TILE rays
 #: sub-slabs marched per grid step: amortises the ~2us/step grid+DMA floor
 SLAB_BATCH = 8
 #: minimum chunk count for the inverted (slab-outer) grid.  With slabs on
@@ -84,6 +87,7 @@ def _march_kernel(
     shading: bool = False,
     precision=jax.lax.Precision.HIGHEST,
     win_rows: int = 0,
+    win_cols: int = 0,
     slab_batch: int = 1,
     march_sign: int = 1,
     occupancy: bool = False,
@@ -95,7 +99,7 @@ def _march_kernel(
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
     next_ref = rest.pop(0) if smoothing else None
-    meta_ref = rest.pop(0) if (occupancy or win_rows) else None
+    meta_ref = rest.pop(0) if (occupancy or win_rows or win_cols) else None
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
@@ -138,8 +142,8 @@ def _march_kernel(
     # execute inside live blocks.  (The in-kernel (sb, R) reductions this
     # replaces were ~2.7 ms/frame at 256² — the all-mode floor.)
     halo = SMOOTH_HALO if (smoothing and win_rows) else 0
-    occ_flags, block_occ, r0s = _read_step_meta(
-        meta_ref, slab_batch, win_rows, halo, occupancy
+    occ_flags, block_occ, r0s, c0_b, fits_b = _read_step_meta(
+        meta_ref, slab_batch, win_rows, halo, occupancy, win_cols
     )
     if occupancy:
         chunk_active = chunk_active & block_occ
@@ -189,21 +193,41 @@ def _march_kernel(
                 )
                 for i in range(slab_batch)
             ]
-        for i in range(slab_batch):
-            # march index; the slice block holds slab_batch physical slabs
-            # (reversed within the block when marching back-to-front)
-            _march_step(
-                feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref,
-                j=J * slab_batch + i,
-                slice_row=i if march_sign > 0 else slab_batch - 1 - i,
-                bilinear=bilinear, early_alpha=early_alpha, threshold=threshold,
-                precision=precision, win_rows=win_rows,
-                coloring=coloring, ahead_ref=ahead_ref, ahead_row=i,
-                density_override=None if smooth_rows is None else smooth_rows[i],
-                occupied=None if occ_flags is None else occ_flags[i],
-                r0=None if r0s is None else r0s[i + halo],
-                first_hit=first_hit,
-            )
+        def steps(win_c, c0):
+            for i in range(slab_batch):
+                # march index; the slice block holds slab_batch physical
+                # slabs (reversed within the block when marching
+                # back-to-front)
+                _march_step(
+                    feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref,
+                    j=J * slab_batch + i,
+                    slice_row=i if march_sign > 0 else slab_batch - 1 - i,
+                    bilinear=bilinear, early_alpha=early_alpha,
+                    threshold=threshold, precision=precision,
+                    win_rows=win_rows, win_cols=win_c,
+                    coloring=coloring, ahead_ref=ahead_ref, ahead_row=i,
+                    density_override=(
+                        None if smooth_rows is None else smooth_rows[i]
+                    ),
+                    occupied=None if occ_flags is None else occ_flags[i],
+                    r0=None if r0s is None else r0s[i + halo],
+                    c0=c0,
+                    first_hit=first_hit,
+                )
+
+        if win_cols and fits_b is not None:
+            # ONE column-window branch per slab batch: when the batch's
+            # union footprint fits the aligned lane window, every
+            # sampling matmul and x contraction shrinks by nc/win_cols
+            @pl.when(fits_b)
+            def _win_steps():
+                steps(win_cols, c0_b)
+
+            @pl.when(jnp.logical_not(fits_b))
+            def _full_steps():
+                steps(0, None)
+        else:
+            steps(0, None)
 
 
 #: implementation of the "exact" (HIGHEST-precision) kernel contractions:
@@ -242,29 +266,41 @@ def kernel_dot(a, b, dims, precision):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
-def _meta_cols(slab_batch: int, win_rows: int, halo: int, occupancy: bool) -> int:
+def _meta_cols(slab_batch: int, win_rows: int, halo: int, occupancy: bool,
+               win_cols: int = 0) -> int:
     """Width of the packed per-(chunk, march-block) meta row: [block_occ,
-    flags[0..sb)] when occupancy, then [r0s[0..sb+2*halo)] when windowed."""
+    flags[0..sb)] when occupancy, then [r0s[0..sb+2*halo)] when windowed,
+    then [c0_block, fits_block] when column-windowed (ONE window per slab
+    batch — per-step branches cost ~0.25us each, which at 256² eats the
+    matmul saving; the batch-union footprint fits almost as often)."""
     k = (1 + slab_batch) if occupancy else 0
     if win_rows:
         k += slab_batch + 2 * halo
+    if win_cols:
+        k += 2
     return k
 
 
-def _read_step_meta(meta_ref, slab_batch, win_rows, halo, occupancy):
+def _read_step_meta(meta_ref, slab_batch, win_rows, halo, occupancy,
+                    win_cols=0):
     """Unpack the precomputed step meta (see :func:`build_step_meta`) from
     its (1, 1, 1, K) SMEM block: scalar reads instead of the in-kernel
     (sb, R) lane reductions that used to be the per-iteration floor.
 
-    Returns ``(flags, block_occ, r0s)``: ``flags[i]`` scalar bool per
-    march-local step (footprint touches an occupied block AND any ray
-    active), ``block_occ`` their OR, ``r0s[i]`` scalar int32 window starts
-    (multiples of 8; ``None`` when ``win_rows == 0``).  ``halo`` extends
-    the r0 list to march offsets [-halo, slab_batch + halo) —
-    ``r0s[off + halo]`` — for the Gaussian-smoothing stencil prologue."""
+    Returns ``(flags, block_occ, r0s, c0, fits)``: ``flags[i]`` scalar
+    bool per march-local step (footprint touches an occupied block AND any
+    ray active), ``block_occ`` their OR, ``r0s[i]`` scalar int32 window
+    starts (multiples of 8; ``None`` when ``win_rows == 0``), ``c0``
+    scalar int32 column-window start (multiple of ``win_cols``) with
+    ``fits`` scalar bool — whether the BATCH's active-ray column footprint
+    fits the aligned ``win_cols`` window (``None, None`` when ``win_cols
+    == 0``; one window per slab batch, so the kernel branches once per
+    batch, not per step).  ``halo`` extends the r0 list to march offsets
+    [-halo, slab_batch + halo) — ``r0s[off + halo]`` — for the
+    Gaussian-smoothing stencil prologue."""
     if meta_ref is None:
-        return None, None, None
-    flags = block_occ = r0s = None
+        return None, None, None, None, None
+    flags = block_occ = r0s = c0 = fits = None
     off = 0
     if occupancy:
         block_occ = meta_ref[0, 0, 0, 0] > 0
@@ -275,11 +311,15 @@ def _read_step_meta(meta_ref, slab_batch, win_rows, halo, occupancy):
             pl.multiple_of(meta_ref[0, 0, 0, off + i], 8)
             for i in range(slab_batch + 2 * halo)
         ]
-    return flags, block_occ, r0s
+        off += slab_batch + 2 * halo
+    if win_cols:
+        c0 = pl.multiple_of(meta_ref[0, 0, 0, off], win_cols)
+        fits = meta_ref[0, 0, 0, off + 1] > 0
+    return flags, block_occ, r0s, c0, fits
 
 
 def build_step_meta(feats, occ, *, n_slabs, sb, sign, nr, nc, margin,
-                    win_rows, halo=0):
+                    win_rows, halo=0, win_cols=0):
     """Per-(chunk, march-block) kernel scaffold meta, computed ONCE per
     frame as plain XLA ops (fused under the caller's jit) instead of per
     grid iteration inside the kernel.
@@ -313,7 +353,7 @@ def build_step_meta(feats, occ, *, n_slabs, sb, sign, nr, nc, margin,
     block-shape divisibility rule).
     """
     occupancy = occ is not None
-    if not occupancy and not win_rows:
+    if not occupancy and not win_rows and not win_cols:
         return None
     n_blocks = n_slabs // sb
     n_ext = n_slabs + 2 * halo
@@ -372,12 +412,70 @@ def build_step_meta(feats, occ, *, n_slabs, sb, sign, nr, nc, margin,
             + jnp.arange(sb + 2 * halo)[None, :]
         )  # (NB, sb + 2*halo): march index b*sb + k - halo, shifted by +halo
         cols.append(r0[:, idx])  # (C, NB, sb + 2*halo)
+    if win_cols:
+        # Column window: ONE aligned lane-window start + fits bit per slab
+        # BATCH (the union of the batch's per-step active-ray column
+        # footprints, hat support [cmin-1, cmax+1]) — a per-step branch
+        # would cost ~0.25us/step, eating the matmul saving, and the
+        # batch union fits ~as often (80.7% vs 81.7% per-step at 256²).
+        # Batches with no active rays get fits=0 (the full path runs; its
+        # samples are masked anyway).  Same activity definition as the
+        # kernel's valid mask — inactive rays never composite.
+        a_c = active[:, cen]
+        cw_c = jnp.clip(row(F_CS) * jf + row(F_CB), 0.0, nc - 1.0)[:, cen]
+        c_lo = jnp.min(jnp.where(a_c, cw_c, jnp.float32(nc)), axis=2) - 1.0
+        c_hi = jnp.minimum(
+            jnp.max(jnp.where(a_c, cw_c, jnp.float32(-1.0)), axis=2) + 1.0,
+            nc - 1.0,
+        )  # highest hat-support index (clamp-to-edge caps it at nc-1)
+        step_has = jnp.any(a_c, axis=2)  # (C, S)
+        nb = n_slabs // sb
+        sh_b = step_has.reshape(-1, nb, sb)
+        lo_b = jnp.min(
+            jnp.where(sh_b, c_lo.reshape(-1, nb, sb), jnp.float32(nc)), axis=2
+        )
+        hi_b = jnp.max(
+            jnp.where(sh_b, c_hi.reshape(-1, nb, sb), jnp.float32(-1.0)),
+            axis=2,
+        )
+        any_b = jnp.any(sh_b, axis=2)
+        wc = jnp.float32(win_cols)
+        c0 = jnp.clip(
+            jnp.floor(jnp.maximum(lo_b, 0.0) / wc) * wc, 0.0, nc - win_cols
+        )
+        fits_b = any_b & (hi_b < c0 + win_cols) & (lo_b >= c0 - 0.5)
+        cols.append(c0.astype(jnp.int32)[:, :, None])  # (C, NB, 1)
+        cols.append(fits_b.astype(jnp.int32)[:, :, None])
     meta = jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
     return meta[:, :, None, :]  # (C, NB, 1, K)
 
 
 #: side of the square occupancy blocks for empty-space skipping
 OCC_BLOCK = 32
+
+#: lane width of the column window (Mosaic lane slices must start at
+#: 128-aligned offsets, so this is both the window size and its alignment).
+#: VOLYM_WIN_COLS=0 disables column windowing (A/B experiments).
+WIN_COLS = int(__import__("os").environ.get("VOLYM_WIN_COLS", "128"))
+
+
+def window_cols(nc: int, smoothing: bool, heavy: bool = False) -> int:
+    """Static column-window width: 128 when the slice's lane dim can halve
+    (and the mode doesn't preclude it), else 0.  Unlike the y window the
+    lane window is all-or-nothing per batch (128-aligned starts only), so
+    no per-camera sizing: the per-batch fits bit (build_step_meta) sends
+    straddling batches down the full-width path.  Gaussian smoothing
+    samples plain rows at shifted march offsets whose column footprints
+    differ from the central step's — it keeps the full-width path.
+    ``heavy`` marks kernels whose step body is big enough that compiling
+    BOTH the windowed and full branches costs more than the halved
+    matmuls save (measured: the exact-precision shaded forward, +2.4ms at
+    256², and every backward replay, +10ms — see slab_bwd_kernel)."""
+    if smoothing or heavy or WIN_COLS <= 0:
+        return 0
+    if nc % WIN_COLS == 0 and nc > WIN_COLS:
+        return WIN_COLS
+    return 0
 
 
 def occupancy_grid(vol_perm, threshold: float):
@@ -592,7 +690,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occupied=None, r0=None, first_hit=False):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, win_cols=0, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occupied=None, r0=None, c0=None, first_hit=False):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -607,33 +705,37 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
     cols_c = jnp.clip(cols_c, 0.0, nc - 1.0)
 
     ahead = ahead_ref[0, ahead_row] if ahead_ref is not None else None
-    if occupied is None:
+
+    def body():
         _march_step_body(
             feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref,
             out_ref, slice_row=slice_row, bilinear=bilinear,
             early_alpha=early_alpha, threshold=threshold, precision=precision,
             win_rows=win_rows, coloring=coloring, ahead=ahead,
             density_override=density_override, r0=r0, first_hit=first_hit,
+            win_cols=win_cols, c0=c0,
         )
+
+    if occupied is None:
+        body()
     else:
         # the precomputed empty-space flag (build_step_meta): a step whose
         # active-ray footprint misses every occupied block contributes
         # exactly nothing — skip its matmuls
         @pl.when(occupied)
         def _occupied_step():
-            _march_step_body(
-                feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref,
-                out_ref, slice_row=slice_row, bilinear=bilinear,
-                early_alpha=early_alpha, threshold=threshold,
-                precision=precision, win_rows=win_rows, coloring=coloring,
-                ahead=ahead, density_override=density_override, r0=r0,
-                first_hit=first_hit,
-            )
+            body()
 
 
-def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None, first_hit=False):
+def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None, first_hit=False, win_cols=0, c0=None):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
+    if win_cols:
+        assert c0 is not None, "column-windowed sampling needs a c0"
+        cw = pl.ds(c0, win_cols)
+    else:
+        cw = slice(None)
+    nx = win_cols or nc  # lane width of the x contraction
 
     def tri(coords, idx):
         d = coords - idx
@@ -659,7 +761,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     if density_override is None:
         grids.append(
             (
-                lambda w=None: slice_ref[slice_row] if w is None else slice_ref[slice_row, w, :],
+                lambda w=None: slice_ref[slice_row, :, cw] if w is None else slice_ref[slice_row, w, cw],
                 vol_hat,
                 jax.lax.Precision.HIGHEST,
             )
@@ -669,9 +771,9 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         for ch in range(3):
             grids.append(
                 (
-                    lambda w=None, ch=ch: grad_ref[ch, slice_row]
+                    lambda w=None, ch=ch: grad_ref[ch, slice_row, :, cw]
                     if w is None
-                    else grad_ref[ch, slice_row, w, :],
+                    else grad_ref[ch, slice_row, w, cw],
                     vol_hat,
                     precision,
                 )
@@ -679,7 +781,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     if imp_ref is not None:
         grids.append(
             (
-                lambda w=None: imp_ref[slice_row] if w is None else imp_ref[slice_row, w, :],
+                lambda w=None: imp_ref[slice_row, :, cw] if w is None else imp_ref[slice_row, w, cw],
                 boxk,
                 precision,
             )
@@ -715,14 +817,15 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
             ]
         )
 
-    hat_x = vol_hat(cols_c, y_iota(nc))  # (NC, R)
+    x_idx = y_iota(nx) if not win_cols else y_iota(nx) + c0.astype(jnp.float32)
+    hat_x = vol_hat(cols_c, x_idx)  # (NX, R)
     if density_override is None:
         density = jnp.sum(colvals[0] * hat_x, axis=0, keepdims=True)
     else:
         density = density_override
 
     imp = (
-        jnp.sum(colvals[colvals.shape[0] - 1] * boxk(cols_c, y_iota(nc)), axis=0, keepdims=True)
+        jnp.sum(colvals[colvals.shape[0] - 1] * boxk(cols_c, x_idx), axis=0, keepdims=True)
         if imp_ref is not None
         else None
     )
@@ -892,6 +995,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         )
     n_blocks = n_slabs // sb
     inverted = n_chunks >= INVERT_MIN_CHUNKS
+    win_cols = window_cols(nc, smoothing, heavy=shading and not params.fast_math)
     kernel = partial(
         _march_kernel,
         num_steps=n_slabs,
@@ -904,6 +1008,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             jax.lax.Precision.DEFAULT if params.fast_math else jax.lax.Precision.HIGHEST
         ),
         win_rows=win_rows,
+        win_cols=win_cols,
         slab_batch=sb,
         march_sign=sign,
         occupancy=occupancy,
@@ -945,7 +1050,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), W(next_index))
         )
         inputs.append(vol_perm)
-    if occupancy or win_rows:
+    if occupancy or win_rows or win_cols:
         occ = None
         if occupancy:
             occ = (
@@ -957,7 +1062,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         meta = build_step_meta(
             feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
             margin=smooth_occ_margin(n_slabs) if smoothing else 1.0,
-            win_rows=win_rows, halo=halo,
+            win_rows=win_rows, halo=halo, win_cols=win_cols,
         )
         in_specs.append(
             pl.BlockSpec(
