@@ -49,7 +49,7 @@ WIN_SLACK = 10
 #: smallest window worth emitting (sublane tile floor)
 MIN_WIN_ROWS = 16
 #: sub-slabs marched per grid step: amortises the ~2us/step grid+DMA floor
-SLAB_BATCH = 8
+SLAB_BATCH = int(__import__("os").environ.get("VOLYM_SLAB_BATCH", "8"))
 #: minimum chunk count for the inverted (slab-outer) grid.  With slabs on
 #: the OUTER grid axis the slice block index is constant across the inner
 #: chunk sweep, so pallas fetches each volume slab block ONCE per frame
