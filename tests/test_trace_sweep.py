@@ -48,7 +48,9 @@ MODES = {
         "use_importance_rendering": True,
         "use_shading": True,
     },
+    "fast_math": {"fast_math": True},
     "fast_math_shaded": {"fast_math": True, "use_shading": True},
+    "fast_math_smoothed": {"fast_math": True, "use_gaussian_smoothing": True},
     "nearest": {"interpolation": "nearest"},
 }
 

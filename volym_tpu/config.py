@@ -73,8 +73,16 @@ class RenderParams:
     #: threshold mask) always runs EXACT; the auxiliary matmuls (shading
     #: gradient field, importance) drop to DEFAULT (bf16-class) MXU
     #: precision.  Image error is bounded ~1e-3 (no mask flips), unlike
-    #: the v1 preview mode that also quantised the density.  Forward only
-    #: — gradients always run exact.
+    #: the v1 preview mode that also quantised the density.  The BACKWARD
+    #: inherits the same contract: the replay's density contraction stays
+    #: exact (mask integrity) while the voxel/LUT/grad-field scatters and
+    #: camera dhat chains run at DEFAULT — ~1.27x faster scene-grad steps.
+    #: Gradient noise is direction-preserving (cos(d_vol, exact) >= 0.994;
+    #: median rel err 0.5% on significant voxels) but heavy-tailed on
+    #: cancellation-dominated voxels (p99 ~0.6 rel), so Adam fitting
+    #: converges indistinguishably (measured, scripts/probe_fm_bwd.py)
+    #: while pointwise gradient values are NOT suitable for e.g.
+    #: finite-difference validation.  Default False = fully exact.
     fast_math: bool = False
     #: Emit camera-pose cotangents (d feats) from the Pallas backward.
     #: The scene-fitting loops optimise only volume/TF, and skipping the

@@ -174,6 +174,7 @@ def _replay_kernel(
     camera_grads: bool = True,
     inverted: bool = False,
     fuse_scatter: bool = False,
+    aux=jax.lax.Precision.HIGHEST,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -339,6 +340,7 @@ def _replay_kernel(
                     c0=c0,
                     dvol_ref=dvol_ref,
                     dgrad_out_ref=dgrad_out_ref,
+                    aux=aux,
                 )
 
         if win_cols and fits_b is not None:
@@ -364,6 +366,7 @@ def _replay_step(
     win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True,
     occupied=None, r0=None, c0=None, dvol_ref=None, dgrad_out_ref=None,
+    aux=jax.lax.Precision.HIGHEST,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
@@ -379,7 +382,7 @@ def _replay_step(
             grad_ref=grad_ref, coloring=coloring, ahead=ahead,
             density_override=density_override, dsmooth_dts=dsmooth_dts,
             camera_grads=camera_grads, r0=r0, dvol_ref=dvol_ref,
-            dgrad_out_ref=dgrad_out_ref, win_cols=win_cols, c0=c0,
+            dgrad_out_ref=dgrad_out_ref, win_cols=win_cols, c0=c0, aux=aux,
         )
 
     if occupied is None:
@@ -400,6 +403,7 @@ def _replay_step_body(
     win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True, r0=None,
     c0=None, dvol_ref=None, dgrad_out_ref=None,
+    aux=jax.lax.Precision.HIGHEST,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
@@ -447,7 +451,7 @@ def _replay_step_body(
                 gsl = grad_ref[ch, slice_row, :, cw]
             cv = fwd_mod.kernel_dot(
                 gsl, hat_y, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=aux,
             )
             g_colvals.append(cv)
             g_samp.append(jnp.sum(cv * hat_x, axis=0, keepdims=True))
@@ -469,7 +473,7 @@ def _replay_step_body(
             isl = imp_ref[slice_row, :, cw]
         icolvals = fwd_mod.kernel_dot(
             isl, bhy, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=aux,
         )
         imp = jnp.sum(icolvals * bhx, axis=0, keepdims=True)  # (1, R)
     if coloring:
@@ -618,7 +622,7 @@ def _replay_step_body(
                 slice_row, w_sl, :
             ] + fwd_mod.kernel_dot(
                 bhy, bhx_s * dd, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=aux,
             )
             if dgrad_out_ref is not None:
                 hat_x_s = (
@@ -629,7 +633,7 @@ def _replay_step_body(
                         ch, slice_row, w_sl, :
                     ] + fwd_mod.kernel_dot(
                         hat_y, hat_x_s * dg, (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=aux,
                     )
     else:
         # grouped-LUT gradient: dB[(ch,g), i] += onehot[g,r] d_rgba[ch,r] tri_o[i,r]
@@ -639,7 +643,7 @@ def _replay_step_body(
         )  # (4G, R)
         dlut_ref[:] = dlut_ref[:] + fwd_mod.kernel_dot(
             p, tri_o, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=aux,
         )
 
         # density cotangent through the TF hat: d tri/d tf_c = -sign(diff)
@@ -648,7 +652,7 @@ def _replay_step_body(
         dtri_o = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
         zd = fwd_mod.kernel_dot(
             b, dtri_o, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=aux,
         )  # (4G, R)
         drgba_dc = jnp.concatenate(
             [
@@ -683,7 +687,7 @@ def _replay_step_body(
             def _outer(row):
                 return fwd_mod.kernel_dot(
                     hat_y, hat_x_s * row, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=aux,
                 )
 
             dvol_ref[slice_row, w_sl, :] = dvol_ref[
@@ -715,7 +719,7 @@ def _replay_step_body(
             # only the bilinear gradient-field chain below contributes)
             colvals_dy = fwd_mod.kernel_dot(
                 sl, dhat_y, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=aux,
             )
             ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
             ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
@@ -736,7 +740,7 @@ def _replay_step_body(
                     gsl = grad_ref[ch, slice_row, :, cw]
                 g_cv_dy = fwd_mod.kernel_dot(
                     gsl, dhat_y, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=aux,
                 )
                 dg_drows = jnp.sum(g_cv_dy * hat_x, axis=0, keepdims=True)
                 dg_dcols = jnp.sum(g_colvals[ch] * dhat_x, axis=0, keepdims=True)
@@ -849,6 +853,7 @@ def _feats_grad_kernel(
     march_sign: int = 1,
     inverted: bool = False,
     halo: int = 0,
+    aux=jax.lax.Precision.HIGHEST,
 ):
     """Pass 2b (Gaussian smoothing only): the rows/cols camera chain of the
     plain density rows.  In the unsmoothed replay this chain is fused into
@@ -908,11 +913,11 @@ def _feats_grad_kernel(
                     sl = slice_ref[slice_row]
                 colvals = fwd_mod.kernel_dot(
                     sl, hat_y, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=aux,
                 )
                 colvals_dy = fwd_mod.kernel_dot(
                     sl, dhat_y, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=aux,
                 )
                 ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
                 ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
@@ -931,7 +936,7 @@ def _feats_grad_kernel(
                 dfeat_ref[0] = dfeat_ref[0] + delta
 
 
-def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign):
+def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign, aux=jax.lax.Precision.HIGHEST):
     """Driver for pass 2b (:func:`_feats_grad_kernel`): slab-outer inverted
     grid with an aliased d_feats accumulator when the chunk count allows
     (see ``fwd_mod.INVERT_MIN_CHUNKS``)."""
@@ -948,7 +953,7 @@ def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign):
     fg = partial(
         _feats_grad_kernel, bilinear=bilinear, win_rows=win_rows,
         slab_batch=sb, march_sign=sign, inverted=inverted,
-        halo=fwd_mod.SMOOTH_HALO,
+        halo=fwd_mod.SMOOTH_HALO, aux=aux,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
@@ -1000,6 +1005,7 @@ def _voxel_grad_kernel(
     slab_batch: int = 1,
     march_sign: int = 1,
     halo: int = 0,
+    aux=jax.lax.Precision.HIGHEST,
 ):
     rest = list(rest)
     meta_ref = rest.pop(0) if win_rows else None
@@ -1046,13 +1052,13 @@ def _voxel_grad_kernel(
                         slice_row, w, :
                     ] + fwd_mod.kernel_dot(
                         hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=aux,
                     )
                 else:
                     hat_y = _hat(rows_c, nr, rays, bilinear)
                     dvol_ref[slice_row] = dvol_ref[slice_row] + fwd_mod.kernel_dot(
                         hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=aux,
                     )
 
 
@@ -1068,6 +1074,7 @@ def _voxel_grad_shaded_kernel(
     slab_batch: int = 1,
     march_sign: int = 1,
     halo: int = 0,
+    aux=jax.lax.Precision.HIGHEST,
 ):
     rest = list(rest)
     meta_ref = rest.pop(0) if win_rows else None
@@ -1115,7 +1122,7 @@ def _voxel_grad_shaded_kernel(
                 def outer(dd_row):
                     return fwd_mod.kernel_dot(
                         hat_y, hat_x * dd_row, (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=aux,
                     )
 
                 dvol_ref[slice_row, w, :] = dvol_ref[slice_row, w, :] + outer(
@@ -1190,6 +1197,16 @@ def _backward_call(
         )
     )
     occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
+    # fast_math extends to the backward with the same contract as the
+    # forward: the replay DENSITY contraction stays exact (threshold-mask
+    # integrity) and only the auxiliary matmuls — voxel/LUT/grad-field
+    # scatters and the camera dhat chains — drop to DEFAULT (single-pass
+    # bf16, ~2^-9 relative on the gradients; bounded and measured in
+    # BASELINE.md).
+    aux_prec = (
+        jax.lax.Precision.DEFAULT if params.fast_math
+        else jax.lax.Precision.HIGHEST
+    )
     # Column windowing stays OFF in the backward: the replay body is big
     # enough that the per-batch fits/full branch DUPLICATION alone costs
     # ~+10ms/frame at 256² (measured with identical full bodies in both
@@ -1217,6 +1234,7 @@ def _backward_call(
         camera_grads=params.camera_grads,
         inverted=inverted,
         fuse_scatter=fuse,
+        aux=aux_prec,
     )
     # inputs in the replay kernel's pop order (see _replay_kernel *rest)
     in_specs = [
@@ -1384,7 +1402,7 @@ def _backward_call(
         vox = partial(
             _voxel_grad_kernel, bilinear=False if box else bilinear,
             nr=nr, nc=nc, win_rows=win_rows, slab_batch=sb, march_sign=sign,
-            halo=halo2,
+            halo=halo2, aux=aux_prec,
         )
         return pl.pallas_call(
             vox,
@@ -1402,6 +1420,7 @@ def _backward_call(
         voxs = partial(
             _voxel_grad_shaded_kernel, bilinear=bilinear, nr=nr, nc=nc,
             win_rows=win_rows, slab_batch=sb, march_sign=sign, halo=halo2,
+            aux=aux_prec,
         )
         return pl.pallas_call(
             voxs,
@@ -1443,7 +1462,7 @@ def _backward_call(
         # (nearest) hats have zero coordinate gradient -> skipped.
         d_feats = d_feats + _run_feats_grad(
             feats, vol_perm, dd[:, :, 0:1, :], bilinear=bilinear,
-            win_rows=win_rows, sb=sb, sign=sign,
+            win_rows=win_rows, sb=sb, sign=sign, aux=aux_prec,
         )
     return d_scatter, d_grad, d_lut, d_feats
 
