@@ -105,6 +105,29 @@ def main() -> int:
         params.replace(use_gaussian_smoothing=True, use_shading=True), 64,
         frac=2e-3,
     )
+    # smoothed+shaded BACKWARD at full 256^3/256^2 scale: compile smoke.
+    # The scatter_shaded voxel-grad kernel's output blocks exceed Mosaic's
+    # 16 MB default scoped-vmem limit at this scale (fixed by
+    # vmem_params(True)); the small-scene gradient checks below never
+    # reach that regime, so compile+run it once here.
+    try:
+        p_big = params.replace(
+            use_gaussian_smoothing=True, use_shading=True, camera_grads=False
+        )
+
+        def _big_loss(vol):
+            img = slab_kernel.render_diff(
+                Scene(vol, big256.importance, big256.tf_lut), m256, p_big,
+                256, 256,
+            )
+            return jnp.sum(img)
+
+        gv = jax.jit(jax.grad(_big_loss))(big256.volume)
+        jax.block_until_ready(gv)
+        print("bwd gaussian+shading 256^3/256^2: compiled and ran")
+    except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+        print(f"bwd gaussian+shading 256^3/256^2 FAILED: {e}")
+        failures.append("bwd gaussian+shading 256^3 compile")
     # smoothing + look-ahead combined runs
     # importance-driven look-ahead (straight + cone) vs the jnp slab golden
     import jax.numpy as jnp2

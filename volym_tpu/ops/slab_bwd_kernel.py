@@ -1437,6 +1437,10 @@ def _backward_call(
                 jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
                 jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32),
             ],
+            # at 256^3 the double-buffered (sb, nr, nc) + (3, sb, nr, nc)
+            # output blocks overflow Mosaic's 16 MB default scoped limit
+            # by ~0.3 MB — same cap bump as the heavy forward kernels
+            compiler_params=fwd_mod.vmem_params(True),
         )(feats, dd4, *meta_p2_inputs)
 
     d_grad = None
