@@ -84,6 +84,25 @@ class RenderParams:
     #: while pointwise gradient values are NOT suitable for e.g.
     #: finite-difference validation.  Default False = fully exact.
     fast_math: bool = False
+    #: Subtexel precision of the slab-path VOLUME samplers, in fractional
+    #: bits of the sample coordinate.  GPU texture units filter at
+    #: fixed-point subtexel precision (D3D mandates exactly 8 fractional
+    #: bits; Vulkan >= 4), so 8 reproduces what the reference's wgpu
+    #: sampler actually computes — and it makes every volume hat weight an
+    #: exact multiple of 2^-8, which is exactly bf16-representable: the
+    #: kernels' HIGHEST-precision MXU contractions then drop from 3 bf16
+    #: passes to 2 (``slab_kernel.kernel_dot(exact=...)``) at the SAME
+    #: ~2^-18 error bound.  The jnp slab golden and the replay VJPs
+    #: quantize identically (straight-through for gradients) from
+    #: bit-identical shared affine coordinates (``slab.ray_affine``), so
+    #: all slab-path validations remain exact-by-construction.  The 1D TF
+    #: coordinate is deliberately NOT snapped: it depends on the computed
+    #: density, which differs between kernel and golden at ~1e-5 — a snap
+    #: there would quantize the two sides to different texels at boundary
+    #: bands (see ``slab_kernel._tf_lookup``).  0 = full-f32 sample
+    #: coordinates (round-2 semantics; ~1.3x slower exact contractions).
+    #: The t-step renderers ignore this (they keep f32 coordinates).
+    subtexel_bits: int = 8
     #: Emit camera-pose cotangents (d feats) from the Pallas backward.
     #: The scene-fitting loops optimise only volume/TF, and skipping the
     #: dhat matmul chains cuts the replay pass substantially; with False

@@ -68,13 +68,15 @@ BWD_WIN_COLS = int(__import__("os").environ.get("VOLYM_BWD_WIN_COLS", "0"))
 _LOG_FLOOR = 1e-37
 
 
-def _coords(feat, jf, nr, nc):
+def _coords(feat, jf, nr, nc, subtexel=0):
+    from volym_tpu.render import slab as slab_mod
+
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]
     cols_c = feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :]
     t = feat[F_TS : F_TS + 1, :] * jf + feat[F_TB : F_TB + 1, :]
     return (
-        jnp.clip(rows_c, 0.0, nr - 1.0),
-        jnp.clip(cols_c, 0.0, nc - 1.0),
+        slab_mod.snap(jnp.clip(rows_c, 0.0, nr - 1.0), subtexel),
+        slab_mod.snap(jnp.clip(cols_c, 0.0, nc - 1.0), subtexel),
         t,
     )
 
@@ -175,6 +177,7 @@ def _replay_kernel(
     inverted: bool = False,
     fuse_scatter: bool = False,
     aux=jax.lax.Precision.HIGHEST,
+    subtexel: int = 0,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -285,6 +288,7 @@ def _replay_kernel(
                     bilinear=bilinear, win_rows=win_rows,
                     precision=jax.lax.Precision.HIGHEST,
                     r0=None if r0s is None else r0s[off + halo],
+                    subtexel=subtexel,
                 )
 
             d_cur = [drow(slice_ref, i, i) for i in range(slab_batch)]
@@ -341,6 +345,7 @@ def _replay_kernel(
                     dvol_ref=dvol_ref,
                     dgrad_out_ref=dgrad_out_ref,
                     aux=aux,
+                    subtexel=subtexel,
                 )
 
         if win_cols and fits_b is not None:
@@ -366,12 +371,12 @@ def _replay_step(
     win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True,
     occupied=None, r0=None, c0=None, dvol_ref=None, dgrad_out_ref=None,
-    aux=jax.lax.Precision.HIGHEST,
+    aux=jax.lax.Precision.HIGHEST, subtexel=0,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
-    rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+    rows_c, cols_c, t = _coords(feat, jf, nr, nc, subtexel)
 
     def body():
         _replay_step_body(
@@ -383,6 +388,7 @@ def _replay_step(
             density_override=density_override, dsmooth_dts=dsmooth_dts,
             camera_grads=camera_grads, r0=r0, dvol_ref=dvol_ref,
             dgrad_out_ref=dgrad_out_ref, win_cols=win_cols, c0=c0, aux=aux,
+            subtexel=subtexel,
         )
 
     if occupied is None:
@@ -403,10 +409,17 @@ def _replay_step_body(
     win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True, r0=None,
     c0=None, dvol_ref=None, dgrad_out_ref=None,
-    aux=jax.lax.Precision.HIGHEST,
+    aux=jax.lax.Precision.HIGHEST, subtexel=0,
 ):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
+    # hat exactness for the 2-pass contraction (fwd_mod.kernel_dot exact=):
+    # box hats and dhat sign patterns always; snapped triangle hats too.
+    # vol_hint marks a SECOND-operand hat (sampling contractions);
+    # scat_hint a FIRST-operand hat (the fused scatters) — the hint names
+    # the operand, and a wrong side silently rounds the other one to bf16
+    vol_hint = "b" if (subtexel or not bilinear) else None
+    scat_hint = "a" if (subtexel or not bilinear) else None
     if win_cols:
         assert c0 is not None, "column-windowed sampling needs a c0"
         cw = pl.ds(c0, win_cols)
@@ -431,7 +444,7 @@ def _replay_step_body(
     if density_override is None:
         colvals = fwd_mod.kernel_dot(
             sl, hat_y, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST, exact=vol_hint,
         )
         density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
     else:
@@ -451,7 +464,7 @@ def _replay_step_body(
                 gsl = grad_ref[ch, slice_row, :, cw]
             cv = fwd_mod.kernel_dot(
                 gsl, hat_y, (((0,), (0,)), ((), ())),
-                precision=aux,
+                precision=aux, exact=vol_hint,
             )
             g_colvals.append(cv)
             g_samp.append(jnp.sum(cv * hat_x, axis=0, keepdims=True))
@@ -473,7 +486,7 @@ def _replay_step_body(
             isl = imp_ref[slice_row, :, cw]
         icolvals = fwd_mod.kernel_dot(
             isl, bhy, (((0,), (0,)), ((), ())),
-            precision=aux,
+            precision=aux, exact="b",
         )
         imp = jnp.sum(icolvals * bhx, axis=0, keepdims=True)  # (1, R)
     if coloring:
@@ -489,7 +502,9 @@ def _replay_step_body(
     else:
         b = lut_ref[:]  # grouped LUT (4G, NI) — see slab_kernel.lut_groups
         n_groups = b.shape[0] // 4
-        rgba, onehot, diff, tri_o, tf_c_raw, ln = fwd_mod._tf_lookup(b, density, rays)
+        rgba, onehot, diff, tri_o, tf_c_raw, ln = fwd_mod._tf_lookup(
+            b, density, rays
+        )
         tf_in_range = (tf_c_raw > 0.0) & (tf_c_raw < ln - 1.0)  # clip grad mask
 
     rgb_comp = rgba[:3, :]
@@ -622,7 +637,7 @@ def _replay_step_body(
                 slice_row, w_sl, :
             ] + fwd_mod.kernel_dot(
                 bhy, bhx_s * dd, (((1,), (1,)), ((), ())),
-                precision=aux,
+                precision=aux, exact="a",
             )
             if dgrad_out_ref is not None:
                 hat_x_s = (
@@ -633,7 +648,7 @@ def _replay_step_body(
                         ch, slice_row, w_sl, :
                     ] + fwd_mod.kernel_dot(
                         hat_y, hat_x_s * dg, (((1,), (1,)), ((), ())),
-                        precision=aux,
+                        precision=aux, exact=scat_hint,
                     )
     else:
         # grouped-LUT gradient: dB[(ch,g), i] += onehot[g,r] d_rgba[ch,r] tri_o[i,r]
@@ -652,7 +667,7 @@ def _replay_step_body(
         dtri_o = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
         zd = fwd_mod.kernel_dot(
             b, dtri_o, (((1,), (0,)), ((), ())),
-            precision=aux,
+            precision=aux, exact="b",
         )  # (4G, R)
         drgba_dc = jnp.concatenate(
             [
@@ -687,7 +702,7 @@ def _replay_step_body(
             def _outer(row):
                 return fwd_mod.kernel_dot(
                     hat_y, hat_x_s * row, (((1,), (1,)), ((), ())),
-                    precision=aux,
+                    precision=aux, exact=scat_hint,
                 )
 
             dvol_ref[slice_row, w_sl, :] = dvol_ref[
@@ -719,7 +734,7 @@ def _replay_step_body(
             # only the bilinear gradient-field chain below contributes)
             colvals_dy = fwd_mod.kernel_dot(
                 sl, dhat_y, (((0,), (0,)), ((), ())),
-                precision=aux,
+                precision=aux, exact="b",
             )
             ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
             ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
@@ -740,7 +755,7 @@ def _replay_step_body(
                     gsl = grad_ref[ch, slice_row, :, cw]
                 g_cv_dy = fwd_mod.kernel_dot(
                     gsl, dhat_y, (((0,), (0,)), ((), ())),
-                    precision=aux,
+                    precision=aux, exact="b",
                 )
                 dg_drows = jnp.sum(g_cv_dy * hat_x, axis=0, keepdims=True)
                 dg_dcols = jnp.sum(g_colvals[ch] * dhat_x, axis=0, keepdims=True)
@@ -854,6 +869,7 @@ def _feats_grad_kernel(
     inverted: bool = False,
     halo: int = 0,
     aux=jax.lax.Precision.HIGHEST,
+    subtexel: int = 0,
 ):
     """Pass 2b (Gaussian smoothing only): the rows/cols camera chain of the
     plain density rows.  In the unsmoothed replay this chain is fused into
@@ -899,7 +915,7 @@ def _feats_grad_kernel(
 
             @pl.when(flags[i])
             def _accumulate(jf=jf, dd=dd, slice_row=slice_row, i=i):
-                rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+                rows_c, cols_c, t = _coords(feat, jf, nr, nc, subtexel)
                 hat_x = _hat(cols_c, nc, rays, bilinear)
                 dhat_x = _dhat(cols_c, nc, rays, bilinear)
                 if win_rows:
@@ -914,10 +930,11 @@ def _feats_grad_kernel(
                 colvals = fwd_mod.kernel_dot(
                     sl, hat_y, (((0,), (0,)), ((), ())),
                     precision=aux,
+                    exact="b" if (subtexel or not bilinear) else None,
                 )
                 colvals_dy = fwd_mod.kernel_dot(
                     sl, dhat_y, (((0,), (0,)), ((), ())),
-                    precision=aux,
+                    precision=aux, exact="b",
                 )
                 ddens_drows = jnp.sum(colvals_dy * hat_x, axis=0, keepdims=True)
                 ddens_dcols = jnp.sum(colvals * dhat_x, axis=0, keepdims=True)
@@ -936,7 +953,7 @@ def _feats_grad_kernel(
                 dfeat_ref[0] = dfeat_ref[0] + delta
 
 
-def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign, aux=jax.lax.Precision.HIGHEST):
+def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign, aux=jax.lax.Precision.HIGHEST, subtexel=0):
     """Driver for pass 2b (:func:`_feats_grad_kernel`): slab-outer inverted
     grid with an aliased d_feats accumulator when the chunk count allows
     (see ``fwd_mod.INVERT_MIN_CHUNKS``)."""
@@ -953,7 +970,7 @@ def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign, aux=ja
     fg = partial(
         _feats_grad_kernel, bilinear=bilinear, win_rows=win_rows,
         slab_batch=sb, march_sign=sign, inverted=inverted,
-        halo=fwd_mod.SMOOTH_HALO, aux=aux,
+        halo=fwd_mod.SMOOTH_HALO, aux=aux, subtexel=subtexel,
     )
     in_specs = [
         pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
@@ -1006,6 +1023,7 @@ def _voxel_grad_kernel(
     march_sign: int = 1,
     halo: int = 0,
     aux=jax.lax.Precision.HIGHEST,
+    subtexel: int = 0,
 ):
     rest = list(rest)
     meta_ref = rest.pop(0) if win_rows else None
@@ -1042,8 +1060,10 @@ def _voxel_grad_kernel(
 
             @pl.when(flags[i])
             def _accumulate(jf=jf, dd=dd, slice_row=slice_row, i=i):
-                rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+                rows_c, cols_c, t = _coords(feat, jf, nr, nc, subtexel)
                 hat_x = _hat(cols_c, nc, rays, bilinear)
+                # snapped/box hat_y is exactly bf16-representable: 2 passes
+                hint = "a" if (subtexel or not bilinear) else None
                 if win_rows:
                     r0 = r0s[i + halo]
                     hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
@@ -1052,13 +1072,13 @@ def _voxel_grad_kernel(
                         slice_row, w, :
                     ] + fwd_mod.kernel_dot(
                         hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-                        precision=aux,
+                        precision=aux, exact=hint,
                     )
                 else:
                     hat_y = _hat(rows_c, nr, rays, bilinear)
                     dvol_ref[slice_row] = dvol_ref[slice_row] + fwd_mod.kernel_dot(
                         hat_y, hat_x * dd, (((1,), (1,)), ((), ())),
-                        precision=aux,
+                        precision=aux, exact=hint,
                     )
 
 
@@ -1075,6 +1095,7 @@ def _voxel_grad_shaded_kernel(
     march_sign: int = 1,
     halo: int = 0,
     aux=jax.lax.Precision.HIGHEST,
+    subtexel: int = 0,
 ):
     rest = list(rest)
     meta_ref = rest.pop(0) if win_rows else None
@@ -1109,8 +1130,10 @@ def _voxel_grad_shaded_kernel(
 
             @pl.when(flags[i])
             def _accumulate(jf=jf, dd4=dd4, slice_row=slice_row, i=i):
-                rows_c, cols_c, t = _coords(feat, jf, nr, nc)
+                rows_c, cols_c, t = _coords(feat, jf, nr, nc, subtexel)
                 hat_x = _hat(cols_c, nc, rays, bilinear)
+                # snapped/box hat_y is exactly bf16-representable: 2 passes
+                hint = "a" if (subtexel or not bilinear) else None
                 if win_rows:
                     r0 = r0s[i + halo]
                     hat_y = _hat(rows_c, win_rows, rays, bilinear, base=r0)
@@ -1122,7 +1145,7 @@ def _voxel_grad_shaded_kernel(
                 def outer(dd_row):
                     return fwd_mod.kernel_dot(
                         hat_y, hat_x * dd_row, (((1,), (1,)), ((), ())),
-                        precision=aux,
+                        precision=aux, exact=hint,
                     )
 
                 dvol_ref[slice_row, w, :] = dvol_ref[slice_row, w, :] + outer(
@@ -1235,6 +1258,7 @@ def _backward_call(
         inverted=inverted,
         fuse_scatter=fuse,
         aux=aux_prec,
+        subtexel=params.subtexel_bits,
     )
     # inputs in the replay kernel's pop order (see _replay_kernel *rest)
     in_specs = [
@@ -1402,7 +1426,7 @@ def _backward_call(
         vox = partial(
             _voxel_grad_kernel, bilinear=False if box else bilinear,
             nr=nr, nc=nc, win_rows=win_rows, slab_batch=sb, march_sign=sign,
-            halo=halo2, aux=aux_prec,
+            halo=halo2, aux=aux_prec, subtexel=params.subtexel_bits,
         )
         return pl.pallas_call(
             vox,
@@ -1420,7 +1444,7 @@ def _backward_call(
         voxs = partial(
             _voxel_grad_shaded_kernel, bilinear=bilinear, nr=nr, nc=nc,
             win_rows=win_rows, slab_batch=sb, march_sign=sign, halo=halo2,
-            aux=aux_prec,
+            aux=aux_prec, subtexel=params.subtexel_bits,
         )
         return pl.pallas_call(
             voxs,
@@ -1467,6 +1491,7 @@ def _backward_call(
         d_feats = d_feats + _run_feats_grad(
             feats, vol_perm, dd[:, :, 0:1, :], bilinear=bilinear,
             win_rows=win_rows, sb=sb, sign=sign, aux=aux_prec,
+            subtexel=params.subtexel_bits,
         )
     return d_scatter, d_grad, d_lut, d_feats
 

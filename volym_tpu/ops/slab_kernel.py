@@ -95,6 +95,7 @@ def _march_kernel(
     smoothing: bool = False,
     inverted: bool = False,
     first_hit: bool = False,
+    subtexel: int = 0,
 ):
     rest = list(rest)
     prev_ref = rest.pop(0) if smoothing else None
@@ -168,6 +169,7 @@ def _march_kernel(
                     block_ref, local_row(i_local), feat, jf,
                     bilinear=bilinear, win_rows=win_rows, precision=precision,
                     r0=None if r0s is None else r0s[off + halo],
+                    subtexel=subtexel,
                 )
 
             d_cur = [drow(slice_ref, i, i) for i in range(slab_batch)]
@@ -213,6 +215,7 @@ def _march_kernel(
                     r0=None if r0s is None else r0s[i + halo],
                     c0=c0,
                     first_hit=first_hit,
+                    subtexel=subtexel,
                 )
 
         if win_cols and fits_b is not None:
@@ -245,17 +248,24 @@ def _march_kernel(
 EXACT_DOT = __import__("os").environ.get("VOLYM_EXACT_DOT", "x3")
 
 
-def kernel_dot(a, b, dims, precision):
+def kernel_dot(a, b, dims, precision, exact=None):
     """MXU contraction with the kernel's precision policy: HIGHEST routes
-    through :data:`EXACT_DOT`; anything else is a plain dot_general."""
+    through :data:`EXACT_DOT`; anything else is a plain dot_general.
+
+    ``exact``: ``'a'`` / ``'b'`` asserts that operand is exactly
+    bf16-representable (sign patterns like dhat in {-1, 0, 1}, box hats in
+    {0, 1}, or subtexel-snapped triangle hats in k/2^SUBTEXEL_BITS — see
+    :func:`volym_tpu.render.slab.snap`).  The hi/lo split then applies only
+    to the other operand: 2 MXU passes instead of 3, dropping a term of
+    the SAME ~2^-18-relative class as x3's lo@lo (the split operand's
+    second residual), so the x3 error bound holds unchanged.  The caller
+    owns the exactness contract; a wrong hint silently loses the operand's
+    low bits (plain bf16 rounding, DEFAULT-precision class).
+    """
     if precision != jax.lax.Precision.HIGHEST or EXACT_DOT == "x6":
         return jax.lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32, precision=precision
         )
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_hi = b.astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def d(x, y):
         return jax.lax.dot_general(
@@ -263,6 +273,20 @@ def kernel_dot(a, b, dims, precision):
             precision=jax.lax.Precision.DEFAULT,
         )
 
+    if exact == "a":
+        a16 = a.astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return d(a16, b_hi) + d(a16, b_lo)
+    if exact == "b":
+        b16 = b.astype(jnp.bfloat16)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return d(a_hi, b16) + d(a_lo, b16)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
@@ -522,19 +546,26 @@ def smooth_occ_margin(n_slabs: int) -> float:
     return 1.0 + GAUSSIAN_KERNEL_SIZE * GAUSSIAN_STEP * n_slabs
 
 
-def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precision, r0=None):
+def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precision, r0=None, subtexel=0):
     """One plain density row (1, R): bilinear/nearest slice sample at the
     ray crossings of march step jf (the sampling core of _march_step_body,
     reused by the Gaussian-smoothing stencil)."""
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
-    rows_c = jnp.clip(
-        feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :], 0.0, nr - 1.0
+    rows_c = slab_mod.snap(
+        jnp.clip(
+            feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :],
+            0.0, nr - 1.0,
+        ),
+        subtexel,
     )
-    cols_c = jnp.clip(
-        feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :], 0.0, nc - 1.0
+    cols_c = slab_mod.snap(
+        jnp.clip(
+            feat[F_CS : F_CS + 1, :] * jf + feat[F_CB : F_CB + 1, :],
+            0.0, nc - 1.0,
+        ),
+        subtexel,
     )
-    t = feat[F_TS : F_TS + 1, :] * jf + feat[F_TB : F_TB + 1, :]
 
     def iota(n, base=None):
         v = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
@@ -546,6 +577,8 @@ def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precisio
             return jnp.maximum(0.0, 1.0 - jnp.abs(d))
         return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
 
+    # snapped (or box) hats are exactly bf16-representable: 2-pass contraction
+    hint = "b" if (subtexel or not bilinear) else None
     if win_rows:
         assert r0 is not None, "windowed sampling needs a precomputed r0"
         hat_y = hat(rows_c, iota(win_rows, r0))
@@ -553,7 +586,7 @@ def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precisio
     else:
         hat_y = hat(rows_c, iota(nr))
         sl = slice_ref[slice_row]
-    colvals = kernel_dot(sl, hat_y, (((0,), (0,)), ((), ())), precision)
+    colvals = kernel_dot(sl, hat_y, (((0,), (0,)), ((), ())), precision, exact=hint)
     return jnp.sum(colvals * hat(cols_c, iota(nc)), axis=0, keepdims=True)
 
 
@@ -664,6 +697,14 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     ni = b.shape[1]
     gw = ni - 1
     ln = gw * n_groups
+    # the TF coordinate is NOT subtexel-snapped (unlike rows/cols): it is
+    # a function of the computed density, which is not bit-identical
+    # between the kernel's split-bf16 contraction and the jnp golden's
+    # f32 bilinear — a snap here would make the two sides quantize to
+    # different texels at ~1e-3-wide boundary bands, moving full d_lut
+    # scatter weight between adjacent entries.  Volume coords CAN snap
+    # because both sides share the bit-identical affine march
+    # (slab.ray_affine); density cannot.
     tf_c_raw = density * ln - 0.5
     tf_c = jnp.clip(tf_c_raw, 0.0, ln - 1.0)
     gf = jnp.floor(tf_c / gw)  # (1, R) group index as float
@@ -690,7 +731,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, win_cols=0, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occupied=None, r0=None, c0=None, first_hit=False):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, win_cols=0, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occupied=None, r0=None, c0=None, first_hit=False, subtexel=0):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -700,9 +741,10 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
 
-    # clamp-to-edge in texel space reproduces wgpu addressing exactly
-    rows_c = jnp.clip(rows_c, 0.0, nr - 1.0)
-    cols_c = jnp.clip(cols_c, 0.0, nc - 1.0)
+    # clamp-to-edge in texel space reproduces wgpu addressing exactly;
+    # the subtexel snap reproduces the sampler's fixed-point weights
+    rows_c = slab_mod.snap(jnp.clip(rows_c, 0.0, nr - 1.0), subtexel)
+    cols_c = slab_mod.snap(jnp.clip(cols_c, 0.0, nc - 1.0), subtexel)
 
     ahead = ahead_ref[0, ahead_row] if ahead_ref is not None else None
 
@@ -713,7 +755,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             early_alpha=early_alpha, threshold=threshold, precision=precision,
             win_rows=win_rows, coloring=coloring, ahead=ahead,
             density_override=density_override, r0=r0, first_hit=first_hit,
-            win_cols=win_cols, c0=c0,
+            win_cols=win_cols, c0=c0, subtexel=subtexel,
         )
 
     if occupied is None:
@@ -727,7 +769,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             body()
 
 
-def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None, first_hit=False, win_cols=0, c0=None):
+def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None, first_hit=False, win_cols=0, c0=None, subtexel=0):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
     if win_cols:
@@ -757,6 +799,9 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     # gradient field, importance) run at the reduced precision.  With a
     # density_override (Gaussian smoothing precomputed the rows) the
     # density grid drops out entirely.
+    # hat exactness for the 2-pass contraction (kernel_dot exact=): box
+    # hats are {0, 1}; snapped triangle hats are multiples of 2^-subtexel
+    vol_hint = "b" if (subtexel or not bilinear) else None
     grids = []
     if density_override is None:
         grids.append(
@@ -764,6 +809,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
                 lambda w=None: slice_ref[slice_row, :, cw] if w is None else slice_ref[slice_row, w, cw],
                 vol_hat,
                 jax.lax.Precision.HIGHEST,
+                vol_hint,
             )
         )
     grad_base = len(grids)
@@ -776,6 +822,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
                     else grad_ref[ch, slice_row, w, cw],
                     vol_hat,
                     precision,
+                    vol_hint,
                 )
             )
     if imp_ref is not None:
@@ -784,6 +831,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
                 lambda w=None: imp_ref[slice_row, :, cw] if w is None else imp_ref[slice_row, w, cw],
                 boxk,
                 precision,
+                "b",
             )
         )
 
@@ -804,16 +852,22 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         w = pl.ds(r0, win_rows)
         colvals = jnp.stack(
             [
-                kernel_dot(g(w), k(rows_c, idx), (((0,), (0,)), ((), ())), prec)
-                for g, k, prec in grids
+                kernel_dot(
+                    g(w), k(rows_c, idx), (((0,), (0,)), ((), ())), prec,
+                    exact=hint,
+                )
+                for g, k, prec, hint in grids
             ]
         )  # (G, NC, R)
     else:
         idx = y_iota(nr)
         colvals = jnp.stack(
             [
-                kernel_dot(g(), k(rows_c, idx), (((0,), (0,)), ((), ())), prec)
-                for g, k, prec in grids
+                kernel_dot(
+                    g(), k(rows_c, idx), (((0,), (0,)), ((), ())), prec,
+                    exact=hint,
+                )
+                for g, k, prec, hint in grids
             ]
         )
 
@@ -913,24 +967,15 @@ def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout)
 def features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout):
     """The feats matrix from an explicit ray bundle (the sharded renderers
     build per-shard rays themselves)."""
-    _, row_comp, col_comp = layout
+    d_m = dirs[:, major]
 
-    o_m, d_m = origin[major], dirs[:, major]
-    o_r, d_r = origin[row_comp], dirs[:, row_comp]
-    o_c, d_c = origin[col_comp], dirs[:, col_comp]
-
-    # slab(j) = j (sign>0) or N-1-j; z(j) = (slab(j)+0.5)/N
-    sz = (1.0 / n_slabs) * sign
-    z0 = (0.5 / n_slabs) if sign > 0 else ((n_slabs - 0.5) / n_slabs)
-    safe_dm = jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
-    ts = sz / safe_dm
-    tb = (z0 - o_m) / safe_dm
-
-    n = n_slabs  # cubic grids: rows/cols share the slab resolution
-    rs = ts * d_r * n
-    rb = (o_r + tb * d_r) * n - 0.5
-    cs = ts * d_c * n
-    cb = (o_c + tb * d_c) * n - 0.5
+    # slab(j) = j (sign>0) or N-1-j; z(j) = (slab(j)+0.5)/N — the affine
+    # coefficients come from the SAME function the jnp goldens use
+    # (slab.ray_affine), so kernel and golden evaluate identical
+    # coordinates and the subtexel snap decides identically on both sides
+    rs, rb, cs, cb, ts, tb = slab_mod.ray_affine(
+        origin, dirs, n_slabs, major, sign
+    )
 
     aexp = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12) * 100.0
     signok = ((d_m * sign) > 0.0).astype(jnp.float32)
@@ -1010,6 +1055,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         win_rows=win_rows,
         win_cols=win_cols,
         slab_batch=sb,
+        subtexel=params.subtexel_bits,
         march_sign=sign,
         occupancy=occupancy,
         lookahead=lookahead,

@@ -63,6 +63,75 @@ def dominant_axis(camera_matrices) -> tuple[int, int]:
     return m, (1 if fwd[m] > 0 else -1)
 
 
+def snap(c, bits: int):
+    """Quantize a texel coordinate to ``bits`` fractional fixed-point bits
+    (``RenderParams.subtexel_bits`` — hardware-sampler subtexel precision).
+
+    Every operation is exact in f32: ``c * 2^bits`` is a power-of-two
+    scaling of a coordinate < 2^16 (so the product < 2^24 stays an exact
+    float), ``floor(x + 0.5)`` is deterministic IEEE round-half-up, and the
+    final power-of-two scaling is exact — the same inputs give bit-equal
+    results on every backend.  Snapped triangle-hat weights ``1 - |c - i|``
+    on the support ``|c - i| < 1`` become multiples of ``2^-bits`` in
+    (0, 1] — at bits <= 8 exactly bf16-representable, which is what lets
+    :func:`volym_tpu.ops.slab_kernel.kernel_dot` run exact contractions in
+    2 MXU passes instead of 3.  ``bits == 0`` is the identity (full-f32
+    coordinates)."""
+    if not bits:
+        return c
+    s = float(1 << bits)
+    return jnp.floor(c * s + 0.5) * (1.0 / s)
+
+
+def snap_ste(c, bits: int):
+    """:func:`snap` with a straight-through gradient (d snap / d c := 1),
+    for the autodiffed jnp paths: the quantizer's a.e.-zero derivative
+    would kill camera gradients, and the straight-through estimator is
+    exactly what the Pallas backward computes (hats placed at the snapped
+    coordinate, chained with the full-precision dhat)."""
+    if not bits:
+        return c
+    return c + jax.lax.stop_gradient(snap(c, bits) - c)
+
+
+def snap_np(c: float, bits: int) -> float:
+    """Scalar numpy :func:`snap` for the python-loop test oracles; the
+    coordinate must come from the same f32 arithmetic to snap identically
+    (see :func:`ray_affine`)."""
+    if not bits:
+        return c
+    s = float(1 << bits)
+    return float(np.floor(np.float32(c) * np.float32(s) + np.float32(0.5))) / s
+
+
+def ray_affine(origin, dirs, n_slabs: int, major: int, sign: int):
+    """Per-ray affine coefficients of the slab march: ``t(j) = ts*j + tb``
+    and sample coordinates ``rows(j) = rs*j + rb``, ``cols(j) = cs*j + cb``
+    as functions of the MARCH index j (0 = first slab crossed).
+
+    THE single definition of the march coordinates, shared by the Pallas
+    feats (:func:`volym_tpu.ops.slab_kernel.features_from_rays`) and this
+    module's jnp goldens (:func:`march_slabs`, :func:`_slab_step_f`,
+    :func:`smoothed_densities`) — both sides evaluate ``slope*j + base``
+    from the same coefficients, so the subtexel snap (:func:`snap`) makes
+    the same decision everywhere and kernel-vs-golden comparisons stay
+    exact instead of diverging at quantization boundaries.
+    """
+    _, row_comp, col_comp = _AXIS_LAYOUT[major]
+    o_m, d_m = origin[major], dirs[:, major]
+    sz = (1.0 / n_slabs) * sign
+    z0 = (0.5 / n_slabs) if sign > 0 else ((n_slabs - 0.5) / n_slabs)
+    safe_dm = jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
+    ts = sz / safe_dm
+    tb = (z0 - o_m) / safe_dm
+    n = n_slabs  # cubic grids: rows/cols share the slab resolution
+    rs = ts * dirs[:, row_comp] * n
+    rb = (origin[row_comp] + tb * dirs[:, row_comp]) * n - 0.5
+    cs = ts * dirs[:, col_comp] * n
+    cb = (origin[col_comp] + tb * dirs[:, col_comp]) * n - 0.5
+    return rs, rb, cs, cb, ts, tb
+
+
 def permute_volume(volume, major: int):
     """(D, H, W) grid -> (N_slabs, rows, cols) with the major axis leading."""
     order, _, _ = _AXIS_LAYOUT[major]
@@ -280,29 +349,26 @@ def smoothed_densities(vol_perm, origin, dirs, major: int, sign: int, params):
             f"{int(SMOOTH_HALO / (GAUSSIAN_KERNEL_SIZE * GAUSSIAN_STEP))} "
             f"slabs (got {n_slabs}); use the t-step renderers"
         )
-    _, row_comp, col_comp = _AXIS_LAYOUT[major]
-    o_m, d_m = origin[major], dirs[:, major]
-    safe_dm = jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
-    dt = (1.0 / n_slabs) * sign / safe_dm  # signed t per march step (>0 ok)
+    # shared-with-the-kernel coordinate definition (see ray_affine); the
+    # kernel evaluates slope*j + base per march index j (_density_row)
+    rs, rb, cs, cb, dt, _tb = ray_affine(origin, dirs, n_slabs, major, sign)
+    slope_r, slope_c = rs, cs
+    stx = params.subtexel_bits
 
     ks = jnp.arange(n_slabs, dtype=jnp.float32)
     if sign < 0:
         ks = ks[::-1]
     vol_march = vol_perm[ks.astype(jnp.int32)]
-    z_m = (ks + 0.5) / n_slabs
-    t_m = (z_m[:, None] - o_m) / safe_dm  # (M, R)
-    rows_all = (origin[row_comp] + t_m * dirs[:, row_comp]) * n_rows - 0.5
-    cols_all = (origin[col_comp] + t_m * dirs[:, col_comp]) * n_cols - 0.5
-    # per-march-step coordinate slopes (affine in the march index)
-    slope_r = dt * dirs[:, row_comp] * n_rows  # (R,)
-    slope_c = dt * dirs[:, col_comp] * n_cols
+    jf = jnp.arange(n_slabs, dtype=jnp.float32)[:, None]  # march index (M, 1)
+    rows_all = rs[None, :] * jf + rb[None, :]
+    cols_all = cs[None, :] * jf + cb[None, :]
 
     bilinear = params.interpolation == Interpolation.TRILINEAR
     sample2d = _bilinear_slice if bilinear else _nearest_slice
     d_all = jax.vmap(sample2d)(
         vol_march,
-        jnp.clip(rows_all, 0.0, n_rows - 1.0),
-        jnp.clip(cols_all, 0.0, n_cols - 1.0),
+        snap_ste(jnp.clip(rows_all, 0.0, n_rows - 1.0), stx),
+        snap_ste(jnp.clip(cols_all, 0.0, n_cols - 1.0), stx),
     )  # (M, R) plain densities
 
     m_idx = jnp.arange(n_slabs)
@@ -353,20 +419,21 @@ def march_slabs(
     (required when ``params.use_shading``).
     """
     n_slabs, n_rows, n_cols = vol_perm.shape
-    _, row_comp, col_comp = _AXIS_LAYOUT[major]
-
-    o_m, d_m = origin[major], dirs[:, major]
-    o_r, d_r = origin[row_comp], dirs[:, row_comp]
-    o_c, d_c = origin[col_comp], dirs[:, col_comp]
+    d_m = dirs[:, major]
 
     # march direction must match the dominant sign for front-to-back order
     sign_ok = (d_m * sign) > 0.0
     dt = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12)  # per-ray step
     alpha_exp = dt * 100.0  # opacity-correction exponent (wgsl:314)
 
+    # shared-with-the-kernel coordinate definition (see ray_affine)
+    rs, rb, cs, cb, ts, tb = ray_affine(origin, dirs, n_slabs, major, sign)
+    stx = params.subtexel_bits
+
     ks = jnp.arange(n_slabs, dtype=jnp.float32)
     if sign < 0:
         ks = ks[::-1]
+    mis = jnp.arange(n_slabs, dtype=jnp.float32)  # march index
 
     lookahead = (
         params.use_importance_rendering and not params.use_importance_coloring
@@ -410,15 +477,14 @@ def march_slabs(
         return jnp.where(nonzero, shaded, rgb)
 
     def body(carry, x):
-        k, ahead_k, smooth_k = x
+        k, mi, ahead_k, smooth_k = x
         acc_c, acc_a = carry
-        z_plane = (k + 0.5) / n_slabs
-        t = (z_plane - o_m) / d_m  # (R,)
+        t = ts * mi + tb  # (R,)
         valid = sign_ok & (t >= entry) & (t < exit_)
         active = valid & (acc_a < params.early_termination_alpha)
 
-        rows_c = (o_r + t * d_r) * n_rows - 0.5
-        cols_c = (o_c + t * d_c) * n_cols - 0.5
+        rows_c = snap_ste(jnp.clip(rs * mi + rb, 0.0, n_rows - 1.0), stx)
+        cols_c = snap_ste(jnp.clip(cs * mi + cb, 0.0, n_cols - 1.0), stx)
         sl = jax.lax.dynamic_index_in_dim(vol_perm, k.astype(jnp.int32), keepdims=False)
         if params.use_gaussian_smoothing:
             density = smooth_k  # precomputed slab-stencil Gaussian taps
@@ -469,7 +535,7 @@ def march_slabs(
 
     r = dirs.shape[0]
     init = (jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.float32))
-    (acc_c, acc_a), _ = jax.lax.scan(body, init, (ks, ahead_bits, smooth_all))
+    (acc_c, acc_a), _ = jax.lax.scan(body, init, (ks, mis, ahead_bits, smooth_all))
     return jnp.concatenate([acc_c, acc_a[:, None]], axis=-1)
 
 
@@ -483,20 +549,23 @@ def march_slabs(
 # ----------------------------------------------------------------------
 
 
-def _slab_step_f(params, major, n_slabs, slab_idx_f, sl, isl, lut, origin, dirs, gsl=None, density_override=None):
+def _slab_step_f(params, major, sign, n_slabs, march_idx_f, sl, isl, lut, origin, dirs, gsl=None, density_override=None):
     """Differentiable per-slab quantities: (rgb, alpha), aux density.
+
+    ``march_idx_f``: MARCH index j (0 = first slab crossed), the variable
+    the shared affine coordinates (:func:`ray_affine`) are linear in.
 
     ``density_override``: traced Gaussian-smoothed densities for this step
     (from :func:`smoothed_densities`); the slice sample drops out and the
     override's cotangent is returned by the surrounding ``jax.vjp``.
     """
-    _, row_comp, col_comp = _AXIS_LAYOUT[major]
     n_rows, n_cols = sl.shape
-    o_m, d_m = origin[major], dirs[:, major]
-    z_plane = (slab_idx_f + 0.5) / n_slabs
-    t = (z_plane - o_m) / d_m
-    rows_c = (origin[row_comp] + t * dirs[:, row_comp]) * n_rows - 0.5
-    cols_c = (origin[col_comp] + t * dirs[:, col_comp]) * n_cols - 0.5
+    d_m = dirs[:, major]
+    rs, rb, cs, cb, ts, tb = ray_affine(origin, dirs, n_slabs, major, sign)
+    stx = params.subtexel_bits
+    t = ts * march_idx_f + tb
+    rows_c = snap_ste(jnp.clip(rs * march_idx_f + rb, 0.0, n_rows - 1.0), stx)
+    cols_c = snap_ste(jnp.clip(cs * march_idx_f + cb, 0.0, n_cols - 1.0), stx)
 
     sample2d = (
         _bilinear_slice
@@ -616,7 +685,7 @@ def _msd_bwd(params, major, sign, res, g):
     r = dirs.shape[0]
 
     def body(carry, x):
-        k, ahead_k, smooth_k = x
+        k, mi, ahead_k, smooth_k = x
         acc_c, acc_a, dvol, dimp, dlut, dorigin, ddirs, dgrad, dsmooth = carry
         ki = k.astype(jnp.int32)
         sl = jax.lax.dynamic_index_in_dim(vol_perm, ki, keepdims=False)
@@ -631,8 +700,8 @@ def _msd_bwd(params, major, sign, res, g):
 
                 def f(sl_, isl_, lut_, origin_, dirs_, gsl_, ov_):
                     return _slab_step_f(
-                        params, major, n_slabs, k, sl_, isl_, lut_, origin_,
-                        dirs_, gsl_, ov_,
+                        params, major, sign, n_slabs, mi, sl_, isl_, lut_,
+                        origin_, dirs_, gsl_, ov_,
                     )
 
                 ((rgb, alpha), f_vjp, aux) = jax.vjp(
@@ -642,8 +711,8 @@ def _msd_bwd(params, major, sign, res, g):
 
                 def f(sl_, isl_, lut_, origin_, dirs_, gsl_):
                     return _slab_step_f(
-                        params, major, n_slabs, k, sl_, isl_, lut_, origin_,
-                        dirs_, gsl_,
+                        params, major, sign, n_slabs, mi, sl_, isl_, lut_,
+                        origin_, dirs_, gsl_,
                     )
 
                 ((rgb, alpha), f_vjp, aux) = jax.vjp(
@@ -653,8 +722,8 @@ def _msd_bwd(params, major, sign, res, g):
 
             def f(sl_, isl_, lut_, origin_, dirs_, ov_):
                 return _slab_step_f(
-                    params, major, n_slabs, k, sl_, isl_, lut_, origin_,
-                    dirs_, None, ov_,
+                    params, major, sign, n_slabs, mi, sl_, isl_, lut_,
+                    origin_, dirs_, None, ov_,
                 )
 
             ((rgb, alpha), f_vjp, aux) = jax.vjp(
@@ -664,7 +733,8 @@ def _msd_bwd(params, major, sign, res, g):
 
             def f(sl_, isl_, lut_, origin_, dirs_):
                 return _slab_step_f(
-                    params, major, n_slabs, k, sl_, isl_, lut_, origin_, dirs_
+                    params, major, sign, n_slabs, mi, sl_, isl_, lut_,
+                    origin_, dirs_,
                 )
 
             ((rgb, alpha), f_vjp, aux) = jax.vjp(
@@ -723,9 +793,10 @@ def _msd_bwd(params, major, sign, res, g):
     )
     ahead_xs = ahead_all if lookahead else jnp.zeros((n_slabs, 1), bool)
     smooth_xs = smooth_all if smoothing else jnp.zeros((n_slabs, 1), jnp.float32)
+    mis = jnp.arange(n_slabs, dtype=jnp.float32)
     (
         (_, _, dvol, dimp, dlut, dorigin, ddirs, dgrad, dsmooth), _
-    ) = jax.lax.scan(body, init, (ks, ahead_xs, smooth_xs))
+    ) = jax.lax.scan(body, init, (ks, mis, ahead_xs, smooth_xs))
     if smoothing:
         # dsmooth is indexed by PHYSICAL slab k (ki scatter); smoothed_
         # densities returns march order — map back before the pullback
