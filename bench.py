@@ -176,6 +176,21 @@ def main() -> int:
         "unit": "rays/s",
         "vs_baseline": round(rays_prod / rays_base, 3),
     }
+    if on_tpu:
+        # self-describing knob set: which kernel configuration produced
+        # this number (platform variance is ±20% across sessions; without
+        # this a reader can mistake variance for a knob and vice versa)
+        result["knobs"] = {
+            "exact_dot": prod_mod.EXACT_DOT,
+            "win_cols": prod_mod.WIN_COLS,
+            "tile": prod_mod.TILE,
+            "slab_batch": prod_mod.SLAB_BATCH,
+            "fast_math": params.fast_math,
+            "camera_grads": params.camera_grads,
+            "subtexel_bits": params.subtexel_bits,
+            "prod_ms_per_frame": round(t_prod * 1e3, 2),
+            "baseline_ms_per_frame": round(t_base * 1e3, 1),
+        }
     if cpu_fallback:
         result["metric"] += "_CPU_FALLBACK_tpu_unreachable"
     print(json.dumps(result))

@@ -71,6 +71,56 @@ class FakeRef:
     def __setitem__(self, idx, val):
         self.arr = self.arr.at[self._key(idx)].set(val)
 
+    @property
+    def at(self):
+        # ref.at[idx] -> sub-ref view (pallas ref transform), as used by
+        # the kernels' per-chunk indexing of whole-array resident blocks
+        return _AtHelper(self)
+
+
+class _AtHelper:
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, idx):
+        return _SubRef(self._ref, self._ref._key(idx))
+
+
+class _SubRef:
+    """Writable view into a FakeRef through a fixed key (``ref.at[...]``)."""
+
+    def __init__(self, parent, pkey):
+        self.parent, self.pkey = parent, pkey
+
+    @property
+    def arr(self):
+        return self.parent.arr[self.pkey]
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+    @property
+    def dtype(self):
+        return self.arr.dtype
+
+    def __jax_array__(self):
+        return self.arr
+
+    def _key(self, idx):
+        return FakeRef._key(self, idx)
+
+    def __getitem__(self, idx):
+        return self.arr[self._key(idx)]
+
+    def __setitem__(self, idx, val):
+        sub = self.arr.at[self._key(idx)].set(val)
+        self.parent.arr = self.parent.arr.at[self.pkey].set(sub)
+
+    @property
+    def at(self):
+        return _AtHelper(self)
+
 
 def _emu_pallas_call(kernel, grid, in_specs, out_specs, out_shape,
                      scratch_shapes=(), input_output_aliases=None, **_kw):

@@ -105,3 +105,36 @@ def test_slab_static_canonicalisation():
     b = RenderParams(raymarching_step_size=0.02, importance_check_ahead_steps=20)
     assert a.slab_static() == b.slab_static()
     assert a.slab_static() != a.replace(use_shading=False).slab_static()
+
+
+def test_pallas_static_knob_invariance():
+    """The production slab path's jit key (pallas_static) is invariant
+    under every float-knob value — threshold/early-alpha travel traced
+    via knobs(), so a slider drag cannot mint a new compilation (the jax
+    cache key is (static params, arg shapes) and the knob vector's shape
+    is constant)."""
+    a = RenderParams(density_threshold=0.05, early_termination_alpha=0.8)
+    b = RenderParams(density_threshold=0.9, early_termination_alpha=0.99)
+    assert a.pallas_static() == b.pallas_static()
+    ka, kb = np.asarray(a.knobs()), np.asarray(b.knobs())
+    assert ka.shape == kb.shape == (1, 2)
+    np.testing.assert_allclose(ka, [[0.05, 0.8]])
+    np.testing.assert_allclose(kb, [[0.9, 0.99]])
+    # boolean modes still key the pipeline, as designed
+    assert a.pallas_static() != a.replace(use_shading=False).pallas_static()
+
+
+def test_window_bucketing_bounds_orbit_keys():
+    """A full orbit sweep maps every camera onto the fixed window ladder,
+    so the (win_rows, major, sign) jit-key set is bounded (VERDICT r3:
+    orbiting cameras must stop minting jit keys)."""
+    from volym_tpu.ops import slab_kernel as sk
+    from volym_tpu.render import slab as slab_mod
+
+    wins = set()
+    for az in range(0, 360, 30):
+        for el in (-40.0, 15.0, 60.0):
+            m = Camera(aspect=1.0, distance=1.0).orbit(float(az), el, 0.0).matrices()
+            major, sign = slab_mod.dominant_axis(m)
+            wins.add(sk.window_rows(m, 64, 64, 64, major, sign))
+    assert wins <= set(sk.WIN_LADDER) | {0}, wins

@@ -20,11 +20,27 @@ from volym_tpu.render import slab
 
 RES = 32  # one 32x32 pixel tile = exactly one ray chunk
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _check_exact_hints():
+    """The emulator runs kernel bodies eagerly (concrete values), so turn
+    on kernel_dot's exact-hint verification: a wrong exact='a'/'b' side at
+    any call site fails here instead of silently downgrading precision."""
+    prev = slab_kernel.CHECK_EXACT_HINT
+    slab_kernel.CHECK_EXACT_HINT = True
+    yield
+    slab_kernel.CHECK_EXACT_HINT = prev
+
 PARAMS = RenderParams(
     use_gaussian_smoothing=False,
     use_shading=False,
     interpolation="trilinear",
     adaptive_stepping=False,
+    # the slab-native step for the 16³ test scene (resolve_planes -> 16):
+    # _emu_forward drives _forward_call directly (no step mapping), so the
+    # golden must map to the identity plane count; planes != N coverage
+    # lives in test_forward_step_size_planes_matches_golden
+    raymarching_step_size=1.0 / 16.0,
 )
 
 
@@ -70,6 +86,35 @@ def test_forward_matches_jnp_golden(scene, cam):
     want = np.asarray(slab.render(scene, m, PARAMS, RES, RES))
     assert want[..., 3].max() > 0.1
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_forward_traced_knobs_drive_the_kernel(scene, cam):
+    """The kernels read threshold/early-alpha from the traced knobs SMEM
+    vector, NOT from the (zeroed) pallas_static jit key: passing the real
+    values via knobs= with zeroed static floats must reproduce the
+    static-float render, and a sky-high traced threshold must empty it."""
+    import jax.numpy as jnp
+
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    vol_perm = slab.permute_volume(scene.volume, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, slab._AXIS_LAYOUT[major]
+    )
+    zeroed = PARAMS.pallas_static()
+    assert zeroed.density_threshold == 0.0 and zeroed.early_termination_alpha == 0.0
+    with emulate(slab_kernel):
+        base = slab_kernel._forward_call(PARAMS, sign, vol_perm, scene.tf_lut, feats)
+        via_knobs = slab_kernel._forward_call(
+            zeroed, sign, vol_perm, scene.tf_lut, feats, knobs=PARAMS.knobs()
+        )
+        emptied = slab_kernel._forward_call(
+            zeroed, sign, vol_perm, scene.tf_lut, feats,
+            knobs=jnp.array([[2.0, 0.95]], jnp.float32),
+        )
+    np.testing.assert_allclose(np.asarray(via_knobs), np.asarray(base), atol=0)
+    assert float(np.asarray(base)[:, 3].max()) > 0.1
+    assert float(np.abs(np.asarray(emptied)).max()) == 0.0
 
 
 def test_forward_nearest_filter(scene, cam):
@@ -1417,3 +1462,37 @@ def test_colwin_matches_full(cam, mode):
     names = ("out", "g0", "g1", "g2", "g3")
     for name, a, b in zip(names, with_colwin, without):
         np.testing.assert_array_equal(a, b, err_msg=f"{mode}:{name}")
+
+
+def test_forward_step_size_planes_matches_golden(scene, cam):
+    """Step-size mapping (slab-axis resample): the kernel marching a
+    supersampled (2N) and a subsampled (N/2) grid must match the jnp
+    golden driven with the SAME raymarching_step_size — both entries map
+    the knob through slab.resolve_planes, so the production path's
+    step-size rows are real (VERDICT r3 item 3)."""
+    m = cam.matrices()
+    n = scene.volume.shape[0]
+    for step, want_planes, smooth in (
+        (0.03, 2 * n, False),
+        (0.1, n // 2, False),
+        (0.1, n // 2, True),  # smoothing on a subsampled grid (in-plane
+                              # bounds must use the slice texel resolution)
+    ):
+        p = PARAMS.replace(raymarching_step_size=step, use_gaussian_smoothing=smooth)
+        assert slab.resolve_planes(p, n) == want_planes
+        major, sign = slab.dominant_axis(m)
+        layout = slab._AXIS_LAYOUT[major]
+        vol_perm = slab.slab_resample(
+            slab.permute_volume(scene.volume, major), want_planes
+        )
+        feats, miss, r = slab_kernel._chunked_feats(
+            m, RES, RES, want_planes, major, sign, layout, n_plane=n
+        )
+        with emulate(slab_kernel):
+            out = slab_kernel._forward_call(
+                p, sign, vol_perm, scene.tf_lut, feats
+            )
+        got = np.asarray(slab_kernel._assemble(out, miss, r, RES, RES))
+        want = np.asarray(slab.render(scene, m, p, RES, RES))
+        assert want[..., 3].max() > 0.1
+        np.testing.assert_allclose(got, want, atol=1e-4)

@@ -114,6 +114,16 @@ class RenderParams:
     def __post_init__(self):
         if not isinstance(self.interpolation, Interpolation):
             object.__setattr__(self, "interpolation", Interpolation(self.interpolation))
+        if not 0 <= int(self.subtexel_bits) <= 8:
+            # > 8 breaks the kernels' exact-contraction contract: snapped
+            # hat weights k/2^bits stop being bf16-representable (bf16 has
+            # an 8-bit significand), so kernel_dot's 2-pass exact= path
+            # would silently drop the hats' low bits — the documented
+            # "wrong hint" failure — corrupting renders AND the
+            # exact-by-construction validation story.
+            raise ValueError(
+                f"subtexel_bits must be in [0, 8], got {self.subtexel_bits}"
+            )
 
     # ------------------------------------------------------------------
     @property
@@ -181,12 +191,34 @@ class RenderParams:
         """Canonical jit key for the slab renderers: fields the slab march
         never reads (t-step size, probe count, adaptive stepping, max
         steps) are zeroed so parameter sweeps over them reuse one
-        compilation."""
+        compilation.  The jnp slab golden reads the float knobs off this
+        key; the production Pallas path uses :meth:`pallas_static` +
+        :meth:`knobs` instead (floats traced, zero recompiles)."""
         return self.replace(
             raymarching_step_size=0.0,
             importance_check_ahead_steps=0,
             adaptive_stepping=False,
             max_steps=None,
+        )
+
+    def pallas_static(self) -> "RenderParams":
+        """Jit key for the Pallas slab kernels: :meth:`slab_static` plus
+        the float knobs the kernels read as traced SMEM scalars (density
+        threshold, early-termination alpha) zeroed out of the key — the
+        per-frame uniform update (``src/gpu_resources/parameters.rs:68-83``):
+        a slider drag re-renders with ZERO recompiles."""
+        return self.slab_static().replace(
+            density_threshold=0.0,
+            early_termination_alpha=0.0,
+        )
+
+    def knobs(self) -> jnp.ndarray:
+        """(1, 2) traced [density_threshold, early_termination_alpha] for
+        the slab-path kernels (SMEM scalars in Pallas)."""
+        return jnp.array(
+            [[float(self.density_threshold),
+              float(self.early_termination_alpha)]],
+            dtype=jnp.float32,
         )
 
 

@@ -92,17 +92,30 @@ def _hat(coords, n, rays, bilinear, base=None):
 
 
 def _dhat(coords, n, rays, bilinear, base=None):
-    """d hat / d coord (None for the box kernel, whose derivative is 0)."""
+    """d hat / d coord (None for the box kernel, whose derivative is 0).
+
+    Half-open subgradient convention at the hat's kinks, matching autodiff
+    of the goldens' floor-based bilinear (``slab._bilinear_slice``): at a
+    coordinate exactly ON texel i (d == 0 — probability ~2^-subtexel_bits
+    per sample under coordinate snapping) the derivative is the RIGHT-sided
+    difference v[i+1] - v[i], i.e. dhat(0) = -1 and dhat(-1) = +1 (the
+    support extends to d == -1), while dhat(+1) = 0.  Interior only — at
+    clamped coordinates the raw-coordinate ``rows_in``/``cols_in`` masks
+    zero the chain before the convention matters."""
     if not bilinear:
         return None
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, rays), 0).astype(jnp.float32)
     if base is not None:
         idx = idx + base.astype(jnp.float32)
     d = coords - idx
-    return jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
+    return jnp.where(
+        (d >= -1.0) & (d < 1.0),
+        jnp.where(d >= 0.0, -1.0, 1.0),
+        0.0,
+    )
 
 
-def _smooth_row_dts(feat, jf, d_rows, i, num_steps, bilinear):
+def _smooth_row_dts(feat, jf, d_rows, i, num_steps, bilinear, nr=None, nc=None):
     """d(smoothed density)/d(F_TS) at sub-step i — the transpose of
     :func:`slab_kernel._smooth_row`'s dependence on the per-ray tap offset
     ``u = delta / ts``: the in-box masks and ``wsum`` are indicators (zero
@@ -125,6 +138,8 @@ def _smooth_row_dts(feat, jf, d_rows, i, num_steps, bilinear):
     rows_raw = rs * jf + feat[F_RB : F_RB + 1, :]
     cols_raw = cs * jf + feat[F_CB : F_CB + 1, :]
     n = jnp.float32(num_steps)
+    bnd_r = jnp.float32(num_steps if nr is None else nr)
+    bnd_c = jnp.float32(num_steps if nc is None else nc)
     total = jnp.zeros_like(rows_raw)
     dtotal_dts = jnp.zeros_like(rows_raw)
     wsum = jnp.zeros_like(rows_raw)
@@ -136,8 +151,8 @@ def _smooth_row_dts(feat, jf, d_rows, i, num_steps, bilinear):
         ct = cols_raw + u * cs
         st = jf + u
         in_box = (
-            (rt >= -0.5) & (rt <= n - 0.5)
-            & (ct >= -0.5) & (ct <= n - 0.5)
+            (rt >= -0.5) & (rt <= bnd_r - 0.5)
+            & (ct >= -0.5) & (ct <= bnd_c - 0.5)
             & (st >= -0.5) & (st <= n - 0.5)
         ).astype(jnp.float32)
         du_dts = -delta / (ts * ts)
@@ -154,15 +169,13 @@ def _smooth_row_dts(feat, jf, d_rows, i, num_steps, bilinear):
 def _replay_kernel(
     feat_ref,   # (1, 16, R)
     slice_ref,  # (sb, NR, NC)
-    *rest,      # [prev_ref, next_ref if smoothing]
+    *rest,      # knobs_ref, [prev_ref, next_ref if smoothing]
                 # [imp_ref if coloring|lookahead] [meta_ref if occupancy|win]
                 # [grad_ref if shading] [ahead_ref if lookahead] lut_ref(B),
-                # fin_ref, gimg_ref, [acc_in_ref, dfeat_in_ref if inverted]
-                # dd_ref, dlut_ref, dfeat_ref, [acc_out_ref if inverted]
-                # acc_ref (scratch)
+                # fin_all, gimg_all (C-resident), [dd_ref unless fused]
+                # dlut_ref, dfeat_all (C-resident out), [dvol/dgrad if fused]
+                # acc_all (C, 4, R) scratch, [dd scratch if fused]
     bilinear: bool,
-    early_alpha: float,
-    threshold: float,
     win_rows: int = 0,
     win_cols: int = 0,
     slab_batch: int = 1,
@@ -180,6 +193,10 @@ def _replay_kernel(
     subtexel: int = 0,
 ):
     rest = list(rest)
+    # traced live-mutation knobs as SMEM scalars (see fwd_mod._march_kernel)
+    knobs_ref = rest.pop(0)
+    threshold = knobs_ref[0, 0]
+    early_alpha = knobs_ref[0, 1]
     prev_ref = rest.pop(0) if smoothing else None
     next_ref = rest.pop(0) if smoothing else None
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
@@ -187,32 +204,37 @@ def _replay_kernel(
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
     dvol_ref = dgrad_out_ref = None
-    if inverted:
-        (lut_ref, fin_ref, gimg_ref, acc_in_ref, dfeat_in_ref) = rest[:5]
+    if fuse_scatter:
+        # pass-2 fusion (inverted grid only): the d_volume (and
+        # d_grad-field) slab blocks are indexed by the OUTER grid
+        # axis, so they accumulate in VMEM across the consecutive
+        # chunk revisits — the scatter reuses this step's hats
+        # instead of a second kernel rebuilding them.  The per-step
+        # cotangent block dd then has no consumer outside the kernel
+        # and lives in scratch instead of an HBM output.
+        (lut_ref, fin_all, gimg_all, dlut_ref, dfeat_all) = rest[:5]
         rest2 = rest[5:]
-        if not fuse_scatter:
-            dd_ref = rest2.pop(0)
-        (dlut_ref, dfeat_ref, acc_out_ref) = rest2[:3]
-        rest2 = rest2[3:]
-        if fuse_scatter:
-            # pass-2 fusion (inverted grid only): the d_volume (and
-            # d_grad-field) slab blocks are indexed by the OUTER grid
-            # axis, so they accumulate in VMEM across the consecutive
-            # chunk revisits — the scatter reuses this step's hats
-            # instead of a second kernel rebuilding them.  The per-step
-            # cotangent block dd then has no consumer outside the kernel
-            # and lives in scratch instead of an HBM output.
-            dvol_ref = rest2.pop(0)
-            if shading:
-                dgrad_out_ref = rest2.pop(0)
-        acc_ref = rest2.pop(0)
-        if fuse_scatter:
-            dd_ref = rest2.pop(0)
+        dvol_ref = rest2.pop(0)
+        if shading:
+            dgrad_out_ref = rest2.pop(0)
+        acc_all = rest2.pop(0)
+        dd_ref = rest2.pop(0)
         assert not rest2
-        jb = pl.program_id(0)
     else:
-        lut_ref, fin_ref, gimg_ref, dd_ref, dlut_ref, dfeat_ref, acc_ref = rest
-        jb = pl.program_id(1)
+        lut_ref, fin_all, gimg_all, dd_ref, dlut_ref, dfeat_all, acc_all = rest
+    if inverted:
+        jb, C = pl.program_id(0), pl.program_id(1)
+    else:
+        C, jb = pl.program_id(0), pl.program_id(1)
+    # Whole-array resident per-chunk state (see fwd_mod._march_kernel):
+    # feats/fin/g_img fetched once per frame, the replay accumulator in a
+    # (C, 4, R) VMEM scratch, and d_feats a resident output — no aliased
+    # per-iteration HBM round trips.
+    feat_ref = feat_ref.at[pl.ds(C, 1)]
+    fin_ref = fin_all.at[pl.ds(C, 1)]
+    gimg_ref = gimg_all.at[pl.ds(C, 1)]
+    dfeat_ref = dfeat_all.at[pl.ds(C, 1)]
+    acc_ref = acc_all.at[C]
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _init_lut():
@@ -225,31 +247,11 @@ def _replay_kernel(
             if dgrad_out_ref is not None:
                 dgrad_out_ref[:] = jnp.zeros_like(dgrad_out_ref)
 
-    if inverted:
-        # slab-outer grid: per-chunk replay state + accumulated d_feats
-        # round-trip through aliased HBM blocks between revisits
-        acc_ref[:] = acc_in_ref[0]
-        dfeat_ref[0] = dfeat_in_ref[0]
-    else:
-        @pl.when(jb == 0)
-        def _init_acc():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-            dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
+    @pl.when(jb == 0)
+    def _init_acc():
+        acc_ref[:] = jnp.zeros_like(acc_ref[:])
+        dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
 
-    # same whole-chunk skip as the forward: saturated, exited, or
-    # not-yet-entered rays contribute zero cotangents, so emit zero
-    # density-cotangents and skip the matmuls
-    feat0 = feat_ref[0]
-    jf0 = (jb * slab_batch).astype(jnp.float32)
-    t_now = feat0[F_TS : F_TS + 1, :] * jf0 + feat0[F_TB : F_TB + 1, :]
-    t_last = t_now + feat0[F_TS : F_TS + 1, :] * jnp.float32(slab_batch - 1)
-    can_contribute = (
-        (acc_ref[3:4, :] < early_alpha)
-        & (t_now < feat0[F_EXIT : F_EXIT + 1, :])
-        & (t_last >= feat0[F_ENTRY : F_ENTRY + 1, :])
-        & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
-    )
-    chunk_active = jnp.any(can_contribute) | (jb == 0)
     # same block-level empty-space gate as the forward
     # (fwd_mod._march_kernel): flags + window starts PRECOMPUTED once per
     # frame (fwd_mod.build_step_meta) and read as SMEM scalars; ONE branch
@@ -259,14 +261,31 @@ def _replay_kernel(
     occ_flags, block_occ, r0s, c0_b, fits_b = fwd_mod._read_step_meta(
         meta_ref, slab_batch, win_rows, halo, occupancy, win_cols
     )
+    # same whole-chunk skip as the forward: with occupancy meta the
+    # (chunk, batch) t-window/sign activity is already folded into
+    # block_occ on the XLA side, leaving one nested lane reduce for the
+    # dynamic saturation term (see the gate below); without meta the full
+    # feats-based gate runs.  Skipped batches emit zero density-cotangents
+    # either way via the dd pre-zero.
     if occupancy:
-        chunk_active = chunk_active & (block_occ | (jb == 0))
+        chunk_active = block_occ
+    else:
+        feat0 = feat_ref[0]
+        jf0 = (jb * slab_batch).astype(jnp.float32)
+        t_now = feat0[F_TS : F_TS + 1, :] * jf0 + feat0[F_TB : F_TB + 1, :]
+        t_last = t_now + feat0[F_TS : F_TS + 1, :] * jnp.float32(slab_batch - 1)
+        can_contribute = (
+            (acc_ref[3:4, :] < early_alpha)
+            & (t_now < feat0[F_EXIT : F_EXIT + 1, :])
+            & (t_last >= feat0[F_ENTRY : F_ENTRY + 1, :])
+            & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
+        )
+        chunk_active = jnp.any(can_contribute)
 
     # the dd block is written every iteration: pre-zero it once (cheap
     # vector store) so skipped batches/steps need no zeroing branches
     dd_ref[0] = jnp.zeros_like(dd_ref[0])
 
-    @pl.when(chunk_active)
     def _active_block():
         feat = feat_ref[0]
         smooth_rows = dts_rows = None
@@ -307,10 +326,11 @@ def _replay_kernel(
                 cand = drow(prev_ref, slab_batch + off, off)
                 d_prev.append(jnp.where(jj >= 0, cand, d_cur[0]))
             d_rows = d_prev + d_cur + d_next
+            nr_s, nc_s = slice_ref.shape[1], slice_ref.shape[2]
             smooth_rows = [
                 fwd_mod._smooth_row(
                     feat, (jbv * slab_batch + i).astype(jnp.float32), d_rows,
-                    i, num_steps, bilinear,
+                    i, num_steps, bilinear, nr=nr_s, nc=nc_s,
                 )
                 for i in range(slab_batch)
             ]
@@ -318,7 +338,7 @@ def _replay_kernel(
                 dts_rows = [
                     _smooth_row_dts(
                         feat, (jbv * slab_batch + i).astype(jnp.float32),
-                        d_rows, i, num_steps, bilinear,
+                        d_rows, i, num_steps, bilinear, nr=nr_s, nc=nc_s,
                     )
                     for i in range(slab_batch)
                 ]
@@ -360,8 +380,18 @@ def _replay_kernel(
         else:
             steps(0, None)
 
-    if inverted:
-        acc_out_ref[0] = acc_ref[:]
+    if occupancy:
+        # nested gates, as in the forward: empty blocks take one scalar
+        # branch; live blocks pay one lane reduce for the saturation term
+        @pl.when(chunk_active)
+        def _occupied():
+            @pl.when(jnp.any(acc_ref[3:4, :] < early_alpha))
+            def _unsaturated():
+                _active_block()
+    else:
+        @pl.when(chunk_active)
+        def _active():
+            _active_block()
 
 
 def _replay_step(
@@ -1160,6 +1190,7 @@ def _voxel_grad_shaded_kernel(
 def _backward_call(
     params, sign, vol_perm, lut, feats, fin, g_img, *,
     win_rows=0, imp_perm=None, ahead=None, grad_perm=None, coloring=False,
+    knobs=None,
 ):
     """Shared driver behind :func:`backward` / :func:`backward_shaded` /
     :func:`backward_coloring`.
@@ -1175,6 +1206,12 @@ def _backward_call(
     lives HERE once; the wrappers only select arguments and unpack."""
     from volym_tpu.config import Interpolation
 
+    if knobs is None:
+        knobs = jnp.array(
+            [[params.density_threshold, params.early_termination_alpha]],
+            jnp.float32,
+        )
+    thr = knobs[0, 0]
     lookahead = ahead is not None
     shading = grad_perm is not None
     smoothing = params.use_gaussian_smoothing
@@ -1242,8 +1279,6 @@ def _backward_call(
     replay = partial(
         _replay_kernel,
         bilinear=bilinear,
-        early_alpha=params.early_termination_alpha,
-        threshold=params.density_threshold,
         win_rows=win_rows,
         win_cols=win_cols,
         slab_batch=sb,
@@ -1262,10 +1297,13 @@ def _backward_call(
     )
     # inputs in the replay kernel's pop order (see _replay_kernel *rest)
     in_specs = [
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+        pl.BlockSpec(
+            (n_chunks, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))
+        ),
         pl.BlockSpec((sb, nr, nc), slab_index),
+        pl.BlockSpec((1, 2), W(lambda c, j: (0, 0)), memory_space=pltpu.SMEM),
     ]
-    inputs = [feats, vol_perm]
+    inputs = [feats, vol_perm, knobs]
     if smoothing:
         # previous / next MARCH blocks (clamped at the sweep ends) for the
         # slab-axis stencil's halo rows
@@ -1288,14 +1326,14 @@ def _backward_call(
         occ = None
         if occupancy:
             occ = (
-                fwd_mod.occupancy_grid_smooth(vol_perm, params.density_threshold)
+                fwd_mod.occupancy_grid_smooth(vol_perm, thr)
                 if smoothing
-                else fwd_mod.occupancy_grid(vol_perm, params.density_threshold)
+                else fwd_mod.occupancy_grid(vol_perm, thr)
             )
         halo = fwd_mod.SMOOTH_HALO if (smoothing and win_rows) else 0
         meta = fwd_mod.build_step_meta(
             feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
-            margin=fwd_mod.smooth_occ_margin(n_slabs) if smoothing else 1.0,
+            margin=fwd_mod.smooth_occ_margin(nr) if smoothing else 1.0,
             win_rows=win_rows, halo=halo, win_cols=win_cols,
         )
         in_specs.append(
@@ -1315,17 +1353,22 @@ def _backward_call(
         inputs.append(ahead)
     in_specs += [
         pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
-        pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+        pl.BlockSpec((n_chunks, 4, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))),
+        pl.BlockSpec((n_chunks, 4, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))),
     ]
     inputs += [b, fin, g_img]
-    aliases = {}
-    # in the fused path dd lives in scratch (no consumer outside)
+    # in the fused path dd lives in scratch (no consumer outside); the
+    # accumulated d_feats is a whole-array RESIDENT output (constant index
+    # map, VMEM-held across every revisit, written back once) — no aliased
+    # per-iteration HBM round trips; the replay accumulator likewise lives
+    # in a whole-array VMEM scratch
     out_specs = ([] if fuse else [
         pl.BlockSpec((1, sb, dd_w, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))),
     ]) + [
         pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))),
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+        pl.BlockSpec(
+            (n_chunks, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))
+        ),
     ]
     out_shape = ([] if fuse else [
         jax.ShapeDtypeStruct(
@@ -1335,26 +1378,7 @@ def _backward_call(
         jax.ShapeDtypeStruct(b.shape, jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32),
     ]
-    o0 = 0 if fuse else 1  # output index of dlut
-    if inverted:
-        # aliased per-chunk state: replay accumulator + accumulated d_feats
-        in_specs.append(
-            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = o0 + 2  # acc_in -> acc_out
-        in_specs.append(
-            pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        inputs.append(jnp.zeros((n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32))
-        aliases[len(inputs) - 1] = o0 + 1  # dfeat_in -> d_feats
-        out_specs.append(
-            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
-        )
-    scratch = [pltpu.VMEM((4, RAYS_PER_CHUNK), jnp.float32)]
+    scratch = [pltpu.VMEM((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)]
     if fuse:
         # fused pass 2: the scatter blocks (d_vol — or d_imp for coloring —
         # plus the gradient field when shaded) ride the OUTER grid axis
@@ -1376,14 +1400,13 @@ def _backward_call(
         compiler_params=fwd_mod.vmem_params(
             smoothing or fuse or (coloring and shading)
         ),
-        input_output_aliases=aliases,
     )(*inputs)
 
     def fold(dlx):
         return None if coloring else fwd_mod.fold_lut_groups_grad(dlx, lut.shape[0])
 
     if fuse:
-        return res[3], (res[4] if shading else None), fold(res[0]), res[1]
+        return res[2], (res[3] if shading else None), fold(res[0]), res[1]
 
     dd, d_lut, d_feats = res[0], fold(res[1]), res[2]
     if smoothing and not coloring:
@@ -1496,7 +1519,7 @@ def _backward_call(
     return d_scatter, d_grad, d_lut, d_feats
 
 
-def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, imp_perm=None, ahead=None):
+def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, imp_perm=None, ahead=None, knobs=None):
     """Run both backward passes.
 
     Args:
@@ -1512,14 +1535,14 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     """
     d_vol, _d_grad, d_lut, d_feats = _backward_call(
         params, sign, vol_perm, lut, feats, fin, g_img,
-        win_rows=win_rows, imp_perm=imp_perm, ahead=ahead,
+        win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, knobs=knobs,
     )
     return d_vol, d_lut, d_feats
 
 
 def backward_shaded(
     params, major, sign, vol_perm, grad_perm, lut, feats, fin, g_img,
-    win_rows=0, imp_perm=None, ahead=None,
+    win_rows=0, imp_perm=None, ahead=None, knobs=None,
 ):
     """Both backward passes for the Blinn-Phong-shaded mode.
 
@@ -1534,10 +1557,11 @@ def backward_shaded(
     return _backward_call(
         params, sign, vol_perm, lut, feats, fin, g_img,
         win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, grad_perm=grad_perm,
+        knobs=knobs,
     )
 
 
-def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0, grad_perm=None):
+def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0, grad_perm=None, knobs=None):
     """Both backward passes for the importance-coloring mode.
 
     Returns ``(d_imp_perm, d_feats)`` — or, with ``grad_perm`` (the
@@ -1552,7 +1576,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     d_imp, d_grad, _d_lut, d_feats = _backward_call(
         params, sign, vol_perm, None, feats, fin, g_img,
         win_rows=win_rows, imp_perm=imp_perm, grad_perm=grad_perm,
-        coloring=True,
+        coloring=True, knobs=knobs,
     )
     if grad_perm is None:
         return d_imp, d_feats

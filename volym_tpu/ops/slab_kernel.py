@@ -76,13 +76,11 @@ CF_RS, CF_RB, CF_CS, CF_CB, CF_TS, CF_TB, CF_RATE = range(7)
 
 
 def _march_kernel(
-    feat_ref,  # (1, 16, RAYS)
+    feat_ref,  # (C, 16, RAYS) whole-array resident
     slice_ref,  # (sb, NR, NC) volume slices for this march block
-    *rest,  # [meta_ref if occupancy|win] [imp_ref if coloring] [grad_ref if shading] lut_ref, [acc_in_ref if inverted], out_ref
+    *rest,  # knobs_ref, [meta_ref if occupancy|win] [imp_ref if coloring] [grad_ref if shading] lut_ref, out_ref (C, 4, RAYS) resident
     num_steps: int,
     bilinear: bool,
-    early_alpha: float,
-    threshold: float,
     coloring: bool = False,
     shading: bool = False,
     precision=jax.lax.Precision.HIGHEST,
@@ -98,44 +96,38 @@ def _march_kernel(
     subtexel: int = 0,
 ):
     rest = list(rest)
+    # live-mutation knobs (density threshold, early-termination alpha) ride
+    # as SMEM scalars — the TPU analog of the reference's per-frame uniform
+    # update (src/gpu_resources/parameters.rs:68-83): a slider drag changes
+    # the traced value, not the compiled kernel
+    knobs_ref = rest.pop(0)
+    threshold = knobs_ref[0, 0]
+    early_alpha = knobs_ref[0, 1]
     prev_ref = rest.pop(0) if smoothing else None
     next_ref = rest.pop(0) if smoothing else None
     meta_ref = rest.pop(0) if (occupancy or win_rows or win_cols) else None
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
+    (lut_ref, out_all) = rest
     if inverted:
-        lut_ref, acc_in_ref, out_ref = rest
-        # slab-outer grid: the per-chunk accumulator round-trips through
-        # the aliased HBM block between (non-consecutive) revisits
-        J = pl.program_id(0)
-        out_ref[0] = acc_in_ref[0]
+        J, C = pl.program_id(0), pl.program_id(1)
     else:
-        lut_ref, out_ref = rest
-        J = pl.program_id(1)
+        C, J = pl.program_id(0), pl.program_id(1)
+    # The feats input and the output accumulator are WHOLE-ARRAY resident
+    # VMEM blocks (constant index maps): pallas fetches feats once per
+    # frame and writes the output once per chunk, instead of a 64 KB feats
+    # DMA + a 2x16 KB aliased-accumulator HBM round trip per grid
+    # iteration — the dominant terms of the measured per-iteration
+    # scaffold floor (BASELINE.md roofline).  Kernel code below sees
+    # per-chunk (1, ., R) sub-refs, exactly like the old per-block refs.
+    feat_ref = feat_ref.at[pl.ds(C, 1)]
+    out_ref = out_all.at[pl.ds(C, 1)]
 
-        @pl.when(J == 0)
-        def _init():
-            out_ref[0] = jnp.zeros_like(out_ref[0])
+    @pl.when(J == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    # Whole-chunk skipping: a ray can contribute in this batch only while
-    # it is unsaturated, has not yet marched past its box exit (t is
-    # monotone increasing in j for correctly-signed rays, so t >= exit is
-    # permanent; missing rays have exit <= t immediately), AND the batch's
-    # last sub-step has reached its box entry (skips the leading dead
-    # slabs of oblique/edge chunks).  Checked per SLAB_BATCH sub-slabs;
-    # the slice prefetch still runs but the matmuls are skipped.
-    feat0 = feat_ref[0]
-    jf0 = (J * slab_batch).astype(jnp.float32)
-    t_now = feat0[F_TS : F_TS + 1, :] * jf0 + feat0[F_TB : F_TB + 1, :]
-    t_last = t_now + feat0[F_TS : F_TS + 1, :] * jnp.float32(slab_batch - 1)
-    can_contribute = (
-        (out_ref[0][3:4, :] < early_alpha)
-        & (t_now < feat0[F_EXIT : F_EXIT + 1, :])
-        & (t_last >= feat0[F_ENTRY : F_ENTRY + 1, :])
-        & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
-    )
-    chunk_active = jnp.any(can_contribute)
     # Block-level empty-space gate: per-step footprint flags and window
     # starts PRECOMPUTED once per frame on the XLA side (build_step_meta)
     # and read here as SMEM scalars; ONE branch skips the whole batch when
@@ -146,10 +138,30 @@ def _march_kernel(
     occ_flags, block_occ, r0s, c0_b, fits_b = _read_step_meta(
         meta_ref, slab_batch, win_rows, halo, occupancy, win_cols
     )
+    # Whole-chunk skipping.  With occupancy meta the (chunk, batch)
+    # t-window/sign activity is already folded into block_occ on the XLA
+    # side, so the kernel's gate is ONE scalar branch and, inside it, one
+    # lane reduce for the only dynamic term (early-alpha saturation) —
+    # nesting the branches keeps the empty-block path free of any VPU
+    # work (the per-iteration floor).  Without meta (non-32-divisible
+    # grids) the t-window gate is computed from the feats as before;
+    # per-sample validity inside _march_step_body is unaffected either
+    # way (this gate is purely a skip).
     if occupancy:
-        chunk_active = chunk_active & block_occ
+        chunk_active = block_occ
+    else:
+        feat0 = feat_ref[0]
+        jf0 = (J * slab_batch).astype(jnp.float32)
+        t_now = feat0[F_TS : F_TS + 1, :] * jf0 + feat0[F_TB : F_TB + 1, :]
+        t_last = t_now + feat0[F_TS : F_TS + 1, :] * jnp.float32(slab_batch - 1)
+        can_contribute = (
+            (out_ref[0][3:4, :] < early_alpha)
+            & (t_now < feat0[F_EXIT : F_EXIT + 1, :])
+            & (t_last >= feat0[F_ENTRY : F_ENTRY + 1, :])
+            & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
+        )
+        chunk_active = jnp.any(can_contribute)
 
-    @pl.when(chunk_active | (J == 0))
     def _steps():
         feat = feat_ref[0]
         smooth_rows = None
@@ -188,10 +200,11 @@ def _march_kernel(
                 cand = drow(prev_ref, slab_batch + off, off)
                 d_prev.append(jnp.where(jj >= 0, cand, d_cur[0]))
             d_rows = d_prev + d_cur + d_next
+            nr_s, nc_s = slice_ref.shape[1], slice_ref.shape[2]
             smooth_rows = [
                 _smooth_row(
                     feat, (J * slab_batch + i).astype(jnp.float32), d_rows, i,
-                    num_steps, bilinear,
+                    num_steps, bilinear, nr=nr_s, nc=nc_s,
                 )
                 for i in range(slab_batch)
             ]
@@ -232,6 +245,20 @@ def _march_kernel(
         else:
             steps(0, None)
 
+    if occupancy:
+        # nested gates: empty blocks take ONE scalar branch and do no VPU
+        # work at all; live blocks pay one lane reduce for the dynamic
+        # saturation term before committing to the step bodies
+        @pl.when(chunk_active)
+        def _occupied():
+            @pl.when(jnp.any(out_ref[0][3:4, :] < early_alpha))
+            def _unsaturated():
+                _steps()
+    else:
+        @pl.when(chunk_active)
+        def _active():
+            _steps()
+
 
 #: implementation of the "exact" (HIGHEST-precision) kernel contractions:
 #: "x6" = Mosaic HIGHEST (6 single-pass bf16 matmuls, fp32-faithful);
@@ -246,6 +273,25 @@ def _march_kernel(
 #: 1.4-1.8x the x6 frame rate; set VOLYM_EXACT_DOT=x6 for fp32-faithful
 #: contractions.
 EXACT_DOT = __import__("os").environ.get("VOLYM_EXACT_DOT", "x3")
+
+#: debug-mode verification of kernel_dot's caller-owned exact= contract:
+#: when set (the eager-emulator CI path enables it — values are concrete
+#: there), the hinted operand is checked to round-trip bf16 exactly, so a
+#: wrong hint fails loudly in CI instead of shipping as a silent
+#: DEFAULT-precision regression.  No-op under tracing (real kernels).
+CHECK_EXACT_HINT = __import__("os").environ.get("VOLYM_CHECK_EXACT_HINT", "") == "1"
+
+
+def _verify_exact_hint(x, side):
+    if not CHECK_EXACT_HINT or isinstance(x, jax.core.Tracer):
+        return
+    xx = jnp.asarray(x)
+    if not bool(jnp.all(xx.astype(jnp.bfloat16).astype(jnp.float32) == xx)):
+        raise AssertionError(
+            f"kernel_dot exact='{side}' hint violated: the hinted operand "
+            "is not exactly bf16-representable — the 2-pass contraction "
+            "would silently round it (DEFAULT-precision class)"
+        )
 
 
 def kernel_dot(a, b, dims, precision, exact=None):
@@ -274,11 +320,13 @@ def kernel_dot(a, b, dims, precision, exact=None):
         )
 
     if exact == "a":
+        _verify_exact_hint(a, "a")
         a16 = a.astype(jnp.bfloat16)
         b_hi = b.astype(jnp.bfloat16)
         b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return d(a16, b_hi) + d(a16, b_lo)
     if exact == "b":
+        _verify_exact_hint(b, "b")
         b16 = b.astype(jnp.bfloat16)
         a_hi = a.astype(jnp.bfloat16)
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -536,14 +584,16 @@ def occupancy_grid_smooth(vol_perm, threshold: float):
     return dil
 
 
-def smooth_occ_margin(n_slabs: int) -> float:
+def smooth_occ_margin(n_plane: int) -> float:
     """In-plane footprint margin under Gaussian smoothing: tap march-index
-    offset |u| = |delta|/ts <= GAUSSIAN_KERNEL_SIZE*GAUSSIAN_STEP*N (ts >=
-    1/N), in-plane crossing shift |u|*|slope| <= |u| texels (dominant-axis
-    marching has |slope| <= 1), plus 1 texel of hat support."""
+    offset |u| = |delta|/ts <= K*STEP*n_slabs planes (ts >= 1/n_slabs),
+    in-plane crossing shift |u|*|slope| with |slope| <= n_plane/n_slabs
+    texels/plane (dominant-axis marching) -> shift <= K*STEP*n_plane
+    TEXELS regardless of the march-plane count, plus 1 texel of hat
+    support.  Pass the slice texel resolution, not the plane count."""
     from volym_tpu.render.golden import GAUSSIAN_KERNEL_SIZE, GAUSSIAN_STEP
 
-    return 1.0 + GAUSSIAN_KERNEL_SIZE * GAUSSIAN_STEP * n_slabs
+    return 1.0 + GAUSSIAN_KERNEL_SIZE * GAUSSIAN_STEP * n_plane
 
 
 def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precision, r0=None, subtexel=0):
@@ -595,7 +645,7 @@ def _density_row(slice_ref, slice_row, feat, jf, *, bilinear, win_rows, precisio
 SMOOTH_HALO = 3
 
 
-def _smooth_row(feat, jf, d_rows, i, num_steps, bilinear):
+def _smooth_row(feat, jf, d_rows, i, num_steps, bilinear, nr=None, nc=None):
     """Gaussian-smoothed density at sub-step i from the batch's plain
     density rows d_rows[off + SMOOTH_HALO] covering march offsets
     [-SMOOTH_HALO, slab_batch + SMOOTH_HALO)."""
@@ -612,10 +662,13 @@ def _smooth_row(feat, jf, d_rows, i, num_steps, bilinear):
     cs = feat[F_CS : F_CS + 1, :]
     rows_raw = rs * jf + feat[F_RB : F_RB + 1, :]
     cols_raw = cs * jf + feat[F_CB : F_CB + 1, :]
-    # rows/cols per (1, R); bounds from the feats' own resolution: slopes
-    # are in texel units so nr == num_steps for the cubic grids the slab
-    # path assumes
+    # in-plane bounds use the slice TEXEL resolution, the slab bound the
+    # march-plane count — they differ on slab-axis-resampled grids (the
+    # step-size mapping); the jnp spec (render/slab.smoothed_densities)
+    # makes the same split via n_rows/n_cols
     n = jnp.float32(num_steps)
+    bnd_r = jnp.float32(num_steps if nr is None else nr)
+    bnd_c = jnp.float32(num_steps if nc is None else nc)
     total = jnp.zeros_like(rows_raw)
     wsum = jnp.zeros_like(rows_raw)
     for tap in range(-GAUSSIAN_KERNEL_SIZE, GAUSSIAN_KERNEL_SIZE + 1):
@@ -626,8 +679,8 @@ def _smooth_row(feat, jf, d_rows, i, num_steps, bilinear):
         ct = cols_raw + u * cs
         st = jf + u
         in_box = (
-            (rt >= -0.5) & (rt <= n - 0.5)
-            & (ct >= -0.5) & (ct <= n - 0.5)
+            (rt >= -0.5) & (rt <= bnd_r - 0.5)
+            & (ct >= -0.5) & (ct <= bnd_c - 0.5)
             & (st >= -0.5) & (st <= n - 0.5)
         ).astype(jnp.float32)
         tap_v = jnp.zeros_like(rows_raw)
@@ -954,19 +1007,23 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     out_ref[0] = acc + jnp.concatenate([rgb * w, w], axis=0)
 
 
-def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout):
+def _pack_features(camera_matrices, height, width, n_slabs, major, sign, layout, n_plane=None):
     """Per-ray linear coefficients of the march: sample coords, t, and the
     opacity-correction exponent as functions of the march index j."""
     origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
     entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
-    feats = features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout)
+    feats = features_from_rays(
+        origin, dirs, entry, exit_, n_slabs, major, sign, layout,
+        n_plane=n_plane,
+    )
     miss = exit_ <= entry
     return feats, miss
 
 
-def features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout):
+def features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout, n_plane=None):
     """The feats matrix from an explicit ray bundle (the sharded renderers
-    build per-shard rays themselves)."""
+    build per-shard rays themselves).  ``n_plane``: in-plane slice
+    resolution when the slab axis is resampled (see slab.ray_affine)."""
     d_m = dirs[:, major]
 
     # slab(j) = j (sign>0) or N-1-j; z(j) = (slab(j)+0.5)/N — the affine
@@ -974,7 +1031,7 @@ def features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout)
     # (slab.ray_affine), so kernel and golden evaluate identical
     # coordinates and the subtexel snap decides identically on both sides
     rs, rb, cs, cb, ts, tb = slab_mod.ray_affine(
-        origin, dirs, n_slabs, major, sign
+        origin, dirs, n_slabs, major, sign, n_plane=n_plane
     )
 
     aexp = (1.0 / n_slabs) / jnp.maximum(jnp.abs(d_m), 1e-12) * 100.0
@@ -999,12 +1056,23 @@ def features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout)
     return feats
 
 
-def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None):
+def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None, knobs=None):
     """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba.
 
     ``ahead``: (C, n_slabs, 1, R) look-ahead bits from
     :func:`volym_tpu.ops.lookahead_kernel.lookahead_call` (enables the
-    importance-driven skip; requires ``imp_perm``)."""
+    importance-driven skip; requires ``imp_perm``).
+
+    ``knobs``: (1, 2) f32 ``[[density_threshold, early_termination_alpha]]``
+    traveling TRACED (SMEM scalars in the kernel, traced comparisons in the
+    occupancy/meta precompute) so slider sweeps reuse one compilation —
+    ``None`` builds it from the params floats (static call sites)."""
+    if knobs is None:
+        knobs = jnp.array(
+            [[params.density_threshold, params.early_termination_alpha]],
+            jnp.float32,
+        )
+    thr = knobs[0, 0]
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     coloring = params.use_importance_coloring
@@ -1045,8 +1113,6 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         _march_kernel,
         num_steps=n_slabs,
         bilinear=params.interpolation == Interpolation.TRILINEAR,
-        early_alpha=params.early_termination_alpha,
-        threshold=params.density_threshold,
         coloring=coloring,
         shading=shading,
         precision=(
@@ -1073,10 +1139,15 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     )
     slice_spec = pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), slab_index)
     in_specs = [
-        pl.BlockSpec((1, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+        # whole-array resident feats: fetched ONCE per frame (constant
+        # index map), indexed per chunk inside the kernel
+        pl.BlockSpec(
+            (n_chunks, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))
+        ),
         slice_spec,
+        pl.BlockSpec((1, 2), W(lambda c, j: (0, 0)), memory_space=pltpu.SMEM),
     ]
-    inputs = [feats, vol_perm]
+    inputs = [feats, vol_perm, knobs]
     if smoothing:
         # previous / next MARCH blocks (clamped at the sweep ends) for the
         # slab-axis smoothing stencil's halo rows
@@ -1100,14 +1171,14 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         occ = None
         if occupancy:
             occ = (
-                occupancy_grid_smooth(vol_perm, params.density_threshold)
+                occupancy_grid_smooth(vol_perm, thr)
                 if smoothing
-                else occupancy_grid(vol_perm, params.density_threshold)
+                else occupancy_grid(vol_perm, thr)
             )
         halo = SMOOTH_HALO if (smoothing and win_rows) else 0
         meta = build_step_meta(
             feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
-            margin=smooth_occ_margin(n_slabs) if smoothing else 1.0,
+            margin=smooth_occ_margin(nr) if smoothing else 1.0,
             win_rows=win_rows, halo=halo, win_cols=win_cols,
         )
         in_specs.append(
@@ -1136,21 +1207,18 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     b = lut_groups(lut)
     in_specs.append(pl.BlockSpec(b.shape, W(lambda c, j: (0, 0))))
     inputs.append(b)
-    aliases = {}
-    if inverted:
-        in_specs.append(
-            pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0)))
-        )
-        inputs.append(jnp.zeros((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32))
-        aliases = {len(inputs) - 1: 0}
+    # whole-array resident output: the accumulator lives in VMEM across
+    # every revisit (constant index map) and is written back once at the
+    # end — no per-iteration aliased HBM round trip
     return pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 4, RAYS_PER_CHUNK), W(lambda c, j: (c, 0, 0))),
+        out_specs=pl.BlockSpec(
+            (n_chunks, 4, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))
+        ),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32),
         compiler_params=vmem_params(smoothing or shading),
-        input_output_aliases=aliases,
     )(*inputs)
 
 
@@ -1167,7 +1235,7 @@ def vmem_params(heavy: bool):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, vol_perm, lut, feats):
+def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, vol_perm, lut, feats, knobs):
     """Differentiable Pallas slab march (chunked layout).
 
     Gradients w.r.t. the permuted volume, the LUT, AND the packed feats
@@ -1175,30 +1243,38 @@ def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, vol
     through the two-pass backward kernels
     (:mod:`volym_tpu.ops.slab_bwd_kernel`).  ``win_rows`` is the static
     per-camera y-window size (:func:`window_rows`; 0 = full slices).
+    ``knobs`` is the traced (1, 2) [threshold, early-alpha] vector (see
+    :func:`_forward_call`); its cotangent is zero (both appear only in
+    comparison masks, zero-gradient a.e.).
     """
-    return _forward_call(params, sign, vol_perm, lut, feats, win_rows=win_rows)
+    return _forward_call(
+        params, sign, vol_perm, lut, feats, win_rows=win_rows, knobs=knobs
+    )
 
 
-def _mp_fwd(params, major, sign, win_rows, vol_perm, lut, feats):
-    out = _forward_call(params, sign, vol_perm, lut, feats, win_rows=win_rows)
-    return out, (vol_perm, lut, feats, out)
+def _mp_fwd(params, major, sign, win_rows, vol_perm, lut, feats, knobs):
+    out = _forward_call(
+        params, sign, vol_perm, lut, feats, win_rows=win_rows, knobs=knobs
+    )
+    return out, (vol_perm, lut, feats, out, knobs)
 
 
 def _mp_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
-    vol_perm, lut, feats, out = res
+    vol_perm, lut, feats, out, knobs = res
     d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
-        params, major, sign, vol_perm, lut, feats, out, g, win_rows=win_rows
+        params, major, sign, vol_perm, lut, feats, out, g, win_rows=win_rows,
+        knobs=knobs,
     )
-    return d_vol, d_lut, d_feats
+    return d_vol, d_lut, d_feats, jnp.zeros_like(knobs)
 
 
 march_pallas.defvjp(_mp_fwd, _mp_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def march_pallas_lookahead(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm):
+def march_pallas_lookahead(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm, knobs):
     """Differentiable Pallas slab march with the importance-driven
     look-ahead gate (straight or cone — the gate semantics live in the
     precomputed ``ahead`` bits from
@@ -1213,36 +1289,36 @@ def march_pallas_lookahead(params, major, sign, win_rows, vol_perm, imp_perm, lu
     cotangents."""
     return _forward_call(
         params, sign, vol_perm, lut, feats, imp_perm=imp_perm,
-        grad_perm=grad_perm, win_rows=win_rows, ahead=ahead,
+        grad_perm=grad_perm, win_rows=win_rows, ahead=ahead, knobs=knobs,
     )
 
 
-def _mpl_fwd(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm):
+def _mpl_fwd(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm, knobs):
     out = _forward_call(
         params, sign, vol_perm, lut, feats, imp_perm=imp_perm,
-        grad_perm=grad_perm, win_rows=win_rows, ahead=ahead,
+        grad_perm=grad_perm, win_rows=win_rows, ahead=ahead, knobs=knobs,
     )
-    return out, (vol_perm, imp_perm, lut, feats, ahead, grad_perm, out)
+    return out, (vol_perm, imp_perm, lut, feats, ahead, grad_perm, out, knobs)
 
 
 def _mpl_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
-    vol_perm, imp_perm, lut, feats, ahead, grad_perm, out = res
+    vol_perm, imp_perm, lut, feats, ahead, grad_perm, out, knobs = res
     if grad_perm is None:
         d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
             params, major, sign, vol_perm, lut, feats, out, g,
-            win_rows=win_rows, imp_perm=imp_perm, ahead=ahead,
+            win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, knobs=knobs,
         )
         d_grad = None
     else:
         d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
             params, major, sign, vol_perm, grad_perm, lut, feats, out, g,
-            win_rows=win_rows, imp_perm=imp_perm, ahead=ahead,
+            win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, knobs=knobs,
         )
     return (
         d_vol, jnp.zeros_like(imp_perm), d_lut, d_feats,
-        jnp.zeros_like(ahead), d_grad,
+        jnp.zeros_like(ahead), d_grad, jnp.zeros_like(knobs),
     )
 
 
@@ -1250,7 +1326,7 @@ march_pallas_lookahead.defvjp(_mpl_fwd, _mpl_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def march_pallas_shaded(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats):
+def march_pallas_shaded(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats, knobs):
     """Differentiable Pallas slab march, Blinn-Phong-shaded mode.
 
     Gradients w.r.t. the permuted volume, the precomputed gradient field
@@ -1259,34 +1335,34 @@ def march_pallas_shaded(params, major, sign, win_rows, vol_perm, grad_perm, lut,
     half-vector rows)."""
     return _forward_call(
         params, sign, vol_perm, lut, feats, grad_perm=grad_perm,
-        win_rows=win_rows,
+        win_rows=win_rows, knobs=knobs,
     )
 
 
-def _mps_fwd(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats):
+def _mps_fwd(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats, knobs):
     out = _forward_call(
         params, sign, vol_perm, lut, feats, grad_perm=grad_perm,
-        win_rows=win_rows,
+        win_rows=win_rows, knobs=knobs,
     )
-    return out, (vol_perm, grad_perm, lut, feats, out)
+    return out, (vol_perm, grad_perm, lut, feats, out, knobs)
 
 
 def _mps_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
-    vol_perm, grad_perm, lut, feats, out = res
+    vol_perm, grad_perm, lut, feats, out, knobs = res
     d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
         params, major, sign, vol_perm, grad_perm, lut, feats, out, g,
-        win_rows=win_rows,
+        win_rows=win_rows, knobs=knobs,
     )
-    return d_vol, d_grad, d_lut, d_feats
+    return d_vol, d_grad, d_lut, d_feats, jnp.zeros_like(knobs)
 
 
 march_pallas_shaded.defvjp(_mps_fwd, _mps_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm):
+def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm, knobs):
     """Differentiable Pallas slab march, importance-coloring mode —
     optionally Blinn-Phong shaded (``grad_perm`` non-None: the combined
     coloring+shading mode).
@@ -1301,33 +1377,35 @@ def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, fea
     return _forward_call(
         params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
         imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
+        knobs=knobs,
     )
 
 
-def _mpc_fwd(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm):
+def _mpc_fwd(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm, knobs):
     out = _forward_call(
         params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
         imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
+        knobs=knobs,
     )
-    return out, (vol_perm, imp_perm, feats, grad_perm, out)
+    return out, (vol_perm, imp_perm, feats, grad_perm, out, knobs)
 
 
 def _mpc_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
-    vol_perm, imp_perm, feats, grad_perm, out = res
+    vol_perm, imp_perm, feats, grad_perm, out, knobs = res
     if grad_perm is None:
         d_imp, d_feats = slab_bwd_kernel.backward_coloring(
             params, major, sign, vol_perm, imp_perm, feats, out, g,
-            win_rows=win_rows,
+            win_rows=win_rows, knobs=knobs,
         )
         d_grad = None
     else:
         d_imp, d_grad, d_feats = slab_bwd_kernel.backward_coloring(
             params, major, sign, vol_perm, imp_perm, feats, out, g,
-            win_rows=win_rows, grad_perm=grad_perm,
+            win_rows=win_rows, grad_perm=grad_perm, knobs=knobs,
         )
-    return jnp.zeros_like(vol_perm), d_imp, d_feats, d_grad
+    return jnp.zeros_like(vol_perm), d_imp, d_feats, d_grad, jnp.zeros_like(knobs)
 
 
 march_pallas_coloring.defvjp(_mpc_fwd, _mpc_bwd)
@@ -1336,7 +1414,7 @@ march_pallas_coloring.defvjp(_mpc_fwd, _mpc_bwd)
 _win_cache: dict = {}
 
 
-def window_rows(camera_matrices, height, width, n_slabs, major, sign, halo=0) -> int:
+def window_rows(camera_matrices, height, width, n_slabs, major, sign, halo=0, n_plane=None) -> int:
     """Host-side (pure numpy, no device work) static window size for the
     windowed y contraction: the smallest multiple-of-8 window that covers
     every 32x32-pixel tile's slab-rows footprint, checked per slab exactly
@@ -1349,10 +1427,11 @@ def window_rows(camera_matrices, height, width, n_slabs, major, sign, halo=0) ->
     window smaller than the slice exists."""
     if height % TILE or width % TILE:
         return 0
+    n_plane = n_slabs if n_plane is None else n_plane
     key = (
         np.asarray(camera_matrices.inverse_view_proj).tobytes(),
         np.asarray(camera_matrices.position).tobytes(),
-        height, width, n_slabs, major, sign, halo,
+        height, width, n_slabs, major, sign, halo, n_plane,
     )
     if key in _win_cache:
         return _win_cache[key]
@@ -1378,8 +1457,8 @@ def window_rows(camera_matrices, height, width, n_slabs, major, sign, halo=0) ->
     z0 = (0.5 / n_slabs) if sign > 0 else ((n_slabs - 0.5) / n_slabs)
     ts = sz / safe_dm
     tb = (z0 - cam[major]) / safe_dm
-    rs = ts * d[:, row_comp] * n_slabs
-    rb = (cam[row_comp] + tb * d[:, row_comp]) * n_slabs - 0.5
+    rs = ts * d[:, row_comp] * n_plane
+    rb = (cam[row_comp] + tb * d[:, row_comp]) * n_plane - 0.5
     with np.errstate(divide="ignore", invalid="ignore"):
         t1 = (0.0 - cam) / d
         t2 = (1.0 - cam) / d
@@ -1397,30 +1476,80 @@ def window_rows(camera_matrices, height, width, n_slabs, major, sign, halo=0) ->
     sign_ok, entry, exit_ = sign_ok.reshape(shape), entry.reshape(shape), exit_.reshape(shape)
     # exact spread mirroring the kernel: per slab, the clamped-rows spread
     # over the rays ACTIVE at that slab (correct sign, t inside [entry,
-    # exit)) — inactive rays are masked out of the compositing
-    import warnings
-
+    # exit)) — inactive rays are masked out of the compositing.
+    # Vectorised over all slabs at once (a python loop here was ~50 ms per
+    # new camera at 256³ — visible in an orbit sweep).
+    # Certified interval bound instead of a per-slab scan: rows(j) is
+    # monotone affine in j per ray, and a correctly-signed ray's t(j) is
+    # increasing (ts > 0 when sign_ok), so each ray's ACTIVE j-range is
+    # one interval [ja, jb].  Per 8-slab fence interval, intersect with
+    # the ray's own active range and evaluate the clamped rows at the two
+    # intersected endpoints — the exact per-ray extremes over its active
+    # positions in the interval.  The tile bound max-minus-min over those
+    # extremes covers every per-slab spread in the interval (loose only
+    # by the within-interval motion when max- and min-rays peak at
+    # different j — at most 2*8*|rs| rows, absorbed by WIN_SLACK plus the
+    # ladder headroom).  32 interval evals replace 256 per-slab evals
+    # (~8x less host work per new camera).
     slack = np.abs(ts_o) * float(halo)
+    big, small = np.float32(-1e30), np.float32(1e30)
+    ent_s, exi_s = entry - slack, exit_ + slack
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ja = (ent_s - tb_o) / ts_o
+        jb = (exi_s - tb_o) / ts_o
+    bounds = []
+    for j0 in range(0, n_slabs, 8):
+        j1 = min(j0 + 8, n_slabs - 1)
+        ea = np.maximum(np.float32(j0), ja)
+        eb = np.minimum(np.float32(j1), jb)
+        act = sign_ok & (ea <= eb)
+        ra = np.clip(rs * ea + rb, 0.0, n_plane - 1.0)
+        rb_ = np.clip(rs * eb + rb, 0.0, n_plane - 1.0)
+        rmax = np.max(np.where(act, np.maximum(ra, rb_), big), axis=1)
+        rmin = np.min(np.where(act, np.minimum(ra, rb_), small), axis=1)
+        bounds.append((float(np.max(rmax - rmin)), j0, j1))
+    # Refine to the EXACT per-slab worst, largest-bound intervals first,
+    # stopping once no remaining interval bound can raise the running
+    # exact max — typically 1-3 intervals (~10 slab evals) instead of 256,
+    # and never looser than the exhaustive scan (bucket boundaries are
+    # tight: the bench camera sits ~1 row under a ladder step).
     worst = 0.0
-    for j in range(n_slabs):
-        t_j = ts_o * j + tb_o
-        active = sign_ok & (t_j >= entry - slack) & (t_j < exit_ + slack)
-        rows = np.clip(rs * j + rb, 0.0, n_slabs - 1.0)
-        rows = np.where(active, rows, np.nan)
-        with warnings.catch_warnings():
-            # all-NaN tiles (no active rays at this slab) reduce to NaN -> 0
-            warnings.simplefilter("ignore", RuntimeWarning)
-            spread = np.nanmax(rows, axis=1) - np.nanmin(rows, axis=1)
-            worst = max(
-                worst, float(np.nanmax(np.where(np.isnan(spread), 0.0, spread)))
+    for b, j0, j1 in sorted(bounds, reverse=True):
+        if b <= worst:
+            break
+        for j in range(j0, j1 + 1):
+            t_j = ts_o * np.float32(j) + tb_o
+            act = sign_ok & (t_j >= ent_s) & (t_j < exi_s)
+            rows = np.clip(rs * np.float32(j) + rb, 0.0, n_plane - 1.0)
+            sp = np.max(np.where(act, rows, big), axis=1) - np.min(
+                np.where(act, rows, small), axis=1
             )
+            worst = max(worst, float(np.max(sp)))
+    worst = max(0.0, worst)
     win = max(MIN_WIN_ROWS, int(np.ceil((worst + WIN_SLACK) / 8.0)) * 8)
-    if win >= n_slabs:
-        win = 0
+    # Bucket to a fixed ladder so an orbit sweep reuses a handful of jit
+    # keys instead of minting a new (win_rows, major, sign) compilation per
+    # camera pose (VERDICT r3: production-path interactivity).
+    win = bucket_window(win, n_plane)
     if len(_win_cache) > 256:
         _win_cache.clear()
     _win_cache[key] = win
     return win
+
+
+#: fixed ladder of static y-window sizes: every camera maps onto one of
+#: these (or 0 = full slices), bounding the number of Mosaic compilations
+#: an orbit sweep can mint to |ladder| per (major, sign)
+WIN_LADDER = (32, 64, 128, 192)
+
+
+def bucket_window(win: int, n_slabs: int) -> int:
+    """Smallest ladder window >= ``win`` that is still smaller than the
+    slice; 0 (full slices) when none fits."""
+    for w in WIN_LADDER:
+        if w >= win and w < n_slabs:
+            return w
+    return 0
 
 
 def _tile_order(height, width):
@@ -1463,23 +1592,26 @@ def _unchunk_flat(out, r):
     return out.transpose(0, 2, 1).reshape(-1, 4)[:r]
 
 
-def _chunked_feats(camera_matrices, height, width, n_slabs, major, sign, layout):
+def _chunked_feats(camera_matrices, height, width, n_slabs, major, sign, layout, n_plane=None):
     feats, miss = _pack_features(
-        camera_matrices, height, width, n_slabs, major, sign, layout
+        camera_matrices, height, width, n_slabs, major, sign, layout,
+        n_plane=n_plane,
     )
     r = feats.shape[1]
     return _chunk_rays(feats, height, width), miss, r
 
 
-def _pack_cone_features(camera_matrices, height, width, n_slabs, major, sign, layout):
+def _pack_cone_features(camera_matrices, height, width, n_slabs, major, sign, layout, n_plane=None):
     """Per-ray affine coefficients of the 8 cone look-ahead directions
     (camera-anchored; see ops/lookahead_kernel.py): 7 rows per direction
     (rows/cols/t slopes + intercepts, march-steps-per-distance rate)."""
     origin, dirs = rays_mod.generate_rays(camera_matrices, height, width)
-    return cone_features_from_rays(origin, dirs, n_slabs, major, sign, layout)
+    return cone_features_from_rays(
+        origin, dirs, n_slabs, major, sign, layout, n_plane=n_plane
+    )
 
 
-def cone_features_from_rays(origin, dirs, n_slabs, major, sign, layout):
+def cone_features_from_rays(origin, dirs, n_slabs, major, sign, layout, n_plane=None):
     """Cone-direction coefficients from an explicit ray bundle (the
     sharded renderers build per-shard rays themselves)."""
     from volym_tpu.render.golden import cone_directions
@@ -1496,11 +1628,12 @@ def cone_features_from_rays(origin, dirs, n_slabs, major, sign, layout):
         safe = jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
         ts = sz / safe
         tb = (z0 - origin[major]) / safe
+        npl = n if n_plane is None else n_plane
         rows += [
-            ts * dc[:, row_comp] * n,
-            (origin[row_comp] + tb * dc[:, row_comp]) * n - 0.5,
-            ts * dc[:, col_comp] * n,
-            (origin[col_comp] + tb * dc[:, col_comp]) * n - 0.5,
+            ts * dc[:, row_comp] * npl,
+            (origin[row_comp] + tb * dc[:, row_comp]) * npl - 0.5,
+            ts * dc[:, col_comp] * npl,
+            (origin[col_comp] + tb * dc[:, col_comp]) * npl - 0.5,
             ts,
             tb,
             d_m * n * sign,
@@ -1521,26 +1654,41 @@ def _assemble(out, miss, r, height, width):
 
 @partial(
     jax.jit,
-    static_argnames=("params", "height", "width", "major", "sign", "win_rows"),
+    static_argnames=(
+        "params", "height", "width", "major", "sign", "win_rows", "planes",
+    ),
 )
 def _render_pallas_jit(
-    scene, camera_matrices, params, height, width, major, sign, win_rows=0
+    scene, camera_matrices, params, height, width, major, sign, win_rows=0,
+    knobs=None, planes=None,
 ):
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
+    n_plane = vol_perm.shape[1]
+    if planes is None:
+        planes = vol_perm.shape[0]
+    vol_perm = slab_mod.slab_resample(vol_perm, planes)
     feats, miss, r = _chunked_feats(
-        camera_matrices, height, width, vol_perm.shape[0], major, sign, layout
+        camera_matrices, height, width, planes, major, sign, layout,
+        n_plane=n_plane,
     )
     lookahead = (
         params.use_importance_rendering and not params.use_importance_coloring
     )
     imp_perm = (
-        slab_mod.permute_volume(scene.importance, major)
+        slab_mod.slab_resample_nearest(
+            slab_mod.permute_volume(scene.importance, major), planes
+        )
         if (params.use_importance_coloring or lookahead)
         else None
     )
     grad_perm = (
-        slab_mod.permute_gradient(slab_mod.gradient_volume(scene.volume), major)
+        slab_mod.slab_resample_grad(
+            slab_mod.permute_gradient(
+                slab_mod.gradient_volume(scene.volume), major
+            ),
+            planes,
+        )
         if params.use_shading
         else None
     )
@@ -1551,8 +1699,8 @@ def _render_pallas_jit(
         cone_feats = (
             _chunk_rays(
                 _pack_cone_features(
-                    camera_matrices, height, width, vol_perm.shape[0], major,
-                    sign, layout,
+                    camera_matrices, height, width, planes, major,
+                    sign, layout, n_plane=n_plane,
                 ),
                 height,
                 width,
@@ -1565,37 +1713,58 @@ def _render_pallas_jit(
         )
     out = _forward_call(
         params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm,
-        win_rows, ahead,
+        win_rows, ahead, knobs=knobs,
     )
     return _assemble(out, miss, r, height, width)
 
 
 @partial(
     jax.jit,
-    static_argnames=("params", "height", "width", "major", "sign", "win_rows"),
+    static_argnames=(
+        "params", "height", "width", "major", "sign", "win_rows", "planes",
+    ),
 )
 def _render_pallas_diff_jit(
-    scene, camera_matrices, params, height, width, major, sign, win_rows=0
+    scene, camera_matrices, params, height, width, major, sign, win_rows=0,
+    knobs=None, planes=None,
 ):
+    if knobs is None:
+        knobs = jnp.array(
+            [[params.density_threshold, params.early_termination_alpha]],
+            jnp.float32,
+        )
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
+    n_plane = vol_perm.shape[1]
+    if planes is None:
+        planes = vol_perm.shape[0]
+    # step-size mapping: resample the slab axis OUTSIDE the custom-VJP
+    # march, so d(vol_perm) chains back to the source volume through the
+    # (differentiable) lerp automatically
+    vol_perm = slab_mod.slab_resample(vol_perm, planes)
     feats, miss, r = _chunked_feats(
-        camera_matrices, height, width, vol_perm.shape[0], major, sign, layout
+        camera_matrices, height, width, planes, major, sign, layout,
+        n_plane=n_plane,
     )
     lookahead = (
         params.use_importance_rendering and not params.use_importance_coloring
     )
+
+    def shaded_grad_perm():
+        if not params.use_shading:
+            return None
+        # gradient_volume is jnp, so d(grad_perm) chains back to the volume
+        gp = slab_mod.permute_gradient(slab_mod.gradient_volume(scene.volume), major)
+        return slab_mod.slab_resample_grad(gp, planes)
+
     if params.use_importance_coloring:
-        imp_perm = slab_mod.permute_volume(scene.importance, major)
-        grad_perm = (
-            slab_mod.permute_gradient(
-                slab_mod.gradient_volume(scene.volume), major
-            )
-            if params.use_shading
-            else None
+        imp_perm = slab_mod.slab_resample_nearest(
+            slab_mod.permute_volume(scene.importance, major), planes
         )
+        grad_perm = shaded_grad_perm()
         out = march_pallas_coloring(
-            params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm
+            params, major, sign, win_rows, vol_perm, imp_perm, feats,
+            grad_perm, knobs,
         )
     elif lookahead:
         from volym_tpu.ops import lookahead_kernel
@@ -1603,13 +1772,15 @@ def _render_pallas_diff_jit(
         # the ahead bits are a zero-gradient gate (pure comparisons), so
         # the pre-pass runs on stop_gradient'ed inputs — no transpose rule
         # needed for its pallas_call
-        imp_perm = slab_mod.permute_volume(scene.importance, major)
+        imp_perm = slab_mod.slab_resample_nearest(
+            slab_mod.permute_volume(scene.importance, major), planes
+        )
         sg_feats = jax.lax.stop_gradient(feats)
         cone_feats = (
             _chunk_rays(
                 _pack_cone_features(
                     jax.lax.stop_gradient(camera_matrices), height, width,
-                    vol_perm.shape[0], major, sign, layout,
+                    planes, major, sign, layout, n_plane=n_plane,
                 ),
                 height,
                 width,
@@ -1621,29 +1792,21 @@ def _render_pallas_diff_jit(
             sign, jax.lax.stop_gradient(imp_perm), sg_feats, cone_feats,
             win_rows,
         )
-        grad_perm = (
-            slab_mod.permute_gradient(
-                slab_mod.gradient_volume(scene.volume), major
-            )
-            if params.use_shading
-            else None
-        )
+        grad_perm = shaded_grad_perm()
         out = march_pallas_lookahead(
             params, major, sign, win_rows, vol_perm, imp_perm,
-            scene.tf_lut, feats, ahead, grad_perm,
+            scene.tf_lut, feats, ahead, grad_perm, knobs,
         )
     elif params.use_shading:
-        # gradient_volume is jnp, so d(grad_perm) chains back to the volume
-        grad_perm = slab_mod.permute_gradient(
-            slab_mod.gradient_volume(scene.volume), major
-        )
+        grad_perm = shaded_grad_perm()
         out = march_pallas_shaded(
             params, major, sign, win_rows, vol_perm, grad_perm,
-            scene.tf_lut, feats,
+            scene.tf_lut, feats, knobs,
         )
     else:
         out = march_pallas(
-            params, major, sign, win_rows, vol_perm, scene.tf_lut, feats
+            params, major, sign, win_rows, vol_perm, scene.tf_lut, feats,
+            knobs,
         )
     return _assemble(out, miss, r, height, width)
 
@@ -1663,12 +1826,16 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
             "False) needs the t-step renderers"
         )
     major, sign = slab_mod.dominant_axis(camera_matrices)
+    n = scene.volume.shape[0]
+    planes = slab_mod.resolve_planes(params, n)
     win = window_rows(
-        camera_matrices, height, width, scene.volume.shape[0], major, sign,
+        camera_matrices, height, width, planes, major, sign,
         halo=SMOOTH_HALO if params.use_gaussian_smoothing else 0,
+        n_plane=n,
     )
     return _render_pallas_diff_jit(
-        scene, camera_matrices, params.slab_static(), height, width, major, sign, win
+        scene, camera_matrices, params.pallas_static(), height, width, major,
+        sign, win, knobs=params.knobs(), planes=planes,
     )
 
 
@@ -1679,10 +1846,14 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
     pre-pass (:mod:`volym_tpu.ops.lookahead_kernel`); Gaussian smoothing
     via the batch-amortised slab-axis stencil (see _march_kernel)."""
     major, sign = slab_mod.dominant_axis(camera_matrices)
+    n = scene.volume.shape[0]
+    planes = slab_mod.resolve_planes(params, n)
     win = window_rows(
-        camera_matrices, height, width, scene.volume.shape[0], major, sign,
+        camera_matrices, height, width, planes, major, sign,
         halo=SMOOTH_HALO if params.use_gaussian_smoothing else 0,
+        n_plane=n,
     )
     return _render_pallas_jit(
-        scene, camera_matrices, params.slab_static(), height, width, major, sign, win
+        scene, camera_matrices, params.pallas_static(), height, width, major,
+        sign, win, knobs=params.knobs(), planes=planes,
     )

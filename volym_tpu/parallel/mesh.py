@@ -80,6 +80,7 @@ def render_sharded(
     too — each device builds only its own rays.  ``backend="slab"`` marches
     slab-ordered (the TPU-native formulation)."""
     major = sign = 0
+    planes = 0
     if backend in ("slab", "slab_pallas"):
         from volym_tpu.render import slab as slab_mod
 
@@ -95,9 +96,11 @@ def render_sharded(
             )
         # host-side static choice (camera matrices are host state)
         major, sign = slab_mod.dominant_axis(camera_matrices)
+        # step-size mapping, identical to the single-device entries
+        planes = slab_mod.resolve_planes(params, int(scene.volume.shape[0]))
     return _render_sharded_jit(
         scene, camera_matrices, params, height, width, mesh, differentiable,
-        backend, major, sign,
+        backend, major, sign, planes,
     )
 
 
@@ -105,7 +108,7 @@ def render_sharded(
     jax.jit,
     static_argnames=(
         "params", "height", "width", "mesh", "differentiable", "backend",
-        "major", "sign",
+        "major", "sign", "planes",
     ),
 )
 def _render_sharded_jit(
@@ -119,6 +122,7 @@ def _render_sharded_jit(
     backend: str,
     major: int,
     sign: int,
+    planes: int = 0,
 ):
     _ray_count(height, width, mesh)
     axes = _mesh_axes(mesh)
@@ -133,20 +137,27 @@ def _render_sharded_jit(
         if backend in ("slab", "slab_pallas"):
             from volym_tpu.render import slab as slab_mod
 
-            vol_perm = slab_mod.permute_volume(scene.volume, major)
-            imp_perm = slab_mod.permute_volume(scene.importance, major)
+            vol_perm = slab_mod.slab_resample(
+                slab_mod.permute_volume(scene.volume, major), planes
+            )
+            imp_perm = slab_mod.slab_resample_nearest(
+                slab_mod.permute_volume(scene.importance, major), planes
+            )
             if backend == "slab_pallas" and jax.default_backend() == "tpu":
                 # production kernel per shard (each device marches its own
                 # ray chunk set); jnp slab fallback off-TPU keeps the same
                 # sharding plumbing testable on the CPU mesh
                 img = _pallas_shard_march(
                     render_params, major, sign, scene,
-                    origin, dirs, entry, exit_, differentiable,
+                    origin, dirs, entry, exit_, differentiable, planes,
                 )
             elif differentiable:
                 grad_perm = (
-                    slab_mod.permute_gradient(
-                        slab_mod.gradient_volume(scene.volume), major
+                    slab_mod.slab_resample_grad(
+                        slab_mod.permute_gradient(
+                            slab_mod.gradient_volume(scene.volume), major
+                        ),
+                        planes,
                     )
                     if render_params.use_shading
                     else None
@@ -157,8 +168,11 @@ def _render_sharded_jit(
                 )
             else:
                 grad_perm = (
-                    slab_mod.permute_gradient(
-                        slab_mod.gradient_volume(scene.volume), major
+                    slab_mod.slab_resample_grad(
+                        slab_mod.permute_gradient(
+                            slab_mod.gradient_volume(scene.volume), major
+                        ),
+                        planes,
                     )
                     if render_params.use_shading
                     else None
@@ -201,7 +215,7 @@ def _rays_from_ndc(camera_matrices, ndc):
     return camera_matrices.position, d
 
 
-def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, differentiable):
+def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, differentiable, planes=0):
     """One shard's rays through the production Pallas slab kernels.
 
     Builds the per-ray feats from the shard's own rays (row-major chunking,
@@ -216,10 +230,14 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
 
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
-    n_slabs = vol_perm.shape[0]
+    n_plane = vol_perm.shape[1]
+    if not planes:
+        planes = vol_perm.shape[0]
+    vol_perm = slab_mod.slab_resample(vol_perm, planes)
+    n_slabs = planes
     feats = sk.features_from_rays(
         origin, dirs, entry, jax.lax.stop_gradient(exit_),
-        n_slabs, major, sign, layout,
+        n_slabs, major, sign, layout, n_plane=n_plane,
     )
     r = feats.shape[1]
     fc = sk._chunk_flat(feats)
@@ -227,12 +245,19 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
         params.use_importance_rendering and not params.use_importance_coloring
     )
     imp_perm = (
-        slab_mod.permute_volume(scene.importance, major)
+        slab_mod.slab_resample_nearest(
+            slab_mod.permute_volume(scene.importance, major), planes
+        )
         if (params.use_importance_coloring or lookahead)
         else None
     )
     grad_perm = (
-        slab_mod.permute_gradient(slab_mod.gradient_volume(scene.volume), major)
+        slab_mod.slab_resample_grad(
+            slab_mod.permute_gradient(
+                slab_mod.gradient_volume(scene.volume), major
+            ),
+            planes,
+        )
         if params.use_shading
         else None
     )
@@ -246,7 +271,7 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
             sk._chunk_flat(
                 sk.cone_features_from_rays(
                     jax.lax.stop_gradient(origin), jax.lax.stop_gradient(dirs),
-                    n_slabs, major, sign, layout,
+                    n_slabs, major, sign, layout, n_plane=n_plane,
                 )
             )
             if params.use_cone_importance_check
@@ -256,24 +281,27 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
             sign, jax.lax.stop_gradient(imp_perm),
             jax.lax.stop_gradient(fc), cone_feats, 0,
         )
+    knobs = params.knobs()
     if differentiable:
         if params.use_importance_coloring:
             # grad_perm non-None = the combined coloring+shading mode
             out = sk.march_pallas_coloring(
-                params, major, sign, 0, vol_perm, imp_perm, fc, grad_perm
+                params, major, sign, 0, vol_perm, imp_perm, fc, grad_perm,
+                knobs,
             )
         elif lookahead:
             out = sk.march_pallas_lookahead(
                 params, major, sign, 0, vol_perm, imp_perm,
-                scene.tf_lut, fc, ahead, grad_perm,
+                scene.tf_lut, fc, ahead, grad_perm, knobs,
             )
         elif params.use_shading:
             out = sk.march_pallas_shaded(
-                params, major, sign, 0, vol_perm, grad_perm, scene.tf_lut, fc
+                params, major, sign, 0, vol_perm, grad_perm, scene.tf_lut,
+                fc, knobs,
             )
         else:
             out = sk.march_pallas(
-                params, major, sign, 0, vol_perm, scene.tf_lut, fc
+                params, major, sign, 0, vol_perm, scene.tf_lut, fc, knobs
             )
     else:
         out = sk._forward_call(
@@ -319,6 +347,7 @@ def make_train_step(
     axes = _mesh_axes(mesh)
     spec_r = P(axes)
     major = sign = 0
+    planes = 0
     if backend in ("slab", "slab_pallas"):
         from volym_tpu.render import slab as slab_mod
 
@@ -327,27 +356,36 @@ def make_train_step(
         major, sign = slab_mod.dominant_axis(camera_matrices)
 
     def per_shard_loss(scene, camera_matrices, ndc, target_rows):
+        from volym_tpu.render import slab as slab_mod
+
         origin, dirs = _rays_from_ndc(camera_matrices, ndc)
         entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
         miss = exit_ <= entry
         if backend == "slab_pallas" and jax.default_backend() == "tpu":
             img = _pallas_shard_march(
-                fixed, major, sign, scene, origin, dirs, entry, exit_, True
+                fixed, major, sign, scene, origin, dirs, entry, exit_, True,
+                slab_mod.resolve_planes(fixed, int(scene.volume.shape[0])),
             )
         elif backend in ("slab", "slab_pallas"):
-            from volym_tpu.render import slab as slab_mod
-
+            p_ = slab_mod.resolve_planes(fixed, int(scene.volume.shape[0]))
             grad_perm = (
-                slab_mod.permute_gradient(
-                    slab_mod.gradient_volume(scene.volume), major
+                slab_mod.slab_resample_grad(
+                    slab_mod.permute_gradient(
+                        slab_mod.gradient_volume(scene.volume), major
+                    ),
+                    p_,
                 )
                 if fixed.use_shading
                 else None
             )
             img = slab_mod.march_slabs_diff(
                 fixed, major, sign,
-                slab_mod.permute_volume(scene.volume, major),
-                slab_mod.permute_volume(scene.importance, major),
+                slab_mod.slab_resample(
+                    slab_mod.permute_volume(scene.volume, major), p_
+                ),
+                slab_mod.slab_resample_nearest(
+                    slab_mod.permute_volume(scene.importance, major), p_
+                ),
                 scene.tf_lut, origin, dirs, entry,
                 jax.lax.stop_gradient(exit_), grad_perm,
             )

@@ -38,9 +38,23 @@ def make_renderer(
         march = slab.render_diff if differentiable else slab.render
         return lambda camera_matrices: march(scene, camera_matrices, params, height, width)
     if backend == "slab_pallas":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # same off-TPU fallback as parallel/mesh.py and viewer.py: the
+            # jnp slab golden implements identical semantics (incl. the
+            # step-size -> plane-count mapping), so CLI flows stay
+            # CPU-runnable
+            from volym_tpu.render import slab
+
+            march = slab.render_diff if differentiable else slab.render
+            return lambda camera_matrices: march(
+                scene, camera_matrices, params, height, width
+            )
         from volym_tpu.ops import slab_kernel
 
-        return lambda camera_matrices: slab_kernel.render(
+        march = slab_kernel.render_diff if differentiable else slab_kernel.render
+        return lambda camera_matrices: march(
             scene, camera_matrices, params, height, width
         )
     if backend != "ray":

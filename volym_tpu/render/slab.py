@@ -87,8 +87,13 @@ def snap_ste(c, bits: int):
     """:func:`snap` with a straight-through gradient (d snap / d c := 1),
     for the autodiffed jnp paths: the quantizer's a.e.-zero derivative
     would kill camera gradients, and the straight-through estimator is
-    exactly what the Pallas backward computes (hats placed at the snapped
-    coordinate, chained with the full-precision dhat)."""
+    what the Pallas backward computes (hats placed at the snapped
+    coordinate, chained with the full-precision dhat).  At coordinates
+    that snap exactly ONTO an integer texel (probability ~2^-bits per
+    sample) both sides use the floor convention: autodiff of
+    :func:`_bilinear_slice` gives the right-sided difference v[i+1]-v[i],
+    and ``slab_bwd_kernel._dhat`` implements the same half-open
+    subgradient, so kernel-vs-golden d_feats parity stays pointwise."""
     if not bits:
         return c
     return c + jax.lax.stop_gradient(snap(c, bits) - c)
@@ -104,7 +109,7 @@ def snap_np(c: float, bits: int) -> float:
     return float(np.floor(np.float32(c) * np.float32(s) + np.float32(0.5))) / s
 
 
-def ray_affine(origin, dirs, n_slabs: int, major: int, sign: int):
+def ray_affine(origin, dirs, n_slabs: int, major: int, sign: int, n_plane: int | None = None):
     """Per-ray affine coefficients of the slab march: ``t(j) = ts*j + tb``
     and sample coordinates ``rows(j) = rs*j + rb``, ``cols(j) = cs*j + cb``
     as functions of the MARCH index j (0 = first slab crossed).
@@ -116,6 +121,12 @@ def ray_affine(origin, dirs, n_slabs: int, major: int, sign: int):
     from the same coefficients, so the subtexel snap (:func:`snap`) makes
     the same decision everywhere and kernel-vs-golden comparisons stay
     exact instead of diverging at quantization boundaries.
+
+    ``n_plane``: in-plane texel resolution of the slices (rows/cols
+    scale).  Defaults to ``n_slabs`` (cubic grids); differs on
+    slab-axis-resampled grids (:func:`slab_resample` — the step-size
+    mapping), where the march has ``n_slabs`` planes but each slice keeps
+    the volume's native rows/cols.
     """
     _, row_comp, col_comp = _AXIS_LAYOUT[major]
     o_m, d_m = origin[major], dirs[:, major]
@@ -124,12 +135,98 @@ def ray_affine(origin, dirs, n_slabs: int, major: int, sign: int):
     safe_dm = jnp.where(jnp.abs(d_m) > 1e-12, d_m, 1e-12)
     ts = sz / safe_dm
     tb = (z0 - o_m) / safe_dm
-    n = n_slabs  # cubic grids: rows/cols share the slab resolution
+    n = n_slabs if n_plane is None else n_plane
     rs = ts * dirs[:, row_comp] * n
     rb = (origin[row_comp] + tb * dirs[:, row_comp]) * n - 0.5
     cs = ts * dirs[:, col_comp] * n
     cb = (origin[col_comp] + tb * dirs[:, col_comp]) * n - 0.5
     return rs, rb, cs, cb, ts, tb
+
+
+def slab_resample(vol_perm, planes: int):
+    """Linearly resample a permuted grid along the SLAB axis to ``planes``
+    sample planes (clamp-to-edge) — the slab path's step-size mapping:
+    marching one plane per step over the resampled grid samples the same
+    trilinear field the reference's t-march reads at step ``1/planes``
+    along the major axis, so ``raymarching_step_size`` maps onto a plane
+    count instead of being ignored (reference sweep ``src/main.rs:192``,
+    adaptive refinement ``wgsl:243-269``).  Differentiable: gradients
+    w.r.t. the resampled grid chain back to the source volume through
+    this lerp.  Identity when ``planes`` equals the current count."""
+    n = vol_perm.shape[0]
+    if planes == n:
+        return vol_perm
+    s = jnp.clip(
+        (jnp.arange(planes, dtype=jnp.float32) + 0.5) * (n / planes) - 0.5,
+        0.0,
+        n - 1.0,
+    )
+    lo = jnp.floor(s).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
+    w = (s - lo.astype(jnp.float32)).reshape((planes,) + (1,) * (vol_perm.ndim - 1))
+    return vol_perm[lo] * (1.0 - w) + vol_perm[hi] * w
+
+
+def slab_resample_nearest(grid_perm, planes: int):
+    """Nearest-neighbour slab-axis resample (for the importance grid,
+    which the reference samples with a nearest sampler —
+    ``src/demos/simple/importance.rs:122-131``)."""
+    n = grid_perm.shape[0]
+    if planes == n:
+        return grid_perm
+    s = (jnp.arange(planes, dtype=jnp.float32) + 0.5) * (n / planes) - 0.5
+    idx = jnp.clip(jnp.floor(s + 0.5), 0, n - 1).astype(jnp.int32)
+    return grid_perm[idx]
+
+
+def slab_resample_grad(grad_perm, planes: int):
+    """:func:`slab_resample` for a (3, N, rows, cols) gradient field
+    (slab axis = axis 1)."""
+    if planes == grad_perm.shape[1]:
+        return grad_perm
+    return slab_resample(
+        grad_perm.transpose(1, 0, 2, 3), planes
+    ).transpose(1, 0, 2, 3)
+
+
+def resolve_planes(params, n_slabs: int) -> int:
+    """Effective sample-plane count for a render entry: the step-size
+    mapping (:func:`step_planes`), with supersampling clamped off under
+    Gaussian smoothing (the slab-stencil halo covers at most
+    ``SMOOTH_HALO/0.01`` planes; subsampling stays allowed — the Gaussian
+    taps are t-parameterised, so they smooth the resampled field
+    consistently).  Under smoothing the count is also rounded up to a
+    multiple of 8: the Pallas smoothing stencil needs a slab batch larger
+    than its halo, so non-multiple-of-8 grids ride the (differentiable)
+    slab-axis resample instead of a hard error (round-3 weak item 7)."""
+    planes = step_planes(params.raymarching_step_size, n_slabs)
+    if params.use_gaussian_smoothing:
+        planes = min(planes, n_slabs)
+        if planes % 8:
+            planes = (planes + 7) // 8 * 8
+    return planes
+
+
+#: step-size factor ladder: plane count multipliers the slab path maps
+#: ``raymarching_step_size`` onto (nearest in log space).  A fixed ladder
+#: bounds the jit-key set exactly like the window ladder.
+STEP_LADDER = (4.0, 2.0, 1.0, 0.5, 0.25)
+
+
+def step_planes(step_size: float, n_slabs: int) -> int:
+    """Sample-plane count for a requested t-step size: the slab march's
+    native step along the major axis is ``1/n_slabs``, so the requested
+    step maps to the factor ``(1/n_slabs)/step`` bucketed to
+    :data:`STEP_LADDER` — finer steps supersample (more planes), coarser
+    steps subsample.  The reference sweep {.003,.005,.01,.02} at 256³
+    maps to {256, 256, 128, 64} planes."""
+    import math
+
+    if step_size <= 0.0:
+        return n_slabs
+    f = (1.0 / n_slabs) / step_size
+    best = min(STEP_LADDER, key=lambda x: abs(math.log(f / x)))
+    return max(1, int(round(n_slabs * best)))
 
 
 def permute_volume(volume, major: int):
@@ -351,7 +448,9 @@ def smoothed_densities(vol_perm, origin, dirs, major: int, sign: int, params):
         )
     # shared-with-the-kernel coordinate definition (see ray_affine); the
     # kernel evaluates slope*j + base per march index j (_density_row)
-    rs, rb, cs, cb, dt, _tb = ray_affine(origin, dirs, n_slabs, major, sign)
+    rs, rb, cs, cb, dt, _tb = ray_affine(
+        origin, dirs, n_slabs, major, sign, n_plane=n_rows
+    )
     slope_r, slope_c = rs, cs
     stx = params.subtexel_bits
 
@@ -427,7 +526,9 @@ def march_slabs(
     alpha_exp = dt * 100.0  # opacity-correction exponent (wgsl:314)
 
     # shared-with-the-kernel coordinate definition (see ray_affine)
-    rs, rb, cs, cb, ts, tb = ray_affine(origin, dirs, n_slabs, major, sign)
+    rs, rb, cs, cb, ts, tb = ray_affine(
+        origin, dirs, n_slabs, major, sign, n_plane=n_rows
+    )
     stx = params.subtexel_bits
 
     ks = jnp.arange(n_slabs, dtype=jnp.float32)
@@ -561,7 +662,9 @@ def _slab_step_f(params, major, sign, n_slabs, march_idx_f, sl, isl, lut, origin
     """
     n_rows, n_cols = sl.shape
     d_m = dirs[:, major]
-    rs, rb, cs, cb, ts, tb = ray_affine(origin, dirs, n_slabs, major, sign)
+    rs, rb, cs, cb, ts, tb = ray_affine(
+        origin, dirs, n_slabs, major, sign, n_plane=n_rows
+    )
     stx = params.subtexel_bits
     t = ts * march_idx_f + tb
     rows_c = snap_ste(jnp.clip(rs * march_idx_f + rb, 0.0, n_rows - 1.0), stx)
@@ -815,13 +918,19 @@ def _msd_bwd(params, major, sign, res, g):
 march_slabs_diff.defvjp(_msd_fwd, _msd_bwd)
 
 
-@partial(jax.jit, static_argnames=("params", "height", "width", "major", "sign"))
-def _render_diff_jit(scene, camera_matrices, params, height, width, major, sign):
+@partial(
+    jax.jit,
+    static_argnames=("params", "height", "width", "major", "sign", "planes"),
+)
+def _render_diff_jit(scene, camera_matrices, params, height, width, major, sign, planes=None):
     vol_perm = permute_volume(scene.volume, major)
-    imp_perm = permute_volume(scene.importance, major)
+    if planes is None:
+        planes = vol_perm.shape[0]
+    vol_perm = slab_resample(vol_perm, planes)
+    imp_perm = slab_resample_nearest(permute_volume(scene.importance, major), planes)
     # gradient_volume is jnp, so d(grad_perm) chains back to the volume
     grad_perm = (
-        permute_gradient(gradient_volume(scene.volume), major)
+        slab_resample_grad(permute_gradient(gradient_volume(scene.volume), major), planes)
         if params.use_shading
         else None
     )
@@ -849,7 +958,8 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
         )
     major, sign = dominant_axis(camera_matrices)
     return _render_diff_jit(
-        scene, camera_matrices, params.slab_static(), height, width, major, sign
+        scene, camera_matrices, params.slab_static(), height, width, major,
+        sign, planes=resolve_planes(params, scene.volume.shape[0]),
     )
 
 
@@ -858,12 +968,18 @@ def permute_gradient(grad, major: int):
     return jnp.stack([permute_volume(grad[c], major) for c in range(3)])
 
 
-@partial(jax.jit, static_argnames=("params", "height", "width", "major", "sign"))
-def _render_jit(scene, camera_matrices, params, height, width, major, sign):
+@partial(
+    jax.jit,
+    static_argnames=("params", "height", "width", "major", "sign", "planes"),
+)
+def _render_jit(scene, camera_matrices, params, height, width, major, sign, planes=None):
     vol_perm = permute_volume(scene.volume, major)
-    imp_perm = permute_volume(scene.importance, major)
+    if planes is None:
+        planes = vol_perm.shape[0]
+    vol_perm = slab_resample(vol_perm, planes)
+    imp_perm = slab_resample_nearest(permute_volume(scene.importance, major), planes)
     grad_perm = (
-        permute_gradient(gradient_volume(scene.volume), major)
+        slab_resample_grad(permute_gradient(gradient_volume(scene.volume), major), planes)
         if params.use_shading
         else None
     )
@@ -891,5 +1007,6 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
     """
     major, sign = dominant_axis(camera_matrices)
     return _render_jit(
-        scene, camera_matrices, params.slab_static(), height, width, major, sign
+        scene, camera_matrices, params.slab_static(), height, width, major,
+        sign, planes=resolve_planes(params, scene.volume.shape[0]),
     )

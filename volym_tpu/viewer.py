@@ -11,14 +11,16 @@ on demand and the page drives it — mouse drag orbits, the wheel zooms,
 ``P`` saves a server-side screenshot, and every panel change re-renders.
 
 Live mutation semantics mirror the uniform-vs-pipeline split of the
-reference: float knobs (threshold / step size / ahead steps) travel
-TRACED on the ``ray`` backend (:meth:`RenderParams.split_dynamic` — the
-per-frame uniform update, ``src/gpu_resources/parameters.rs:68-83``), so
-dragging a slider re-renders without recompiling; toggling a boolean mode
-is a pipeline swap and compiles once per combination (cached thereafter).
-The slab backends key their jit on the float knobs too (the slab march
-specialises on them), so slider drags there pay one compile per value —
-the page notes this.
+reference: float knobs travel TRACED — on the ``ray`` backend via
+:meth:`RenderParams.split_dynamic`, and on the production ``slab_pallas``
+backend via :meth:`RenderParams.knobs` (density threshold + early-alpha
+as SMEM scalars in the kernels; the per-frame uniform update,
+``src/gpu_resources/parameters.rs:68-83``) — so dragging a slider
+re-renders with ZERO recompiles; toggling a boolean mode is a pipeline
+swap and compiles once per combination (cached thereafter).  Orbiting
+also stays recompile-free after warmup: the static y-window size is
+bucketed to a fixed ladder (:data:`volym_tpu.ops.slab_kernel.WIN_LADDER`).
+Only the jnp ``slab`` fallback still keys its jit on the floats.
 
 The server is stateless: the client owns the camera/parameter state and
 sends it with every ``/frame`` request, which also makes the endpoints
@@ -301,7 +303,7 @@ PAGE = """<!doctype html>
  <div class="row"><label>step size</label><input type="range" id="step" min="-3" max="-1" step="0.02"><span id="stepv"></span></div>
  <div class="row"><label>threshold</label><input type="range" id="threshold" min="0.005" max="1.0" step="0.005"><span id="thrv"></span></div>
  <div class="row" style="color:#888">drag = orbit · wheel = zoom · P = screenshot<br>
- float knobs are recompile-free on the ray backend</div>
+ float knobs are recompile-free on the ray and slab_pallas backends</div>
 </div>
 <script>
 const INIT = __INIT__;
