@@ -1,0 +1,85 @@
+"""Roofline / MFU accounting for the base forward at 256² (VERDICT r3
+item 1): executed-step count from the REAL occupancy meta, nominal MXU
+FLOPs and HBM bytes per frame, against v5e peaks.
+
+Structural numbers only (no TPU needed) — combine with the measured frame
+time (scripts/_floor_map.py) for the utilization statement in BASELINE.md.
+"""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from volym_tpu import Camera, RenderParams, Scene
+from volym_tpu.ops import slab_kernel as sk
+from volym_tpu.render import slab as sm
+
+H = W = 256
+N = 256
+scene = Scene.synthetic("bonsai", side=N)
+m = Camera(aspect=1.0, distance=1.0).orbit(30.0, 20.0, 0.0).matrices()
+thr = 0.15
+major, sign = sm.dominant_axis(m)
+layout = sm._AXIS_LAYOUT[major]
+vol_perm = sm.permute_volume(scene.volume, major)
+feats, miss, r = sk._chunked_feats(m, H, W, N, major, sign, layout)
+win = sk.window_rows(m, H, W, N, major, sign)
+wc = sk.window_cols(N, False)
+occ = sk.occupancy_grid(vol_perm, thr)
+meta = np.asarray(
+    sk.build_step_meta(
+        feats, occ, n_slabs=N, sb=sk.SLAB_BATCH, sign=sign, nr=N, nc=N,
+        margin=1.0, win_rows=win, win_cols=wc,
+    )
+)
+C = feats.shape[0]
+sb = sk.SLAB_BATCH
+nb = N // sb
+flags = meta[:, :, 0, 1 : 1 + sb]  # (C, NB, sb)
+block_occ = meta[:, :, 0, 0]
+fits = meta[:, :, 0, -1]
+exec_steps = int(flags.sum())
+total_steps = C * N
+live_blocks = int(block_occ.sum())
+fit_blocks = int(((fits > 0) & (block_occ > 0)).sum())
+print(f"chunks {C}, win_rows {win}, win_cols {wc}")
+print(
+    f"executed steps: {exec_steps}/{total_steps} ({exec_steps/total_steps:.1%});"
+    f" live batches {live_blocks}/{C*nb} ({live_blocks/(C*nb):.1%}),"
+    f" col-window fits {fit_blocks}/{live_blocks} ({fit_blocks/max(live_blocks,1):.1%})"
+)
+
+R = sk.RAYS_PER_CHUNK
+# density y-contraction per executed step: (cols, win) x (win, R)
+fit_frac = fit_blocks / max(live_blocks, 1)
+cols_eff = wc * fit_frac + N * (1 - fit_frac) if wc else N
+mxu_nominal = exec_steps * 2 * cols_eff * win * R  # f32-equivalent FLOPs
+tf_flops = exec_steps * 2 * (4 * 256 // 16) * 17 * R
+passes = 2  # exact='b' hi/lo split: 2 bf16 MXU passes per contraction
+print(
+    f"density matmul nominal {mxu_nominal/1e9:.1f} GFLOP/frame "
+    f"(x{passes} bf16 passes = {passes*mxu_nominal/1e9:.1f}); "
+    f"TF lookup {tf_flops/1e9:.2f} GFLOP"
+)
+# HBM per frame: volume slices once, feats once, out once, meta, lut
+bytes_frame = (N * N * N + C * 16 * R + C * 4 * R) * 4 + meta.size * 4
+print(f"HBM traffic: {bytes_frame/1e6:.0f} MB/frame (volume stream dominates)")
+# v5e peaks
+peak_bf16 = 197e12
+peak_hbm = 819e9
+t_mxu = passes * (mxu_nominal + tf_flops) / peak_bf16
+t_hbm = bytes_frame / peak_hbm
+print(
+    f"speed-of-light: MXU {t_mxu*1e3:.2f} ms, HBM {t_hbm*1e3:.2f} ms "
+    f"(v5e peaks {peak_bf16/1e12:.0f} TFLOP/s bf16, {peak_hbm/1e9:.0f} GB/s)"
+)
+print(
+    "MFU at a measured frame time T: (x2-pass FLOPs / T) / peak; e.g. "
+    f"T=4.5ms -> {passes*(mxu_nominal+tf_flops)/4.5e-3/peak_bf16:.1%}"
+)

@@ -1496,3 +1496,99 @@ def test_forward_step_size_planes_matches_golden(scene, cam):
         want = np.asarray(slab.render(scene, m, p, RES, RES))
         assert want[..., 3].max() > 0.1
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_backward_inverted_fused_multichunk(cam):
+    """The inverted (slab-outer) + fused-scatter backward path needs >= 8
+    ray chunks, which the single-tile tests never reach — cover it in the
+    emulator at 96² (9 chunks) against plain autodiff of the jnp replay.
+
+    Tolerance is outlier-COUNT based: a handful of isolated voxels may
+    differ by whole-step amounts where a ~2^-18 kernel-vs-golden density
+    difference puts the two forwards on opposite sides of the threshold
+    kink (each backward is then exactly consistent with its own branch —
+    verified by per-branch finite differences).  A real fused-path
+    regression (e.g. double accumulation) is systematic across a slab and
+    blows the count."""
+    import jax
+
+    from volym_tpu.render import rays as rays_mod
+
+    scene = Scene.synthetic("sphere", side=16)
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(scene.volume, major)
+    H = W = 96
+    feats, miss, r = slab_kernel._chunked_feats(m, H, W, 16, major, sign, layout)
+    assert feats.shape[0] >= slab_kernel.INVERT_MIN_CHUNKS  # inverted+fused
+
+    w = jnp.cos(jnp.arange(H * W * 4, dtype=jnp.float32).reshape(-1, 4) * 0.1)
+    wq = slab_kernel._chunk_rays(w.T, H, W)
+    with emulate(slab_kernel, slab_bwd_kernel):
+        fin = slab_kernel._forward_call(PARAMS, sign, vol_perm, scene.tf_lut, feats)
+        d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
+            PARAMS, major, sign, vol_perm, scene.tf_lut, feats, fin, wq,
+            win_rows=0,
+        )
+
+    origin, dirs = rays_mod.generate_rays(m, H, W)
+    entry, exit_ = rays_mod.ray_box_intersection(origin, dirs)
+
+    def loss_jnp(vp, lut):
+        img = slab.march_slabs_diff(
+            PARAMS, major, sign, vp,
+            slab.permute_volume(scene.importance, major), lut,
+            origin, dirs, entry, exit_,
+        )
+        return jnp.sum(img * w)
+
+    gv, gl = jax.grad(loss_jnp, argnums=(0, 1))(vol_perm, scene.tf_lut)
+    for name, a, b in (("d_volume", gv, d_vol), ("d_lut", gl, d_lut)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        rel = np.abs(a - b) / scale
+        n_out = int((rel > 1e-2).sum())
+        assert n_out <= 8, (
+            f"inverted+fused {name}: {n_out} outliers > 1e-2 rel "
+            f"(max {rel.max():.2e}) — systematic, not knife-edge"
+        )
+
+
+def test_chunk_grouping_matches_single_call(scene, cam):
+    """Large images run as sequential chunk-group pallas calls
+    (CHUNK_GROUP); the grouped forward/backward must equal the single-call
+    results exactly (the groups see disjoint chunks; scatter grids and
+    d_lut sum, d_feats concatenate)."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(scene.volume, major)
+    H = W = 64  # 4 chunks
+    feats, miss, r = slab_kernel._chunked_feats(m, H, W, 16, major, sign, layout)
+    w = jnp.cos(jnp.arange(H * W * 4, dtype=jnp.float32).reshape(-1, 4) * 0.1)
+    wq = slab_kernel._chunk_rays(w.T, H, W)
+
+    def run():
+        with emulate(slab_kernel, slab_bwd_kernel):
+            fin = slab_kernel._forward_call(
+                PARAMS, sign, vol_perm, scene.tf_lut, feats
+            )
+            grads = slab_bwd_kernel.backward(
+                PARAMS, major, sign, vol_perm, scene.tf_lut, feats, fin, wq,
+                win_rows=0,
+            )
+        return fin, grads
+
+    fin1, g1 = run()
+    prev = slab_kernel.CHUNK_GROUP
+    slab_kernel.CHUNK_GROUP = 2  # force 2 groups
+    try:
+        fin2, g2 = run()
+    finally:
+        slab_kernel.CHUNK_GROUP = prev
+    np.testing.assert_allclose(np.asarray(fin2), np.asarray(fin1), atol=0)
+    for name, a, b in zip(("d_volume", "d_lut", "d_feats"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-6, err_msg=name
+        )

@@ -1192,6 +1192,34 @@ def _backward_call(
     win_rows=0, imp_perm=None, ahead=None, grad_perm=None, coloring=False,
     knobs=None,
 ):
+    if feats.shape[0] > fwd_mod.CHUNK_GROUP:
+        # chunk grouping, as in fwd_mod._forward_call: the resident
+        # per-chunk state (feats/fin/g_img/d_feats/accumulator — 152 KB
+        # per chunk) must fit VMEM, so large images run as sequential
+        # group calls; the scatter grids/LUT gradients SUM over groups,
+        # the per-chunk d_feats concatenate.
+        G = fwd_mod.CHUNK_GROUP
+        n = feats.shape[0]
+        acc = None
+        dfeats = []
+        for g0 in range(0, n, G):
+            g1 = min(g0 + G, n)
+            res = _backward_call(
+                params, sign, vol_perm, lut, feats[g0:g1], fin[g0:g1],
+                g_img[g0:g1], win_rows=win_rows, imp_perm=imp_perm,
+                ahead=None if ahead is None else ahead[g0:g1],
+                grad_perm=grad_perm, coloring=coloring, knobs=knobs,
+            )
+            d_scatter, d_grad, d_lut, d_feats_g = res
+            dfeats.append(d_feats_g)
+            if acc is None:
+                acc = [d_scatter, d_grad, d_lut]
+            else:
+                acc = [
+                    None if x is None else x + y
+                    for x, y in zip(acc, (d_scatter, d_grad, d_lut))
+                ]
+        return acc[0], acc[1], acc[2], jnp.concatenate(dfeats, axis=0)
     """Shared driver behind :func:`backward` / :func:`backward_shaded` /
     :func:`backward_coloring`.
 
@@ -1398,7 +1426,9 @@ def _backward_call(
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=fwd_mod.vmem_params(
-            smoothing or fuse or (coloring and shading)
+            smoothing or fuse or (coloring and shading),
+            resident_bytes=n_chunks * (2 * N_FEATURES + 12)
+            * RAYS_PER_CHUNK * 4,
         ),
     )(*inputs)
 

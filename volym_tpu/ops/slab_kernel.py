@@ -50,6 +50,10 @@ WIN_SLACK = 10
 MIN_WIN_ROWS = 16
 #: sub-slabs marched per grid step: amortises the ~2us/step grid+DMA floor
 SLAB_BATCH = int(__import__("os").environ.get("VOLYM_SLAB_BATCH", "8"))
+#: max ray chunks per pallas call: resident feats (64 KB/chunk) + output
+#: (16 KB/chunk) must fit VMEM next to the slice blocks; larger images run
+#: as sequential chunk-group calls (see _forward_call / _backward_call).
+CHUNK_GROUP = int(__import__("os").environ.get("VOLYM_CHUNK_GROUP", "256"))
 #: minimum chunk count for the inverted (slab-outer) grid.  With slabs on
 #: the OUTER grid axis the slice block index is constant across the inner
 #: chunk sweep, so pallas fetches each volume slab block ONCE per frame
@@ -1074,6 +1078,25 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         )
     thr = knobs[0, 0]
     n_chunks = feats.shape[0]
+    if n_chunks > CHUNK_GROUP:
+        # Chunk grouping: the resident feats/output VMEM blocks scale with
+        # the chunk count (64 KB + 16 KB per chunk), so large images run
+        # as ceil(C / CHUNK_GROUP) sequential pallas calls over chunk
+        # groups.  The volume streams once per GROUP — 4x at 1024²,
+        # nothing next to the per-chunk streaming the inverted grid
+        # replaced — and every resident-block win is preserved per group.
+        outs = []
+        for g0 in range(0, n_chunks, CHUNK_GROUP):
+            g1 = min(g0 + CHUNK_GROUP, n_chunks)
+            outs.append(
+                _forward_call(
+                    params, sign, vol_perm, lut, feats[g0:g1],
+                    imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
+                    ahead=None if ahead is None else ahead[g0:g1],
+                    knobs=knobs,
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
     n_slabs, nr, nc = vol_perm.shape
     coloring = params.use_importance_coloring
     lookahead = ahead is not None
@@ -1218,20 +1241,29 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             (n_chunks, 4, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))
         ),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32),
-        compiler_params=vmem_params(smoothing or shading),
+        compiler_params=vmem_params(
+            smoothing or shading,
+            resident_bytes=n_chunks * (N_FEATURES + 4) * RAYS_PER_CHUNK * 4,
+        ),
     )(*inputs)
 
 
-def vmem_params(heavy: bool):
+def vmem_params(heavy: bool, resident_bytes: int = 0):
     """Compiler params for the slab kernels.  The smoothing+shading combo
     at 256^3 streams 3 double-buffered slice blocks plus the 3-channel
     gradient block (~17 MB scoped VMEM) — above Mosaic's 16 MB default
     scoped limit but well within the chip's physical VMEM (128 MB on
-    v5e); raise the cap only for that case so every other mode keeps the
-    default working set."""
-    if not heavy:
+    v5e); raise the cap only when needed so every other mode keeps the
+    default working set.  ``resident_bytes``: the whole-array resident
+    blocks (feats/output/backward state), which scale with the chunk
+    count — the cap grows with them (chunk grouping bounds the total)."""
+    base = (48 if heavy else 16) * 1024 * 1024
+    limit = base + resident_bytes
+    if resident_bytes == 0 and not heavy:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(limit, 112 * 1024 * 1024)
+    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))

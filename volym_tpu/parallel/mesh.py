@@ -7,8 +7,9 @@ communication"): shard the pixel/ray axis over a ``jax.sharding.Mesh`` with
 ``shard_map``, replicate the voxel grid / TF / importance (256^3 uint8 is
 16 MiB — trivial in HBM), and ``psum`` the parameter gradients across the
 ray axis.  XLA lowers the psum to all-reduce over ICI within a slice and DCN
-across hosts, and its latency-hiding scheduler overlaps the reduction with
-the backward march (BASELINE.json config 5).
+across hosts; the measured schedule fuses the gradient reductions into one
+tail all-reduce (~0.3% of a 1024² backward — see make_train_step and
+BASELINE.md "Gradient-allreduce schedule").
 
 Mesh axes: a single ``"rays"`` axis is the default (pure DP over rays).  A
 2D ``("host", "rays")`` layout is provided for multi-host runs so that the
@@ -322,9 +323,14 @@ def make_train_step(
     """Distributed inverse-rendering step (BASELINE.json config 5).
 
     Returns ``step(scene, camera_matrices, target) -> (loss, grads)`` with
-    rays sharded over the mesh and scene gradients psum'd across it.  The
-    psum sits *inside* the shard_mapped backward, so XLA's scheduler can
-    overlap the all-reduce with the remaining backward march of later tiles.
+    rays sharded over the mesh and scene gradients psum'd across it.
+    Schedule shape, from the compiled HLO (scripts/probe_overlap.py): XLA
+    merges the gradient psums into ONE tuple all-reduce at the end of the
+    module — no overlap with backward compute, and none needed at this
+    scale (the fused reduction moves ~33 MB, ~0.4 ms on ICI vs a 137 ms
+    1024² backward).  If a DCN-dominated multi-host reduction ever
+    matters, split the psum so the early-finishing gradients (LUT,
+    camera) reduce during the volume backward.
 
     ``backend``: ``"ray"`` (t-step replay VJP), ``"slab"`` (jnp slab replay
     VJP), or ``"slab_pallas"`` (the production Pallas kernels; jnp slab
