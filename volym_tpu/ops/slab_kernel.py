@@ -1594,13 +1594,35 @@ def _tile_order(height, width):
     return idx.transpose(0, 2, 1, 3).reshape(-1)
 
 
+def _perm_gather(x, order, axis=0):
+    """Gather by a STATIC permutation whose VJP is the inverse-permutation
+    gather.  Autodiff's generic transpose of ``x[order]`` is a scatter-add
+    (sort + scatter, ~1 ms/frame of XLA glue in the 256^2 backward); for a
+    permutation the transpose is exactly the inverse gather."""
+    order = np.asarray(order)
+    inv = np.argsort(order)
+
+    @jax.custom_vjp
+    def gather(x):
+        return jnp.take(x, order, axis=axis)
+
+    def fwd(x):
+        return gather(x), None
+
+    def bwd(_, ct):
+        return (jnp.take(ct, inv, axis=axis),)
+
+    gather.defvjp(fwd, bwd)
+    return gather(x)
+
+
 def _chunk_rays(mat, height, width):
     """(rows, R) per-ray matrix -> (C, rows, RAYS_PER_CHUNK) chunk layout
     (tile order + padding)."""
     rows, r = mat.shape
     order = _tile_order(height, width)
     if order is not None:
-        mat = mat[:, order]
+        mat = _perm_gather(mat, order, axis=1)
     if r % RAYS_PER_CHUNK:
         pad = RAYS_PER_CHUNK - r % RAYS_PER_CHUNK
         mat = jnp.pad(mat, ((0, 0), (0, pad)))
@@ -1678,7 +1700,7 @@ def _assemble(out, miss, r, height, width):
     img = out.transpose(0, 2, 1).reshape(-1, 4)[:r]  # (R, 4), tile order
     order = _tile_order(height, width)
     if order is not None:
-        img = img[np.argsort(order)]
+        img = _perm_gather(img, np.argsort(order), axis=0)
     miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
     img = jnp.where(miss[:, None], miss_color[None, :], img)
     return img.reshape(height, width, 4)
