@@ -1592,3 +1592,92 @@ def test_chunk_grouping_matches_single_call(scene, cam):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-6, err_msg=name
         )
+
+
+def test_stored_density_backward_bitwise(scene, cam):
+    """The stored-density replay (forward emits per-step density, backward
+    loads it instead of re-contracting the volume slice) must be BITWISE
+    equal to the recomputing replay — the stored value is the same
+    kernel_dot over the same operands, just persisted.  Also pins the
+    emit_density forward contract: the rgba output is unchanged and
+    skipped steps publish exactly-zero density."""
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(scene.volume, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    wvec = jnp.sin(
+        jnp.arange(
+            feats.shape[0] * 4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32
+        )
+        * 0.07
+    ).reshape(feats.shape[0], 4, slab_kernel.RAYS_PER_CHUNK)
+    params = PARAMS.replace(camera_grads=False)
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out_plain = slab_kernel._forward_call(
+            params, sign, vol_perm, scene.tf_lut, feats
+        )
+        out, dens = slab_kernel._forward_call(
+            params, sign, vol_perm, scene.tf_lut, feats, emit_density=True
+        )
+        d_vol_s, d_lut_s, d_feats_s = slab_bwd_kernel.backward(
+            params, major, sign, vol_perm, scene.tf_lut, feats, out, wvec,
+            dens=dens,
+        )
+        d_vol_r, d_lut_r, d_feats_r = slab_bwd_kernel.backward(
+            params, major, sign, vol_perm, scene.tf_lut, feats, out, wvec,
+        )
+
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_plain))
+    for name, a, b in (
+        ("d_vol", d_vol_s, d_vol_r),
+        ("d_lut", d_lut_s, d_lut_r),
+        ("d_feats", d_feats_s, d_feats_r),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"{name}: stored != recomputed"
+        )
+    # density is sane: in [0, 1] (the volume is), and nonzero somewhere
+    dn = np.asarray(dens)
+    assert dn.min() >= 0.0 and dn.max() <= 1.0 + 1e-6
+    assert np.abs(dn).max() > 0
+
+
+def test_stored_density_render_diff_matches_golden(scene, cam):
+    """End-to-end render_diff gradcheck with the stored-density default ON
+    vs plain autodiff of the jnp golden (camera_grads=False path)."""
+    if not slab_kernel.STORE_DENSITY:
+        pytest.skip("VOLYM_STORE_DENSITY=0")
+    m = cam.matrices()
+    params = PARAMS.replace(camera_grads=False)
+
+    def loss_k(vol, lut):
+        img = slab_kernel._render_pallas_diff_jit.__wrapped__(
+            Scene(vol, scene.importance, lut), m, params.pallas_static(),
+            RES, RES, *slab.dominant_axis(m), knobs=params.knobs(),
+        )
+        return jnp.sum(img ** 2)
+
+    def loss_g(vol, lut):
+        img = slab.render_diff(
+            Scene(vol, scene.importance, lut), m, params, RES, RES
+        )
+        return jnp.sum(img ** 2)
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        lk, gk = jax.value_and_grad(loss_k, argnums=(0, 1))(
+            scene.volume, scene.tf_lut
+        )
+    lg, gg = jax.value_and_grad(loss_g, argnums=(0, 1))(
+        scene.volume, scene.tf_lut
+    )
+    np.testing.assert_allclose(float(lk), float(lg), rtol=1e-4)
+    for name, a, b in (("d_vol", gk[0], gg[0]), ("d_lut", gk[1], gg[1])):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a, b, atol=3e-3 * scale, rtol=2e-2, err_msg=name
+        )

@@ -191,7 +191,18 @@ def _replay_kernel(
     fuse_scatter: bool = False,
     aux=jax.lax.Precision.HIGHEST,
     subtexel: int = 0,
+    stored_density: bool = False,
+    nr: int = 0,
+    nc: int = 0,
 ):
+    if stored_density:
+        # the second positional ref is the forward's per-step density
+        # block (1, sb, 1, R) — the volume slice never enters the kernel
+        # (nr/nc arrive statically for the hat shapes)
+        dens_ref, slice_ref = slice_ref, None
+    else:
+        dens_ref = None
+        nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rest = list(rest)
     # traced live-mutation knobs as SMEM scalars (see fwd_mod._march_kernel)
     knobs_ref = rest.pop(0)
@@ -355,7 +366,8 @@ def _replay_kernel(
                     imp_ref=imp_ref, grad_ref=grad_ref, coloring=coloring,
                     ahead=ahead_ref[0, i] if lookahead else None,
                     density_override=(
-                        None if smooth_rows is None else smooth_rows[i]
+                        dens_ref[0, i] if stored_density
+                        else (None if smooth_rows is None else smooth_rows[i])
                     ),
                     dsmooth_dts=None if dts_rows is None else dts_rows[i],
                     camera_grads=camera_grads,
@@ -366,6 +378,8 @@ def _replay_kernel(
                     dgrad_out_ref=dgrad_out_ref,
                     aux=aux,
                     subtexel=subtexel,
+                    nr=nr,
+                    nc=nc,
                 )
 
         if win_cols and fits_b is not None:
@@ -401,11 +415,12 @@ def _replay_step(
     win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True,
     occupied=None, r0=None, c0=None, dvol_ref=None, dgrad_out_ref=None,
-    aux=jax.lax.Precision.HIGHEST, subtexel=0,
+    aux=jax.lax.Precision.HIGHEST, subtexel=0, nr=None, nc=None,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
-    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+    if slice_ref is not None:
+        nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rows_c, cols_c, t = _coords(feat, jf, nr, nc, subtexel)
 
     def body():
@@ -418,7 +433,7 @@ def _replay_step(
             density_override=density_override, dsmooth_dts=dsmooth_dts,
             camera_grads=camera_grads, r0=r0, dvol_ref=dvol_ref,
             dgrad_out_ref=dgrad_out_ref, win_cols=win_cols, c0=c0, aux=aux,
-            subtexel=subtexel,
+            subtexel=subtexel, nr=nr, nc=nc,
         )
 
     if occupied is None:
@@ -439,9 +454,10 @@ def _replay_step_body(
     win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
     density_override=None, dsmooth_dts=None, camera_grads=True, r0=None,
     c0=None, dvol_ref=None, dgrad_out_ref=None,
-    aux=jax.lax.Precision.HIGHEST, subtexel=0,
+    aux=jax.lax.Precision.HIGHEST, subtexel=0, nr=None, nc=None,
 ):
-    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+    if slice_ref is not None:
+        nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
     # hat exactness for the 2-pass contraction (fwd_mod.kernel_dot exact=):
     # box hats and dhat sign patterns always; snapped triangle hats too.
@@ -465,21 +481,24 @@ def _replay_step_body(
             _dhat(rows_c, win_rows, rays, bilinear, base=r0)
             if camera_grads else None
         )
-        sl = slice_ref[slice_row, pl.ds(r0, win_rows), cw]
     else:
         hat_y = _hat(rows_c, nr, rays, bilinear)
         dhat_y = _dhat(rows_c, nr, rays, bilinear) if camera_grads else None
-        sl = slice_ref[slice_row, :, cw]
     hat_x = _hat(cols_c, nx, rays, bilinear, base=cbase)
     if density_override is None:
+        if win_rows:
+            sl = slice_ref[slice_row, pl.ds(r0, win_rows), cw]
+        else:
+            sl = slice_ref[slice_row, :, cw]
         colvals = fwd_mod.kernel_dot(
             sl, hat_y, (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST, exact=vol_hint,
         )
         density = jnp.sum(colvals * hat_x, axis=0, keepdims=True)  # (1, R)
     else:
-        # Gaussian smoothing: the block pre-computed the smoothed density
-        # (and its d/dF_TS); the plain-row hats chain runs in pass 2b
+        # Gaussian smoothing pre-computed the smoothed density (and its
+        # d/dF_TS) per block, or the stored-density replay loaded the
+        # forward's own sample — either way the volume slice is not read
         density = density_override
 
     if grad_ref is not None:
@@ -1190,7 +1209,7 @@ def _voxel_grad_shaded_kernel(
 def _backward_call(
     params, sign, vol_perm, lut, feats, fin, g_img, *,
     win_rows=0, imp_perm=None, ahead=None, grad_perm=None, coloring=False,
-    knobs=None,
+    knobs=None, dens=None,
 ):
     if feats.shape[0] > fwd_mod.CHUNK_GROUP:
         # chunk grouping, as in fwd_mod._forward_call: the resident
@@ -1209,6 +1228,7 @@ def _backward_call(
                 g_img[g0:g1], win_rows=win_rows, imp_perm=imp_perm,
                 ahead=None if ahead is None else ahead[g0:g1],
                 grad_perm=grad_perm, coloring=coloring, knobs=knobs,
+                dens=None if dens is None else dens[g0:g1],
             )
             d_scatter, d_grad, d_lut, d_feats_g = res
             dfeats.append(d_feats_g)
@@ -1243,6 +1263,11 @@ def _backward_call(
     lookahead = ahead is not None
     shading = grad_perm is not None
     smoothing = params.use_gaussian_smoothing
+    stored_density = dens is not None
+    assert not (stored_density and smoothing), (
+        "stored-density replay is mutually exclusive with Gaussian "
+        "smoothing (the smoothed stencil precomputes block densities)"
+    )
     assert not (coloring and lookahead), "coloring replaces the look-ahead gate"
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
@@ -1322,16 +1347,28 @@ def _backward_call(
         fuse_scatter=fuse,
         aux=aux_prec,
         subtexel=params.subtexel_bits,
+        stored_density=stored_density,
+        nr=nr,
+        nc=nc,
     )
-    # inputs in the replay kernel's pop order (see _replay_kernel *rest)
+    # inputs in the replay kernel's pop order (see _replay_kernel *rest).
+    # With stored density the forward's per-step density output replaces
+    # the volume-slice stream entirely (the replay neither re-samples nor
+    # reads the volume — only the XLA-side occupancy meta below does).
     in_specs = [
         pl.BlockSpec(
             (n_chunks, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))
         ),
-        pl.BlockSpec((sb, nr, nc), slab_index),
+        (
+            pl.BlockSpec(
+                (1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))
+            )
+            if stored_density
+            else pl.BlockSpec((sb, nr, nc), slab_index)
+        ),
         pl.BlockSpec((1, 2), W(lambda c, j: (0, 0)), memory_space=pltpu.SMEM),
     ]
-    inputs = [feats, vol_perm, knobs]
+    inputs = [feats, dens if stored_density else vol_perm, knobs]
     if smoothing:
         # previous / next MARCH blocks (clamped at the sweep ends) for the
         # slab-axis stencil's halo rows
@@ -1549,7 +1586,7 @@ def _backward_call(
     return d_scatter, d_grad, d_lut, d_feats
 
 
-def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, imp_perm=None, ahead=None, knobs=None):
+def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, imp_perm=None, ahead=None, knobs=None, dens=None):
     """Run both backward passes.
 
     Args:
@@ -1566,13 +1603,14 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     d_vol, _d_grad, d_lut, d_feats = _backward_call(
         params, sign, vol_perm, lut, feats, fin, g_img,
         win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, knobs=knobs,
+        dens=dens,
     )
     return d_vol, d_lut, d_feats
 
 
 def backward_shaded(
     params, major, sign, vol_perm, grad_perm, lut, feats, fin, g_img,
-    win_rows=0, imp_perm=None, ahead=None, knobs=None,
+    win_rows=0, imp_perm=None, ahead=None, knobs=None, dens=None,
 ):
     """Both backward passes for the Blinn-Phong-shaded mode.
 
@@ -1587,11 +1625,11 @@ def backward_shaded(
     return _backward_call(
         params, sign, vol_perm, lut, feats, fin, g_img,
         win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, grad_perm=grad_perm,
-        knobs=knobs,
+        knobs=knobs, dens=dens,
     )
 
 
-def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0, grad_perm=None, knobs=None):
+def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0, grad_perm=None, knobs=None, dens=None):
     """Both backward passes for the importance-coloring mode.
 
     Returns ``(d_imp_perm, d_feats)`` — or, with ``grad_perm`` (the
@@ -1606,7 +1644,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     d_imp, d_grad, _d_lut, d_feats = _backward_call(
         params, sign, vol_perm, None, feats, fin, g_img,
         win_rows=win_rows, imp_perm=imp_perm, grad_perm=grad_perm,
-        coloring=True, knobs=knobs,
+        coloring=True, knobs=knobs, dens=dens,
     )
     if grad_perm is None:
         return d_imp, d_feats

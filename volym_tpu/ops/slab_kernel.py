@@ -98,6 +98,7 @@ def _march_kernel(
     inverted: bool = False,
     first_hit: bool = False,
     subtexel: int = 0,
+    emit_density: bool = False,
 ):
     rest = list(rest)
     # live-mutation knobs (density threshold, early-termination alpha) ride
@@ -113,7 +114,11 @@ def _march_kernel(
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
-    (lut_ref, out_all) = rest
+    if emit_density:
+        (lut_ref, out_all, dens_all) = rest
+    else:
+        (lut_ref, out_all) = rest
+        dens_all = None
     if inverted:
         J, C = pl.program_id(0), pl.program_id(1)
     else:
@@ -131,6 +136,14 @@ def _march_kernel(
     @pl.when(J == 0)
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    if dens_all is not None:
+        # the per-step density output block (consumed by the stored-density
+        # backward replay) is written every iteration: pre-zero it once so
+        # skipped batches/steps publish exactly-zero density (-> zero mask,
+        # zero contribution in the replay), mirroring the replay's dd
+        # pre-zero
+        dens_all[0] = jnp.zeros_like(dens_all[0])
 
     # Block-level empty-space gate: per-step footprint flags and window
     # starts PRECOMPUTED once per frame on the XLA side (build_step_meta)
@@ -233,6 +246,8 @@ def _march_kernel(
                     c0=c0,
                     first_hit=first_hit,
                     subtexel=subtexel,
+                    dens_ref=dens_all,
+                    dens_row=i,
                 )
 
         if win_cols and fits_b is not None:
@@ -277,6 +292,19 @@ def _march_kernel(
 #: 1.4-1.8x the x6 frame rate; set VOLYM_EXACT_DOT=x6 for fp32-faithful
 #: contractions.
 EXACT_DOT = __import__("os").environ.get("VOLYM_EXACT_DOT", "x3")
+
+#: stored-density backward (default on): the differentiable forward emits
+#: the per-step sampled density (f32, (C, n_slabs, 1, R) — 67 MB at 256²,
+#: ~1 GB at 1024² with 256 slabs) and the backward replay LOADS it instead
+#: of re-contracting the volume slice against the hats — dropping the
+#: replay's 2-pass exact density matmul (~2 ms/frame at 256²) and its
+#: volume-slice streaming, and making the backward's threshold masks
+#: bit-identical to the forward's by construction.  Applies when neither
+#: Gaussian smoothing (block-stencil densities) nor camera cotangents
+#: (whose dhat chain needs the slice anyway) are in play.  Disable via
+#: VOLYM_STORE_DENSITY=0 (the replay then recomputes — bit-identical
+#: results, measured slower).
+STORE_DENSITY = __import__("os").environ.get("VOLYM_STORE_DENSITY", "1") == "1"
 
 #: debug-mode verification of kernel_dot's caller-owned exact= contract:
 #: when set (the eager-emulator CI path enables it — values are concrete
@@ -788,7 +816,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, win_cols=0, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occupied=None, r0=None, c0=None, first_hit=False, subtexel=0):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, win_cols=0, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occupied=None, r0=None, c0=None, first_hit=False, subtexel=0, dens_ref=None, dens_row=0):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -812,7 +840,8 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             early_alpha=early_alpha, threshold=threshold, precision=precision,
             win_rows=win_rows, coloring=coloring, ahead=ahead,
             density_override=density_override, r0=r0, first_hit=first_hit,
-            win_cols=win_cols, c0=c0, subtexel=subtexel,
+            win_cols=win_cols, c0=c0, subtexel=subtexel, dens_ref=dens_ref,
+            dens_row=dens_row,
         )
 
     if occupied is None:
@@ -826,7 +855,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             body()
 
 
-def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None, first_hit=False, win_cols=0, c0=None, subtexel=0):
+def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None, first_hit=False, win_cols=0, c0=None, subtexel=0, dens_ref=None, dens_row=0):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
     if win_cols:
@@ -934,6 +963,12 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         density = jnp.sum(colvals[0] * hat_x, axis=0, keepdims=True)
     else:
         density = density_override
+    if dens_ref is not None:
+        # stored-density residual for the backward replay: bit-identical to
+        # what the replay would recompute (same kernel_dot, same operands),
+        # so the backward's threshold/early-alpha masks match the forward
+        # BY CONSTRUCTION instead of by determinism
+        dens_ref[0, dens_row] = density
 
     imp = (
         jnp.sum(colvals[colvals.shape[0] - 1] * boxk(cols_c, x_idx), axis=0, keepdims=True)
@@ -1060,7 +1095,7 @@ def features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout,
     return feats
 
 
-def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None, knobs=None):
+def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None, knobs=None, emit_density=False):
     """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba.
 
     ``ahead``: (C, n_slabs, 1, R) look-ahead bits from
@@ -1070,7 +1105,15 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     ``knobs``: (1, 2) f32 ``[[density_threshold, early_termination_alpha]]``
     traveling TRACED (SMEM scalars in the kernel, traced comparisons in the
     occupancy/meta precompute) so slider sweeps reuse one compilation —
-    ``None`` builds it from the params floats (static call sites)."""
+    ``None`` builds it from the params floats (static call sites).
+
+    ``emit_density``: additionally return the per-step sampled density
+    (C, n_slabs, 1, R) — the stored-density residual the backward replay
+    loads instead of re-contracting the volume slice against the hats
+    (drops the replay's density matmul AND its volume-slice streaming;
+    skipped steps publish exactly 0.0, which the threshold mask turns into
+    exactly no contribution).  f32 so the replayed masks are bit-identical
+    to the forward's."""
     if knobs is None:
         knobs = jnp.array(
             [[params.density_threshold, params.early_termination_alpha]],
@@ -1093,8 +1136,13 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
                     params, sign, vol_perm, lut, feats[g0:g1],
                     imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
                     ahead=None if ahead is None else ahead[g0:g1],
-                    knobs=knobs,
+                    knobs=knobs, emit_density=emit_density,
                 )
+            )
+        if emit_density:
+            return (
+                jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0),
             )
         return jnp.concatenate(outs, axis=0)
     n_slabs, nr, nc = vol_perm.shape
@@ -1151,6 +1199,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         smoothing=smoothing,
         inverted=inverted,
         first_hit=not (params.use_opacity or params.use_importance_coloring),
+        emit_density=emit_density,
     )
     # index maps below are written in (chunk, block) order; W re-orders the
     # arguments for the inverted (slab-outer) grid
@@ -1233,19 +1282,35 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     # whole-array resident output: the accumulator lives in VMEM across
     # every revisit (constant index map) and is written back once at the
     # end — no per-iteration aliased HBM round trip
-    return pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (n_chunks, 4, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))
+    )
+    out_shape = jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
+    if emit_density:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct(
+                (n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32
+            ),
+        ]
+    res = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (n_chunks, 4, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=vmem_params(
             smoothing or shading,
             resident_bytes=n_chunks * (N_FEATURES + 4) * RAYS_PER_CHUNK * 4,
         ),
     )(*inputs)
+    return tuple(res) if emit_density else res
 
 
 def vmem_params(heavy: bool, resident_bytes: int = 0):
@@ -1284,20 +1349,34 @@ def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, vol
     )
 
 
-def _mp_fwd(params, major, sign, win_rows, vol_perm, lut, feats, knobs):
-    out = _forward_call(
-        params, sign, vol_perm, lut, feats, win_rows=win_rows, knobs=knobs
+def _use_stored_density(params):
+    """Stored-density backward applies (see STORE_DENSITY): no smoothing
+    (block-stencil densities), no camera cotangents (the dhat chain needs
+    the volume slice and the density colvals anyway)."""
+    return (
+        STORE_DENSITY
+        and not params.use_gaussian_smoothing
+        and not params.camera_grads
     )
-    return out, (vol_perm, lut, feats, out, knobs)
+
+
+def _mp_fwd(params, major, sign, win_rows, vol_perm, lut, feats, knobs):
+    stored = _use_stored_density(params)
+    res = _forward_call(
+        params, sign, vol_perm, lut, feats, win_rows=win_rows, knobs=knobs,
+        emit_density=stored,
+    )
+    out, dens = res if stored else (res, None)
+    return out, (vol_perm, lut, feats, out, knobs, dens)
 
 
 def _mp_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
-    vol_perm, lut, feats, out, knobs = res
+    vol_perm, lut, feats, out, knobs, dens = res
     d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
         params, major, sign, vol_perm, lut, feats, out, g, win_rows=win_rows,
-        knobs=knobs,
+        knobs=knobs, dens=dens,
     )
     return d_vol, d_lut, d_feats, jnp.zeros_like(knobs)
 
@@ -1326,27 +1405,34 @@ def march_pallas_lookahead(params, major, sign, win_rows, vol_perm, imp_perm, lu
 
 
 def _mpl_fwd(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm, knobs):
-    out = _forward_call(
+    stored = _use_stored_density(params)
+    res = _forward_call(
         params, sign, vol_perm, lut, feats, imp_perm=imp_perm,
         grad_perm=grad_perm, win_rows=win_rows, ahead=ahead, knobs=knobs,
+        emit_density=stored,
     )
-    return out, (vol_perm, imp_perm, lut, feats, ahead, grad_perm, out, knobs)
+    out, dens = res if stored else (res, None)
+    return out, (
+        vol_perm, imp_perm, lut, feats, ahead, grad_perm, out, knobs, dens,
+    )
 
 
 def _mpl_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
-    vol_perm, imp_perm, lut, feats, ahead, grad_perm, out, knobs = res
+    vol_perm, imp_perm, lut, feats, ahead, grad_perm, out, knobs, dens = res
     if grad_perm is None:
         d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
             params, major, sign, vol_perm, lut, feats, out, g,
             win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, knobs=knobs,
+            dens=dens,
         )
         d_grad = None
     else:
         d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
             params, major, sign, vol_perm, grad_perm, lut, feats, out, g,
             win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, knobs=knobs,
+            dens=dens,
         )
     return (
         d_vol, jnp.zeros_like(imp_perm), d_lut, d_feats,
@@ -1372,20 +1458,22 @@ def march_pallas_shaded(params, major, sign, win_rows, vol_perm, grad_perm, lut,
 
 
 def _mps_fwd(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats, knobs):
-    out = _forward_call(
+    stored = _use_stored_density(params)
+    res = _forward_call(
         params, sign, vol_perm, lut, feats, grad_perm=grad_perm,
-        win_rows=win_rows, knobs=knobs,
+        win_rows=win_rows, knobs=knobs, emit_density=stored,
     )
-    return out, (vol_perm, grad_perm, lut, feats, out, knobs)
+    out, dens = res if stored else (res, None)
+    return out, (vol_perm, grad_perm, lut, feats, out, knobs, dens)
 
 
 def _mps_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
-    vol_perm, grad_perm, lut, feats, out, knobs = res
+    vol_perm, grad_perm, lut, feats, out, knobs, dens = res
     d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
         params, major, sign, vol_perm, grad_perm, lut, feats, out, g,
-        win_rows=win_rows, knobs=knobs,
+        win_rows=win_rows, knobs=knobs, dens=dens,
     )
     return d_vol, d_grad, d_lut, d_feats, jnp.zeros_like(knobs)
 
@@ -1414,28 +1502,30 @@ def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, fea
 
 
 def _mpc_fwd(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm, knobs):
-    out = _forward_call(
+    stored = _use_stored_density(params)
+    res = _forward_call(
         params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
         imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
-        knobs=knobs,
+        knobs=knobs, emit_density=stored,
     )
-    return out, (vol_perm, imp_perm, feats, grad_perm, out, knobs)
+    out, dens = res if stored else (res, None)
+    return out, (vol_perm, imp_perm, feats, grad_perm, out, knobs, dens)
 
 
 def _mpc_bwd(params, major, sign, win_rows, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
-    vol_perm, imp_perm, feats, grad_perm, out, knobs = res
+    vol_perm, imp_perm, feats, grad_perm, out, knobs, dens = res
     if grad_perm is None:
         d_imp, d_feats = slab_bwd_kernel.backward_coloring(
             params, major, sign, vol_perm, imp_perm, feats, out, g,
-            win_rows=win_rows, knobs=knobs,
+            win_rows=win_rows, knobs=knobs, dens=dens,
         )
         d_grad = None
     else:
         d_imp, d_grad, d_feats = slab_bwd_kernel.backward_coloring(
             params, major, sign, vol_perm, imp_perm, feats, out, g,
-            win_rows=win_rows, grad_perm=grad_perm, knobs=knobs,
+            win_rows=win_rows, grad_perm=grad_perm, knobs=knobs, dens=dens,
         )
     return jnp.zeros_like(vol_perm), d_imp, d_feats, d_grad, jnp.zeros_like(knobs)
 
