@@ -83,3 +83,40 @@ print(
     "MFU at a measured frame time T: (x2-pass FLOPs / T) / peak; e.g. "
     f"T=4.5ms -> {passes*(mxu_nominal+tf_flops)/4.5e-3/peak_bf16:.1%}"
 )
+
+# ---- backward (stored-density replay, scene grads) ------------------------
+# Replay per executed step: TF lookup fwd (b @ tri_o, as above), the d_lut
+# accumulation p @ tri_o^T (4G x R x NI) and zd = b @ dtri_o (4G x NI x R),
+# and the fused voxel-gradient scatter hat_y @ (hat_x*dd)^T
+# ((win, R) x (R, nc) -> full lane width: no column window in the bwd).
+# With STORE_DENSITY the replay's density re-sample matmul is GONE (the
+# forward's stored (C, n_slabs, 1, R) density streams instead: 67 MB).
+g4 = 4 * (256 // sk.TF_GROUP)
+ni = sk.TF_GROUP + 1
+scatter_nominal = exec_steps * 2 * win * N * R           # full width
+dlut_nominal = exec_steps * 2 * g4 * ni * R              # p @ tri_o
+zd_nominal = exec_steps * 2 * g4 * ni * R                # b @ dtri_o
+tf_bwd = tf_flops                                        # replay TF fwd
+# passes: scatter exact='a' -> 2; dlut unhinted x3 -> 3; zd exact='b' -> 2;
+# TF fwd unhinted x3 -> 3
+bwd_pass_flops = (
+    2 * scatter_nominal + 3 * dlut_nominal + 2 * zd_nominal + 3 * tf_bwd
+)
+dens_bytes = C * N * R * 4  # stored density: written fwd, read bwd
+bwd_bytes = (C * (16 + 4 + 4 + 16) * R + N * N * N + 256 * 4) * 4 + dens_bytes
+t_mxu_bwd = bwd_pass_flops / peak_bf16
+t_hbm_bwd = bwd_bytes / peak_hbm
+print(
+    f"backward: scatter {scatter_nominal/1e9:.1f} GFLOP nominal (x2 passes),"
+    f" TF chain {(dlut_nominal+zd_nominal+tf_bwd)/1e9:.1f} GFLOP;"
+    f" stored density {dens_bytes/1e6:.0f} MB"
+)
+print(
+    f"backward speed-of-light: MXU {t_mxu_bwd*1e3:.2f} ms, HBM "
+    f"{t_hbm_bwd*1e3:.2f} ms; fwd+bwd MXU SOL "
+    f"{(t_mxu+t_mxu_bwd)*1e3:.2f} ms"
+)
+print(
+    "fwd+bwd MFU at a measured step time T: e.g. T=11.7ms -> "
+    f"{(passes*(mxu_nominal+tf_flops)+bwd_pass_flops)/11.7e-3/peak_bf16:.1%}"
+)

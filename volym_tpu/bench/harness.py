@@ -116,11 +116,24 @@ def marginal_time(fn, *, iters: int = 25, warmup: int = 2) -> float:
     for _ in range(warmup):
         force_sync(fn())
     n1 = max(1, iters // 5)
-    t1 = batch(n1)
-    t2 = batch(iters)
     if iters == n1:
-        return t2 / iters
-    return max((t2 - t1) / (iters - n1), 1e-9)
+        return batch(iters) / iters
+    # the difference of two tunnel round trips carries ~ms-scale noise; a
+    # single unlucky pair can collapse to ~0 (observed: a 5 ms mode
+    # measuring "0.00 ms").  Sanity-bound each estimate against the
+    # per-frame average of the large batch (which includes the round trip,
+    # so it upper-bounds the marginal time) and retry/median when the
+    # difference is implausibly small.
+    estimates = []
+    for _ in range(3):
+        t1 = batch(n1)
+        t2 = batch(iters)
+        est = max((t2 - t1) / (iters - n1), 1e-9)
+        estimates.append(est)
+        if est > 0.2 * (t2 / iters):
+            return est
+    estimates.sort()
+    return estimates[len(estimates) // 2]
 
 
 #: frames dispatched between fences (device->host fetches).  The fetch is
