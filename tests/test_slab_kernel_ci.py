@@ -1594,13 +1594,16 @@ def test_chunk_grouping_matches_single_call(scene, cam):
         )
 
 
-def test_stored_density_backward_bitwise(scene, cam):
+@pytest.mark.parametrize("smoothing", [False, True])
+def test_stored_density_backward_bitwise(scene, cam, smoothing):
     """The stored-density replay (forward emits per-step density, backward
     loads it instead of re-contracting the volume slice) must be BITWISE
     equal to the recomputing replay — the stored value is the same
-    kernel_dot over the same operands, just persisted.  Also pins the
-    emit_density forward contract: the rgba output is unchanged and
-    skipped steps publish exactly-zero density."""
+    kernel_dot over the same operands, just persisted (under Gaussian
+    smoothing: the same stencil over the same rows, letting the replay
+    skip the whole prologue).  Also pins the emit_density forward
+    contract: the rgba output is unchanged and skipped steps publish
+    exactly-zero density."""
     m = cam.matrices()
     major, sign = slab.dominant_axis(m)
     layout = slab._AXIS_LAYOUT[major]
@@ -1614,7 +1617,9 @@ def test_stored_density_backward_bitwise(scene, cam):
         )
         * 0.07
     ).reshape(feats.shape[0], 4, slab_kernel.RAYS_PER_CHUNK)
-    params = PARAMS.replace(camera_grads=False)
+    params = PARAMS.replace(
+        camera_grads=False, use_gaussian_smoothing=smoothing
+    )
 
     with emulate(slab_kernel, slab_bwd_kernel):
         out_plain = slab_kernel._forward_call(

@@ -208,8 +208,8 @@ def _replay_kernel(
     knobs_ref = rest.pop(0)
     threshold = knobs_ref[0, 0]
     early_alpha = knobs_ref[0, 1]
-    prev_ref = rest.pop(0) if smoothing else None
-    next_ref = rest.pop(0) if smoothing else None
+    prev_ref = rest.pop(0) if smoothing and not stored_density else None
+    next_ref = rest.pop(0) if smoothing and not stored_density else None
     imp_ref = rest.pop(0) if (coloring or lookahead) else None
     meta_ref = rest.pop(0) if (occupancy or win_rows or win_cols) else None
     grad_ref = rest.pop(0) if shading else None
@@ -300,7 +300,7 @@ def _replay_kernel(
     def _active_block():
         feat = feat_ref[0]
         smooth_rows = dts_rows = None
-        if smoothing:
+        if smoothing and not stored_density:
             # mirror the forward's batch-amortised stencil (_march_kernel):
             # plain density rows for march offsets [-HALO, sb + HALO) from
             # the prev/cur/next blocks, then per-sub-step smoothed density
@@ -1264,9 +1264,9 @@ def _backward_call(
     shading = grad_perm is not None
     smoothing = params.use_gaussian_smoothing
     stored_density = dens is not None
-    assert not (stored_density and smoothing), (
-        "stored-density replay is mutually exclusive with Gaussian "
-        "smoothing (the smoothed stencil precomputes block densities)"
+    assert not (stored_density and params.camera_grads), (
+        "camera cotangents need the volume slice (dhat chain / d-F_TS tap"
+        " rows) — the stored-density replay never streams it"
     )
     assert not (coloring and lookahead), "coloring replaces the look-ahead gate"
     n_chunks = feats.shape[0]
@@ -1369,7 +1369,7 @@ def _backward_call(
         pl.BlockSpec((1, 2), W(lambda c, j: (0, 0)), memory_space=pltpu.SMEM),
     ]
     inputs = [feats, dens if stored_density else vol_perm, knobs]
-    if smoothing:
+    if smoothing and not stored_density:
         # previous / next MARCH blocks (clamped at the sweep ends) for the
         # slab-axis stencil's halo rows
         if sign > 0:

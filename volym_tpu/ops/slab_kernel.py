@@ -1350,14 +1350,14 @@ def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, vol
 
 
 def _use_stored_density(params):
-    """Stored-density backward applies (see STORE_DENSITY): no smoothing
-    (block-stencil densities), no camera cotangents (the dhat chain needs
-    the volume slice and the density colvals anyway)."""
-    return (
-        STORE_DENSITY
-        and not params.use_gaussian_smoothing
-        and not params.camera_grads
-    )
+    """Stored-density backward applies (see STORE_DENSITY) whenever camera
+    cotangents are off: their dhat chain needs the volume slice and the
+    density colvals anyway (and, under smoothing, the d/dF_TS tap-offset
+    rows).  With Gaussian smoothing the stored value is the SMOOTHED
+    density, which lets the replay skip the whole sb+2·halo-row stencil
+    prologue (the scatter's stencil transpose runs outside the kernel on
+    dd and never needed the slices)."""
+    return STORE_DENSITY and not params.camera_grads
 
 
 def _mp_fwd(params, major, sign, win_rows, vol_perm, lut, feats, knobs):
