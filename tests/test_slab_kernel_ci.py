@@ -1686,3 +1686,67 @@ def test_stored_density_render_diff_matches_golden(scene, cam):
         np.testing.assert_allclose(
             a, b, atol=3e-3 * scale, rtol=2e-2, err_msg=name
         )
+
+
+@pytest.mark.parametrize("cone", [False, True])
+def test_lookahead_fractional_importance(scene, cam, cone):
+    """The pre-pass's combined gate bit distinguishes the PROBE threshold
+    (importance >= 0.5 counts as important-ahead) from the CURRENT-step
+    opacity compare (importance < 1.0 still skips): a band with
+    importance 0.8 must trigger the skip for samples in front of it AND
+    itself be skippable — the ternary slice encoding covers both with one
+    stream.  Kernel (emulator) vs the jnp slab golden."""
+    import volym_tpu.render.slab as slab_m
+    from volym_tpu.ops import lookahead_kernel
+
+    vol = np.asarray(scene.volume).copy()
+    imp = np.zeros_like(vol)
+    vol[:, 6:10, 6:10] = 0.6        # a dense column so skipping matters
+    imp[8:12, 6:10, 6:10] = 0.8     # important-ish but NOT opaque
+    imp[12:14, 8:9, 8:9] = 1.0      # a truly opaque core
+    s = Scene(
+        volume=jnp.asarray(vol),
+        importance=jnp.asarray(imp),
+        tf_lut=scene.tf_lut,
+    )
+    m = cam.matrices()
+    params = PARAMS.replace(
+        use_importance_rendering=True, use_cone_importance_check=cone,
+        density_threshold=0.05,
+    )
+
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(s.volume, major)
+    imp_perm = slab.permute_volume(s.importance, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+    cone_feats = (
+        slab_kernel._chunk_rays(
+            slab_kernel._pack_cone_features(
+                m, RES, RES, vol_perm.shape[0], major, sign, layout
+            ),
+            RES, RES,
+        )
+        if cone
+        else None
+    )
+    with emulate(slab_kernel, lookahead_kernel):
+        ahead = lookahead_kernel.lookahead_call(
+            sign, imp_perm, feats, cone_feats, subtexel=params.subtexel_bits
+        )
+        out = slab_kernel._forward_call(
+            params, sign, vol_perm, s.tf_lut, feats, imp_perm=imp_perm,
+            ahead=ahead,
+        )
+    img_k = np.asarray(slab_kernel._assemble(out, miss, r, RES, RES))
+    img_g = np.asarray(slab.render(s, m, params, RES, RES))
+    np.testing.assert_allclose(img_k, img_g, atol=2e-5)
+    # the gate must actually fire somewhere (otherwise this test is vacuous):
+    # compare against the same render with look-ahead off
+    img_off = np.asarray(
+        slab.render(s, m, params.replace(use_importance_rendering=False),
+                    RES, RES)
+    )
+    assert np.abs(img_g - img_off).max() > 1e-3

@@ -55,6 +55,13 @@ from volym_tpu.ops.slab_kernel import (
 
 _FAR = 1e9  # "no important slab ahead" sentinel (march-index units)
 IMPORTANT_AHEAD_THRESHOLD = 0.5
+#: ternary pre-quantisation levels (lookahead_call): raw importance maps
+#: to {0, 0.75, 1.5} so ONE slice stream answers both compares exactly —
+#: probes test sample >= IMPORTANT_AHEAD_THRESHOLD (raw >= 0.5) and the
+#: combined gate's current-step opacity tests sample >= OPAQUE_LEVEL
+#: (raw >= IMPORTANCE_OPAQUE = 1.0).  All levels and their one-hot box
+#: selections are bf16-exact, so the sampling matmuls stay single-pass.
+OPAQUE_LEVEL = 1.5
 
 
 def _row(feat, i):
@@ -111,6 +118,7 @@ def _straight_kernel(
     n_blocks: int,
     occupancy: bool,
     inverted: bool = False,
+    subtexel: int = 0,
 ):
     rest = list(rest)
     meta_ref = rest.pop(0) if (occupancy or win_rows) else None
@@ -140,6 +148,7 @@ def _straight_kernel(
                 occupied=None if flags in (None, False) else flags[i],
                 r0=None if r0s is None else r0s[i],
                 sample=flags is not False,
+                subtexel=subtexel,
             )
 
     # footprint flags + window starts precomputed once per frame
@@ -166,14 +175,21 @@ def _straight_kernel(
         ns_out_ref[0] = ns_ref[:]
 
 
-def _straight_step(feat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, win_rows, occupied=None, r0=None, sample=True):
+def _straight_step(feat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, win_rows, occupied=None, r0=None, sample=True, subtexel=0):
+    from volym_tpu.render import slab as slab_mod
+
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
     rows_c, cols_c, t = _coords_t(feat, jf)
-    rows_c = jnp.clip(rows_c, 0.0, nr - 1.0)
-    cols_c = jnp.clip(cols_c, 0.0, nc - 1.0)
+    # snapped like the march's own sampler coords (slab_kernel._march_step):
+    # the emitted gate bit folds in the CURRENT-step opacity compare the
+    # march kernel used to evaluate itself, so this sample must be the
+    # march's sample bit-for-bit (box selection commutes with the
+    # pre-binarisation, so sample(binarise(V)) == binarise(sample(V)))
+    rows_c = slab_mod.snap(jnp.clip(rows_c, 0.0, nr - 1.0), subtexel)
+    cols_c = slab_mod.snap(jnp.clip(cols_c, 0.0, nc - 1.0), subtexel)
     valid = (
         (_row(feat, F_SIGNOK) > 0.5)
         & (t >= _row(feat, F_ENTRY))
@@ -189,6 +205,8 @@ def _straight_step(feat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row,
     )
     m_end = jf + (_row(feat, F_EXIT) - norm_pos) / _row(feat, F_TS)
     ahead = (ns_ref[:] <= m_end) & valid
+    # default: gate bit == ahead (a footprint-empty step has current
+    # importance exactly 0 -> non-opaque -> the compare is vacuous)
     ahead_ref[0, row] = ahead.astype(jnp.float32)
 
     if not sample:
@@ -200,6 +218,12 @@ def _straight_step(feat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row,
             feat, t, r0=r0,
         )
         hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & valid
+        # COMBINED gate bit: important-ahead AND current sample non-opaque
+        # (wgsl:286-296's two conditions) — the march kernels gate on this
+        # bit alone and never touch the importance grid
+        ahead_ref[0, row] = (
+            ahead & jnp.logical_not(s >= OPAQUE_LEVEL)
+        ).astype(jnp.float32)
         ns_ref[:] = jnp.where(hit, jf, ns_ref[:])
 
     if occupied is None:
@@ -221,6 +245,7 @@ def _cone_kernel(
     n_blocks: int,
     occupancy: bool,
     inverted: bool = False,
+    subtexel: int = 0,
 ):
     rest = list(rest)
     meta_ref = rest.pop(0) if occupancy else None
@@ -248,6 +273,7 @@ def _cone_kernel(
                 slice_row=i if march_sign > 0 else slab_batch - 1 - i,
                 occupied=None if flags in (None, False) else flags[i],
                 sample=flags is not False,
+                subtexel=subtexel,
             )
 
     if not occupancy:
@@ -338,13 +364,18 @@ def build_cone_step_meta(cone_feats, occ, *, n_slabs, sb, sign, nr, nc):
     )[:, :, None, :]
 
 
-def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True):
+def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True, subtexel=0):
+    from volym_tpu.render import slab as slab_mod
+
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     cf = cfeat_ref[0]  # (CONE_FEATURES, R)
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = feat.shape[-1]
-    _, _, t = _coords_t(feat, jf)
+    rows_m, cols_m, t = _coords_t(feat, jf)
+    # main-ray sampler coords, snapped like the march's (see _straight_step)
+    rows_m = slab_mod.snap(jnp.clip(rows_m, 0.0, nr - 1.0), subtexel)
+    cols_m = slab_mod.snap(jnp.clip(cols_m, 0.0, nc - 1.0), subtexel)
     valid = (
         (_row(feat, F_SIGNOK) > 0.5)
         & (t >= _row(feat, F_ENTRY))
@@ -372,11 +403,14 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, sli
         return
 
     def _sample_update():
-        # ONE wide matmul for all directions: per-direction box hats are
-        # stacked along the lane axis ((nr, n_dirs*R) instead of n_dirs
-        # separate (nr, R) contractions) — same FLOPs, deeper MXU N dim,
-        # one dispatch.  Still single-pass bf16-exact: hats are one-hot
-        # and the importance slices pre-binarised (see _boxhat_sample).
+        # ONE wide matmul for all directions + the main ray: per-direction
+        # box hats are stacked along the lane axis ((nr, (n_dirs+1)*R)
+        # instead of separate (nr, R) contractions) — same FLOPs, deeper
+        # MXU N dim, one dispatch.  Still single-pass bf16-exact: hats are
+        # one-hot and the importance slices pre-binarised
+        # (see _boxhat_sample).  The extra main-ray lane block feeds the
+        # COMBINED gate bit (current sample non-opaque), snapped like the
+        # march's own sampler coords.
         rows_s, cols_s, inbox_l = [], [], []
         for c in range(n_dirs):
             base = c * CF_STRIDE
@@ -392,18 +426,29 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, sli
                 & (cols_u >= -0.5) & (cols_u <= nc - 0.5)
                 & (t_c > 0.0)
             )
-            rows_s.append(jnp.clip(rows_u, 0.0, nr - 1.0))
-            cols_s.append(jnp.clip(cols_u, 0.0, nc - 1.0))
-        rows_all = jnp.concatenate(rows_s, axis=1)  # (1, n_dirs*R)
+            rows_s.append(
+                slab_mod.snap(jnp.clip(rows_u, 0.0, nr - 1.0), subtexel)
+            )
+            cols_s.append(
+                slab_mod.snap(jnp.clip(cols_u, 0.0, nc - 1.0), subtexel)
+            )
+        rows_s.append(rows_m)
+        cols_s.append(cols_m)
+        rows_all = jnp.concatenate(rows_s, axis=1)  # (1, (n_dirs+1)*R)
         cols_all = jnp.concatenate(cols_s, axis=1)
         s_all = _boxhat_sample(
             slice_ref, slice_row, rows_all, cols_all, nr, nc,
-            n_dirs * rays, 0, feat, t,
-        )  # (1, n_dirs*R)
+            (n_dirs + 1) * rays, 0, feat, t,
+        )  # (1, (n_dirs+1)*R)
         for c in range(n_dirs):
             s = s_all[:, c * rays : (c + 1) * rays]
             hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox_l[c]
             ns_ref[c : c + 1, :] = jnp.where(hit, jf, ns_ref[c : c + 1, :])
+        s_main = s_all[:, n_dirs * rays :]
+        ahead_ref[0, row] = (
+            (ahead & valid)
+            & jnp.logical_not(s_main >= OPAQUE_LEVEL)
+        ).astype(jnp.float32)
 
     if occupied is None:
         _sample_update()
@@ -416,20 +461,34 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, sli
             _sample_update()
 
 
-def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 0):
-    """Run the reverse pre-pass -> ahead bits (C, n_slabs, 1, R) float32.
+def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 0, subtexel: int = 0):
+    """Run the reverse pre-pass -> GATE bits (C, n_slabs, 1, R) float32.
+
+    The emitted bit is the march's complete skip decision
+    (``wgsl:286-296``): important-material-ahead AND the current sample's
+    importance non-opaque — the current-step box sample rides the same
+    reverse sweep (snapped sampler coords, pre-binarised slices), so the
+    march kernels gate on this bit alone and never sample or stream the
+    importance grid themselves.
 
     ``cone_feats`` selects the 8-direction cone variant (``None`` =
     straight).  ``win_rows`` as in the forward (straight only — cone
-    directions have their own footprints)."""
+    directions have their own footprints).  ``subtexel`` =
+    ``RenderParams.subtexel_bits`` (sampler fixed-point snap)."""
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = imp_perm.shape
     sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
     n_blocks = n_slabs // sb
     occupancy = nr % fwd_mod.OCC_BLOCK == 0 and nc % fwd_mod.OCC_BLOCK == 0
-    # the pre-pass only ever THRESHOLDS importance — binarise up front so
-    # the sampling matmuls can run single-pass bf16 and stay exact
-    imp_perm = (imp_perm >= IMPORTANT_AHEAD_THRESHOLD).astype(jnp.float32)
+    # the pre-pass only ever THRESHOLDS importance — pre-quantise to the
+    # ternary levels (see OPAQUE_LEVEL) so the sampling matmuls run
+    # single-pass bf16 and stay exact for BOTH compares
+    from volym_tpu.render.slab import IMPORTANCE_OPAQUE
+
+    imp_perm = (
+        0.75 * (imp_perm >= IMPORTANT_AHEAD_THRESHOLD).astype(jnp.float32)
+        + 0.75 * (imp_perm >= IMPORTANCE_OPAQUE).astype(jnp.float32)
+    )
     inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
 
     W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
@@ -463,13 +522,26 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
     )
     meta_index = W(lambda c, j: (c, n_blocks - 1 - j, 0, 0))
     if cone_feats is not None:
-        meta = (
-            build_cone_step_meta(
+        if occupancy:
+            meta = build_cone_step_meta(
                 cone_feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc
             )
-            if occupancy
-            else None
-        )
+            # union in the MAIN ray's footprint flags: the combined gate
+            # bit samples the current (main-ray) position in the same
+            # sweep, so a step must count as occupied when EITHER the
+            # cone directions or the main ray could touch an important
+            # block (both metas share the [block_occ, flags[0..sb)]
+            # layout; straight meta rows beyond that are window starts,
+            # absent at win_rows=0)
+            main_meta = fwd_mod.build_step_meta(
+                feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
+                margin=1.0, win_rows=0,
+            )
+            flags_u = jnp.maximum(meta[..., 1:], main_meta[..., 1 : 1 + sb])
+            occ_u = jnp.any(flags_u > 0, axis=-1, keepdims=True)
+            meta = jnp.concatenate([occ_u.astype(meta.dtype), flags_u], axis=-1)
+        else:
+            meta = None
     else:
         meta = fwd_mod.build_step_meta(
             feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
@@ -487,13 +559,13 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
     if cone_feats is not None:
         kernel = partial(
             _cone_kernel, slab_batch=sb, march_sign=sign, n_blocks=n_blocks,
-            occupancy=occupancy, inverted=inverted,
+            occupancy=occupancy, inverted=inverted, subtexel=subtexel,
         )
     else:
         kernel = partial(
             _straight_kernel, win_rows=win_rows, slab_batch=sb,
             march_sign=sign, n_blocks=n_blocks, occupancy=occupancy,
-            inverted=inverted,
+            inverted=inverted, subtexel=subtexel,
         )
     scratch = [pltpu.VMEM((n_dirs, RAYS_PER_CHUNK), jnp.float32)]
 

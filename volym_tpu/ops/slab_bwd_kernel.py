@@ -210,7 +210,7 @@ def _replay_kernel(
     early_alpha = knobs_ref[0, 1]
     prev_ref = rest.pop(0) if smoothing and not stored_density else None
     next_ref = rest.pop(0) if smoothing and not stored_density else None
-    imp_ref = rest.pop(0) if (coloring or lookahead) else None
+    imp_ref = rest.pop(0) if coloring else None
     meta_ref = rest.pop(0) if (occupancy or win_rows or win_cols) else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
@@ -584,11 +584,10 @@ def _replay_step_body(
     )
     m = valid & (density >= threshold) & (acc_a < early_alpha)
     if ahead is not None:
-        # skip-if-important-ahead (wgsl:286-296): replicate the forward
-        # gate exactly — pure comparisons, zero gradient
-        from volym_tpu.render.slab import IMPORTANCE_OPAQUE
-
-        m = m & jnp.logical_not((imp < IMPORTANCE_OPAQUE) & (ahead > 0.5))
+        # skip-if-important-ahead (wgsl:286-296): the pre-pass's COMBINED
+        # gate bit (see lookahead_kernel) — pure comparisons, zero
+        # gradient, no importance sampling in the replay
+        m = m & jnp.logical_not(ahead > 0.5)
     mf = m.astype(jnp.float32)
 
     a = rgba[3:4, :]
@@ -1384,7 +1383,7 @@ def _backward_call(
         inputs.append(vol_perm)
         in_specs.append(pl.BlockSpec((sb, nr, nc), W(next_index)))
         inputs.append(vol_perm)
-    if coloring or lookahead:
+    if coloring:
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         inputs.append(imp_perm)
     if occupancy or win_rows or win_cols:

@@ -111,7 +111,7 @@ def _march_kernel(
     prev_ref = rest.pop(0) if smoothing else None
     next_ref = rest.pop(0) if smoothing else None
     meta_ref = rest.pop(0) if (occupancy or win_rows or win_cols) else None
-    imp_ref = rest.pop(0) if (coloring or lookahead) else None
+    imp_ref = rest.pop(0) if coloring else None
     grad_ref = rest.pop(0) if shading else None
     ahead_ref = rest.pop(0) if lookahead else None
     if emit_density:
@@ -1022,11 +1022,11 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
     )
     m = valid & (density >= threshold) & (acc_a < early_alpha)
     if ahead is not None:
-        # skip-if-important-ahead (wgsl:286-296): non-opaque-importance
-        # samples with important material ahead contribute nothing
-        from volym_tpu.render.slab import IMPORTANCE_OPAQUE
-
-        m = m & jnp.logical_not((imp < IMPORTANCE_OPAQUE) & (ahead > 0.5))
+        # skip-if-important-ahead (wgsl:286-296).  The pre-pass emits the
+        # COMBINED gate bit (important-ahead AND current sample non-opaque
+        # at the same snapped box sample the kernel used to take here), so
+        # the march neither samples nor streams the importance grid
+        m = m & jnp.logical_not(ahead > 0.5)
 
     if first_hit:
         # first-hit-then-break (wgsl:319-323): the first contributing
@@ -1260,7 +1260,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             )
         )
         inputs.append(meta)
-    if coloring or lookahead:
+    if coloring:
         in_specs.append(slice_spec)
         inputs.append(imp_perm)
     if shading:
@@ -1853,7 +1853,8 @@ def _render_pallas_jit(
             else None
         )
         ahead = lookahead_kernel.lookahead_call(
-            sign, imp_perm, feats, cone_feats, win_rows
+            sign, imp_perm, feats, cone_feats, win_rows,
+            subtexel=params.subtexel_bits,
         )
     out = _forward_call(
         params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm,
@@ -1934,7 +1935,7 @@ def _render_pallas_diff_jit(
         )
         ahead = lookahead_kernel.lookahead_call(
             sign, jax.lax.stop_gradient(imp_perm), sg_feats, cone_feats,
-            win_rows,
+            win_rows, subtexel=params.subtexel_bits,
         )
         grad_perm = shaded_grad_perm()
         out = march_pallas_lookahead(

@@ -281,6 +281,7 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
         ahead = lookahead_kernel.lookahead_call(
             sign, jax.lax.stop_gradient(imp_perm),
             jax.lax.stop_gradient(fc), cone_feats, 0,
+            subtexel=params.subtexel_bits,
         )
     knobs = params.knobs()
     if differentiable:

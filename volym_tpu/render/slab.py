@@ -311,7 +311,7 @@ IMPORTANCE_OPAQUE = 1.0
 
 def lookahead_bits(
     imp_perm, origin, dirs, entry, exit_, major: int, sign: int,
-    cone: bool = False,
+    cone: bool = False, subtexel: int = 0,
 ):
     """(n_slabs, R) bool per MARCH step: is an important slab ahead within
     the reference's probe range?
@@ -364,8 +364,13 @@ def lookahead_bits(
         )
         if inbox_extra is not None:
             inbox = inbox & inbox_extra
+        # probe samples are sampler lookups in the reference
+        # (textureSampleLevel, wgsl:150/:129) — fixed-point subtexel
+        # coords, like the march's own samples (see lookahead_kernel)
+        rows_s = snap(jnp.clip(rows, 0.0, n_rows - 1.0), subtexel)
+        cols_s = snap(jnp.clip(cols, 0.0, n_cols - 1.0), subtexel)
         hit = (
-            jax.vmap(_nearest_slice)(imp_march, rows, cols)
+            jax.vmap(_nearest_slice)(imp_march, rows_s, cols_s)
             >= IMPORTANT_AHEAD_THRESHOLD
         ) & inbox
         mvals = jnp.where(hit, m_ids[:, None], jnp.inf)
@@ -543,6 +548,7 @@ def march_slabs(
         ahead_bits = lookahead_bits(
             imp_perm, origin, dirs, entry, exit_, major, sign,
             cone=params.use_cone_importance_check,
+            subtexel=params.subtexel_bits,
         )
     else:
         ahead_bits = jnp.zeros((n_slabs, dirs.shape[0]), bool)
@@ -772,6 +778,7 @@ def _msd_bwd(params, major, sign, res, g):
         ahead_all = lookahead_bits(
             imp_perm, origin, dirs, entry, exit_, major, sign,
             cone=params.use_cone_importance_check,
+            subtexel=params.subtexel_bits,
         )
     else:
         ahead_all = jnp.zeros((n_slabs, 1), bool)
