@@ -160,16 +160,26 @@ def _straight_kernel(
     if not occupancy:
         steps(None, r0s)
     else:
-        # ONE live/dead branch pair per block: in a union-unoccupied block
-        # no step can update ns, so only the (branch-free) ahead rows are
-        # emitted there
+        # Three-way block gate.  Live: sample + emit.  Dead (union-
+        # unoccupied) with some ns already set: emit-only (branch-free
+        # ahead rows).  Dead AND no ns set anywhere (the sweep has not
+        # passed an important slab yet — for an empty importance volume,
+        # EVERY block): every ahead bit is identically false, so one
+        # vector store replaces the per-step valid/norm/compare chain —
+        # the pre-pass collapses toward the bare grid floor.
+        ns_any = jnp.any(ns_ref[:] < _FAR * 0.5)
+
         @pl.when(block_occ)
         def _live():
             steps(flags, r0s)
 
-        @pl.when(jnp.logical_not(block_occ))
+        @pl.when(jnp.logical_not(block_occ) & ns_any)
         def _dead():
             steps(False, None)
+
+        @pl.when(jnp.logical_not(block_occ) & jnp.logical_not(ns_any))
+        def _dead_clean():
+            ahead_ref[0] = jnp.zeros_like(ahead_ref[0])
 
     if inverted:
         ns_out_ref[0] = ns_ref[:]
@@ -279,21 +289,27 @@ def _cone_kernel(
     if not occupancy:
         steps(None)
     else:
-        # per-step UNION footprint flags over the 8 cone directions,
-        # precomputed once per frame (build_cone_step_meta); ONE live/dead
-        # branch pair per block — in a union-unoccupied block no step can
-        # update ns, so only the (branch-free) ahead rows are emitted there
+        # per-step UNION footprint flags over the 8 cone directions + the
+        # main ray, precomputed once per frame (build_cone_step_meta);
+        # three-way block gate as in _straight_kernel — a union-unoccupied
+        # block with NO ns set anywhere emits identically-false bits with
+        # one vector store
         flags, block_occ, _, _, _ = fwd_mod._read_step_meta(
             meta_ref, slab_batch, 0, 0, True
         )
+        ns_any = jnp.any(ns_ref[:] < _FAR * 0.5)
 
         @pl.when(block_occ)
         def _live():
             steps(flags)
 
-        @pl.when(jnp.logical_not(block_occ))
+        @pl.when(jnp.logical_not(block_occ) & ns_any)
         def _dead():
             steps(False)
+
+        @pl.when(jnp.logical_not(block_occ) & jnp.logical_not(ns_any))
+        def _dead_clean():
+            ahead_ref[0] = jnp.zeros_like(ahead_ref[0])
 
     if inverted:
         ns_out_ref[0] = ns_ref[:]
