@@ -182,6 +182,7 @@ def main() -> int:
         # this a reader can mistake variance for a knob and vice versa)
         result["knobs"] = {
             "exact_dot": prod_mod.EXACT_DOT,
+            "store_density": prod_mod.STORE_DENSITY,
             "win_cols": prod_mod.WIN_COLS,
             "tile": prod_mod.TILE,
             "slab_batch": prod_mod.SLAB_BATCH,

@@ -7,19 +7,23 @@ sample?" by probing K points towards the box exit per (pixel, step)
 gather-shaped and, worse, looks at slabs the forward march has not loaded
 yet.  The slab-native formulation inverts it: a REVERSE march over the
 importance volume carries, per ray, the march index of the next important
-crossing ahead (``ns``), and emits one ``ahead`` bit per (chunk, march
-step, ray) — exactly the continuum (K -> infinity) limit of the
-reference's probe loop, including its quirky probe-range end
-``max_distance - length(pos)`` (a t-value minus a norm from the world
-origin).  The forward kernel then streams the ``ahead`` plane like any
-other per-step input.  Semantics match :func:`volym_tpu.render.slab.
-lookahead_bits` (the jnp golden); the t-step golden keeps the reference's
-exact discrete-probe parity.
+crossing ahead (``ns``), and emits one GATE bit per (chunk, march
+step, ray): important-material-ahead (the continuum, K -> infinity,
+limit of the reference's probe loop, including its quirky probe-range
+end ``max_distance - length(pos)`` — a t-value minus a norm from the
+world origin) AND the current step's importance sample non-opaque
+(``wgsl:286-296``'s second condition, folded in here so the march
+kernels never sample or stream the importance grid).  The forward kernel
+then streams the gate plane like any other per-step input.  Semantics
+match :func:`volym_tpu.render.slab.lookahead_bits` + the march-side
+opacity compare (the jnp golden); the t-step golden keeps the
+reference's exact discrete-probe parity.
 
 Cost: one box-hat matmul per (chunk, slab) — with importance-occupancy
-skipping, near zero for typical sparse importance volumes.  The cone
-variant carries 8 next-important indices, one per cone direction
-re-anchored at the camera.
+skipping AND zero-emission of blocks before the first important slab,
+near the bare grid floor for typical sparse importance volumes.  The
+cone variant carries 8 next-important indices, one per cone direction
+re-anchored at the camera, sampling the main ray as a 9th lane block.
 """
 
 from __future__ import annotations
