@@ -1750,3 +1750,36 @@ def test_lookahead_fractional_importance(scene, cam, cone):
                     RES, RES)
     )
     assert np.abs(img_g - img_off).max() > 1e-3
+
+
+def test_cone_window_matches_full(scene, cam):
+    """CONE_WIN_ROWS (default off — measured negative at 256³, see
+    lookahead_kernel) must stay bit-exact vs the full-width pre-pass."""
+    from volym_tpu.ops import lookahead_kernel
+
+    imp = np.zeros((16, 16, 16), np.float32)
+    imp[10:13, 4:9, 4:9] = 1.0
+    m = cam.matrices()
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    imp_perm = slab.permute_volume(jnp.asarray(imp), major)
+    feats, miss, r = slab_kernel._chunked_feats(m, RES, RES, 16, major, sign, layout)
+    cone_feats = slab_kernel._chunk_rays(
+        slab_kernel._pack_cone_features(m, RES, RES, 16, major, sign, layout),
+        RES, RES,
+    )
+    prev = lookahead_kernel.CONE_WIN_ROWS
+    try:
+        with emulate(slab_kernel, lookahead_kernel):
+            lookahead_kernel.CONE_WIN_ROWS = 0
+            full = lookahead_kernel.lookahead_call(
+                sign, imp_perm, feats, cone_feats, subtexel=8
+            )
+            lookahead_kernel.CONE_WIN_ROWS = 8
+            win = lookahead_kernel.lookahead_call(
+                sign, imp_perm, feats, cone_feats, subtexel=8
+            )
+    finally:
+        lookahead_kernel.CONE_WIN_ROWS = prev
+    assert np.abs(np.asarray(full)).max() > 0  # the gate fires somewhere
+    np.testing.assert_array_equal(np.asarray(win), np.asarray(full))

@@ -66,6 +66,16 @@ IMPORTANT_AHEAD_THRESHOLD = 0.5
 #: (raw >= IMPORTANCE_OPAQUE = 1.0).  All levels and their one-hot box
 #: selections are bf16-exact, so the sampling matmuls stay single-pass.
 OPAQUE_LEVEL = 1.5
+#: static row-window width for the cone pre-pass's wide sampling matmul
+#: (one dynamic start + fits bit per slab BATCH over the 9-family union).
+#: Default OFF — a measured negative result: at 256³ the window halves
+#: only the y-contraction MACs while the unshrunk x-chain (boxk build +
+#: contraction over nc lanes of the 9R-wide colvals) is ~40% of a
+#: sampled step, and the per-batch branch duplication eats the rest
+#: (dense-importance cone 66 → 69 ms, empty 7.9 → 8.8 ms with win=128;
+#: fit rates 46%/28% dense/sparse).  Plumbing kept CI-pinned for
+#: architectures where the balance differs: VOLYM_CONE_WIN=128 enables.
+CONE_WIN_ROWS = int(__import__("os").environ.get("VOLYM_CONE_WIN", "0"))
 
 
 def _row(feat, i):
@@ -260,6 +270,7 @@ def _cone_kernel(
     occupancy: bool,
     inverted: bool = False,
     subtexel: int = 0,
+    win_rows: int = 0,
 ):
     rest = list(rest)
     meta_ref = rest.pop(0) if occupancy else None
@@ -278,7 +289,7 @@ def _cone_kernel(
     mb = n_blocks - 1 - jb
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
 
-    def steps(flags):
+    def steps(flags, win=0, r0=None):
         for i in reversed(range(slab_batch)):
             _cone_step(
                 feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref,
@@ -288,6 +299,8 @@ def _cone_kernel(
                 occupied=None if flags in (None, False) else flags[i],
                 sample=flags is not False,
                 subtexel=subtexel,
+                win_rows=win,
+                r0=r0,
             )
 
     if not occupancy:
@@ -303,9 +316,24 @@ def _cone_kernel(
         )
         ns_any = jnp.any(ns_ref[:] < _FAR * 0.5)
 
-        @pl.when(block_occ)
-        def _live():
-            steps(flags)
+        if win_rows:
+            # per-BATCH row window over the 9-family union (layout:
+            # [block_occ, flags[0..sb), r0_b, fits_b]); the multiple_of
+            # hint lets Mosaic accept the dynamic sublane start
+            r0_b = pl.multiple_of(meta_ref[0, 0, 0, 1 + slab_batch], 8)
+            fits_b = meta_ref[0, 0, 0, 1 + slab_batch + 1] > 0
+
+            @pl.when(block_occ & fits_b)
+            def _live_win():
+                steps(flags, win=win_rows, r0=r0_b)
+
+            @pl.when(block_occ & jnp.logical_not(fits_b))
+            def _live_full():
+                steps(flags)
+        else:
+            @pl.when(block_occ)
+            def _live():
+                steps(flags)
 
         @pl.when(jnp.logical_not(block_occ) & ns_any)
         def _dead():
@@ -319,34 +347,58 @@ def _cone_kernel(
         ns_out_ref[0] = ns_ref[:]
 
 
-def build_cone_step_meta(cone_feats, occ, *, n_slabs, sb, sign, nr, nc):
-    """Per-(chunk, march-block) UNION footprint flags of the 8 cone
-    look-ahead directions vs the importance occupancy grid, precomputed
-    once per frame as XLA ops (the cone analog of
-    :func:`volym_tpu.ops.slab_kernel.build_step_meta`; same packed layout
-    ``[block_occ, flags[0..sb)]``, no window starts).
+def build_cone_step_meta(cone_feats, occ, feats, *, n_slabs, sb, sign, nr, nc, win=0):
+    """Per-(chunk, march-block) UNION footprint meta of the 8 cone
+    look-ahead directions AND the main ray (whose current-step sample
+    feeds the combined gate bit) vs the importance occupancy grid,
+    precomputed once per frame as XLA ops (the cone analog of
+    :func:`volym_tpu.ops.slab_kernel.build_step_meta`).
 
-    Returns int32 (C, n_blocks, 1, 1 + sb).
+    Packed layout ``[block_occ, flags[0..sb)]`` plus, when ``win`` is
+    nonzero, one per-BATCH row window ``[r0_b, fits_b]`` covering the
+    9-family coordinate union — the wide sampling matmul's y contraction
+    shrinks nr/win on fitting batches (one branch per batch, as in the
+    forward's column window).
+
+    Returns int32 (C, n_blocks, 1, 1 + sb [+ 2]).
     """
     n_dirs = CONE_FEATURES // CF_STRIDE
     n_blocks = n_slabs // sb
     jf = jnp.arange(n_slabs, dtype=jnp.float32)[None, :, None]  # (1, S, 1)
 
+    def frow(i):
+        return feats[:, i, :][:, None, :]  # (C, 1, R)
+
     rmin = rmax = cmin = cmax = anyin = None
-    for c in range(n_dirs):
-        base = c * CF_STRIDE
+    families = [None] + list(range(n_dirs))  # main ray first
+    for c in families:
+        if c is None:
+            from volym_tpu.ops.slab_kernel import (
+                F_CB, F_CS, F_ENTRY, F_EXIT, F_RB, F_RS, F_TB,
+            )
 
-        def crow(i, base=base):
-            return cone_feats[:, base + i, :][:, None, :]  # (C, 1, R)
+            rows_u = frow(F_RS) * jf + frow(F_RB)
+            cols_u = frow(F_CS) * jf + frow(F_CB)
+            t_m = frow(F_TS) * jf + frow(F_TB)
+            inbox = (
+                (frow(F_SIGNOK) > 0.5)
+                & (t_m >= frow(F_ENTRY))
+                & (t_m < frow(F_EXIT))
+            )
+        else:
+            base = c * CF_STRIDE
 
-        rows_u = crow(CF_RS) * jf + crow(CF_RB)  # (C, S, R)
-        cols_u = crow(CF_CS) * jf + crow(CF_CB)
-        t_c = crow(CF_TS) * jf + crow(CF_TB)
-        inbox = (
-            (rows_u >= -0.5) & (rows_u <= nr - 0.5)
-            & (cols_u >= -0.5) & (cols_u <= nc - 0.5)
-            & (t_c > 0.0)
-        )
+            def crow(i, base=base):
+                return cone_feats[:, base + i, :][:, None, :]  # (C, 1, R)
+
+            rows_u = crow(CF_RS) * jf + crow(CF_RB)  # (C, S, R)
+            cols_u = crow(CF_CS) * jf + crow(CF_CB)
+            t_c = crow(CF_TS) * jf + crow(CF_TB)
+            inbox = (
+                (rows_u >= -0.5) & (rows_u <= nr - 0.5)
+                & (cols_u >= -0.5) & (cols_u <= nc - 0.5)
+                & (t_c > 0.0)
+            )
         rows_c = jnp.clip(rows_u, 0.0, nr - 1.0)
         cols_c = jnp.clip(cols_u, 0.0, nc - 1.0)
         rmin_c = jnp.min(jnp.where(inbox, rows_c, jnp.float32(nr)), axis=2)
@@ -379,12 +431,31 @@ def build_cone_step_meta(cone_feats, occ, *, n_slabs, sb, sign, nr, nc):
     hit = jnp.any(ob[None] & inside, axis=(2, 3))  # (C, S)
     flags = (hit & anyin).reshape(-1, n_blocks, sb)
     block_occ = jnp.any(flags, axis=2, keepdims=True)
-    return jnp.concatenate(
-        [block_occ.astype(jnp.int32), flags.astype(jnp.int32)], axis=2
-    )[:, :, None, :]
+    cols = [block_occ.astype(jnp.int32), flags.astype(jnp.int32)]
+    if win:
+        # one row window per BATCH over the 9-family union (box-hat
+        # support is the single nearest voxel, so covering the clamped
+        # coordinates themselves suffices; clip already bounds them)
+        sh_b = anyin.reshape(-1, n_blocks, sb)
+        lo_b = jnp.min(
+            jnp.where(sh_b, rmin.reshape(-1, n_blocks, sb), jnp.float32(nr)),
+            axis=2,
+        )
+        hi_b = jnp.max(
+            jnp.where(sh_b, rmax.reshape(-1, n_blocks, sb), jnp.float32(-1.0)),
+            axis=2,
+        )
+        any_b = jnp.any(sh_b, axis=2)
+        r0_b = jnp.clip(
+            jnp.floor((lo_b - 1.0) / 8.0) * 8.0, 0.0, nr - win
+        )
+        fits_b = any_b & (hi_b <= r0_b + win - 1.0) & (lo_b >= r0_b)
+        cols.append(r0_b.astype(jnp.int32)[:, :, None])
+        cols.append(fits_b.astype(jnp.int32)[:, :, None])
+    return jnp.concatenate(cols, axis=2)[:, :, None, :]
 
 
-def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True, subtexel=0):
+def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True, subtexel=0, win_rows=0, r0=None):
     from volym_tpu.render import slab as slab_mod
 
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
@@ -458,7 +529,7 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, sli
         cols_all = jnp.concatenate(cols_s, axis=1)
         s_all = _boxhat_sample(
             slice_ref, slice_row, rows_all, cols_all, nr, nc,
-            (n_dirs + 1) * rays, 0, feat, t,
+            (n_dirs + 1) * rays, win_rows, feat, t, r0=r0,
         )  # (1, (n_dirs+1)*R)
         for c in range(n_dirs):
             s = s_all[:, c * rays : (c + 1) * rays]
@@ -541,27 +612,19 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
         else None
     )
     meta_index = W(lambda c, j: (c, n_blocks - 1 - j, 0, 0))
+    cone_win = CONE_WIN_ROWS if (cone_feats is not None and nr > CONE_WIN_ROWS) else 0
     if cone_feats is not None:
-        if occupancy:
-            meta = build_cone_step_meta(
-                cone_feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc
+        # the meta unions the MAIN ray's footprint as a 9th family: the
+        # combined gate bit samples the current (main-ray) position in
+        # the same sweep (build_cone_step_meta)
+        meta = (
+            build_cone_step_meta(
+                cone_feats, occ, feats, n_slabs=n_slabs, sb=sb, sign=sign,
+                nr=nr, nc=nc, win=cone_win,
             )
-            # union in the MAIN ray's footprint flags: the combined gate
-            # bit samples the current (main-ray) position in the same
-            # sweep, so a step must count as occupied when EITHER the
-            # cone directions or the main ray could touch an important
-            # block (both metas share the [block_occ, flags[0..sb)]
-            # layout; straight meta rows beyond that are window starts,
-            # absent at win_rows=0)
-            main_meta = fwd_mod.build_step_meta(
-                feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
-                margin=1.0, win_rows=0,
-            )
-            flags_u = jnp.maximum(meta[..., 1:], main_meta[..., 1 : 1 + sb])
-            occ_u = jnp.any(flags_u > 0, axis=-1, keepdims=True)
-            meta = jnp.concatenate([occ_u.astype(meta.dtype), flags_u], axis=-1)
-        else:
-            meta = None
+            if occupancy
+            else None
+        )
     else:
         meta = fwd_mod.build_step_meta(
             feats, occ, n_slabs=n_slabs, sb=sb, sign=sign, nr=nr, nc=nc,
@@ -580,6 +643,7 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
         kernel = partial(
             _cone_kernel, slab_batch=sb, march_sign=sign, n_blocks=n_blocks,
             occupancy=occupancy, inverted=inverted, subtexel=subtexel,
+            win_rows=cone_win,
         )
     else:
         kernel = partial(
