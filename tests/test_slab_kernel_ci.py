@@ -1783,3 +1783,48 @@ def test_cone_window_matches_full(scene, cam):
         lookahead_kernel.CONE_WIN_ROWS = prev
     assert np.abs(np.asarray(full)).max() > 0  # the gate fires somewhere
     np.testing.assert_array_equal(np.asarray(win), np.asarray(full))
+
+
+def test_smoothing_backward_subsampled_planes(scene, cam):
+    """Gaussian-smoothed BACKWARD under the step-size plane mapping
+    (planes != nr): the stencil transpose must bound in-plane tap coords
+    with nr/nc, not the plane count (regression: bounding with n_slabs
+    masked most taps out whenever planes < nr, corrupting d_volume while
+    d_lut stayed correct)."""
+    m = cam.matrices()
+    # 16^3 scene; step 0.1 -> 8 planes < nr=16 (STEP_LADDER 0.5 bucket)
+    params = PARAMS.replace(
+        use_gaussian_smoothing=True, raymarching_step_size=0.1,
+        camera_grads=False,
+    )
+    assert slab.resolve_planes(params, 16) < 16
+
+    def loss_k(vol, lut):
+        img = slab_kernel._render_pallas_diff_jit.__wrapped__(
+            Scene(vol, scene.importance, lut), m, params.pallas_static(),
+            RES, RES, *slab.dominant_axis(m), knobs=params.knobs(),
+            planes=slab.resolve_planes(params, 16),
+        )
+        return jnp.sum(img ** 2)
+
+    def loss_g(vol, lut):
+        img = slab.render_diff(
+            Scene(vol, scene.importance, lut), m, params, RES, RES
+        )
+        return jnp.sum(img ** 2)
+
+    with emulate(slab_kernel, slab_bwd_kernel):
+        lk, gk = jax.value_and_grad(loss_k, argnums=(0, 1))(
+            scene.volume, scene.tf_lut
+        )
+    lg, gg = jax.value_and_grad(loss_g, argnums=(0, 1))(
+        scene.volume, scene.tf_lut
+    )
+    np.testing.assert_allclose(float(lk), float(lg), rtol=1e-4)
+    for name, a, b in (("d_vol", gk[0], gg[0]), ("d_lut", gk[1], gg[1])):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a, b, atol=3e-3 * scale, rtol=2e-2, err_msg=name
+        )
+    assert np.abs(np.asarray(gg[0])).max() > 0

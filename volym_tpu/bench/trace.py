@@ -26,7 +26,10 @@ from dataclasses import dataclass, field
 def _varint(buf: bytes, i: int) -> tuple[int, int]:
     shift = 0
     val = 0
+    n = len(buf)
     while True:
+        if i >= n:
+            raise ValueError("truncated xplane.pb (varint past end of buffer)")
         b = buf[i]
         i += 1
         val |= (b & 0x7F) << shift
@@ -45,17 +48,21 @@ def _fields(buf: bytes):
         if wt == 0:  # varint
             val, i = _varint(buf, i)
         elif wt == 1:  # 64-bit
-            val = buf[i : i + 8]
-            i += 8
+            end = i + 8
         elif wt == 2:  # length-delimited
             ln, i = _varint(buf, i)
-            val = buf[i : i + ln]
-            i += ln
+            end = i + ln
         elif wt == 5:  # 32-bit
-            val = buf[i : i + 4]
-            i += 4
+            end = i + 4
         else:  # groups (3, 4) never appear in xplane
             raise ValueError(f"unsupported wire type {wt}")
+        if wt != 0:
+            if end > n:
+                raise ValueError(
+                    "truncated xplane.pb (field payload past end of buffer)"
+                )
+            val = buf[i:end]
+            i = end
         yield fnum, wt, val
 
 
@@ -144,8 +151,11 @@ def device_op_table(trace_dir: str, top: int = 25) -> str:
     for p in planes:
         if not p.ops:
             continue
-        # device planes are named like '/device:TPU:0'; skip pure host planes
-        if "device" not in p.name.lower() and "tpu" not in p.name.lower():
+        # device planes are named like '/device:TPU:0'; skip host planes
+        # (note the host XLA plane is named '/device:CPU:0' — matching on
+        # 'device' alone would mix host op durations into the table)
+        name = p.name.lower()
+        if ":cpu" in name or ("device" not in name and "tpu" not in name):
             continue
         out.append(f"== {p.name}  (total {p.total_s()*1e3:.2f} ms across events)")
         for name, t, c in p.top(top):

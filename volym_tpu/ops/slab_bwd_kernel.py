@@ -840,7 +840,7 @@ def _replay_step_body(
     dfeat_ref[0] = dfeat_ref[0] + delta
 
 
-def _smooth_dd_transpose(feats, dd, n_slabs, bilinear):
+def _smooth_dd_transpose(feats, dd, n_slabs, bilinear, nr=None, nc=None):
     """(C, M, 1, R) smoothed-density cotangent -> plain-row cotangent.
 
     Transpose of the slab-axis Gaussian stencil (``slab_kernel._smooth_row``,
@@ -868,7 +868,15 @@ def _smooth_dd_transpose(feats, dd, n_slabs, bilinear):
     jf = jnp.arange(m, dtype=jnp.float32)[None, :, None]  # (1, M, 1)
     rows_raw = rs * jf + rb  # (C, M, R)
     cols_raw = cs * jf + cb
+    # bounds: the slab axis runs over the n_slabs MARCH planes, but the
+    # in-plane tap coordinates live in texel space (nr/nc rows/cols) —
+    # under the step-size plane mapping (slab.resolve_planes) these
+    # differ, and bounding rt/ct with n_slabs masked most taps out
+    # whenever planes < nr (wrong d_volume; caught by code review +
+    # test_smoothing_backward_subsampled_planes)
     n = jnp.float32(n_slabs)
+    bnd_r = jnp.float32(n_slabs if nr is None else nr)
+    bnd_c = jnp.float32(n_slabs if nc is None else nc)
 
     taps = []
     wsum = jnp.zeros((c, m, r), jnp.float32)
@@ -880,8 +888,8 @@ def _smooth_dd_transpose(feats, dd, n_slabs, bilinear):
         ct = cols_raw + u * cs
         st = jf + u
         in_box = (
-            (rt >= -0.5) & (rt <= n - 0.5)
-            & (ct >= -0.5) & (ct <= n - 0.5)
+            (rt >= -0.5) & (rt <= bnd_r - 0.5)
+            & (ct >= -0.5) & (ct <= bnd_c - 0.5)
             & (st >= -0.5) & (st <= n - 0.5)
         ).astype(jnp.float32)
         taps.append((w, u, in_box))
@@ -1210,6 +1218,18 @@ def _backward_call(
     win_rows=0, imp_perm=None, ahead=None, grad_perm=None, coloring=False,
     knobs=None, dens=None,
 ):
+    """Shared driver behind :func:`backward` / :func:`backward_shaded` /
+    :func:`backward_coloring`.
+
+    Runs the replay (pass 1) and, when the fused single-pass layout does
+    not apply (chunk-outer grid or Gaussian smoothing), the voxel-gradient
+    scatter (pass 2) plus the smoothing camera chain (pass 2b).  Returns
+    ``(d_scatter, d_grad, d_lut, d_feats)``: ``d_scatter`` is d_vol_perm
+    for the TF modes or d_imp_perm for coloring; ``d_grad`` is the
+    gradient-field cotangent (None unless shaded); ``d_lut`` is None for
+    coloring (its rgba never reads the LUT).  The grid/alias/out-spec
+    bookkeeping — historically triplicated and a proven drift hazard —
+    lives HERE once; the wrappers only select arguments and unpack."""
     if feats.shape[0] > fwd_mod.CHUNK_GROUP:
         # chunk grouping, as in fwd_mod._forward_call: the resident
         # per-chunk state (feats/fin/g_img/d_feats/accumulator — 152 KB
@@ -1239,25 +1259,10 @@ def _backward_call(
                     for x, y in zip(acc, (d_scatter, d_grad, d_lut))
                 ]
         return acc[0], acc[1], acc[2], jnp.concatenate(dfeats, axis=0)
-    """Shared driver behind :func:`backward` / :func:`backward_shaded` /
-    :func:`backward_coloring`.
-
-    Runs the replay (pass 1) and, when the fused single-pass layout does
-    not apply (chunk-outer grid or Gaussian smoothing), the voxel-gradient
-    scatter (pass 2) plus the smoothing camera chain (pass 2b).  Returns
-    ``(d_scatter, d_grad, d_lut, d_feats)``: ``d_scatter`` is d_vol_perm
-    for the TF modes or d_imp_perm for coloring; ``d_grad`` is the
-    gradient-field cotangent (None unless shaded); ``d_lut`` is None for
-    coloring (its rgba never reads the LUT).  The grid/alias/out-spec
-    bookkeeping — historically triplicated and a proven drift hazard —
-    lives HERE once; the wrappers only select arguments and unpack."""
     from volym_tpu.config import Interpolation
 
     if knobs is None:
-        knobs = jnp.array(
-            [[params.density_threshold, params.early_termination_alpha]],
-            jnp.float32,
-        )
+        knobs = params.knobs()
     thr = knobs[0, 0]
     lookahead = ahead is not None
     shading = grad_perm is not None
@@ -1481,7 +1486,7 @@ def _backward_call(
         # channels (1..3) sample at each step's own coords and pass as-is.
         # (Coloring never folds: its row 0 is the d_imp cotangent — under
         # smoothing the density only gates the threshold mask there.)
-        dd0 = _smooth_dd_transpose(feats, dd[:, :, 0:1, :], n_slabs, bilinear)
+        dd0 = _smooth_dd_transpose(feats, dd[:, :, 0:1, :], n_slabs, bilinear, nr=nr, nc=nc)
         dd = jnp.concatenate([dd0, dd[:, :, 1:, :]], axis=2) if shading else dd0
 
     # Pass 2: dd is indexed by MARCH step j; the scatter output block is

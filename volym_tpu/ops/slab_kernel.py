@@ -1115,10 +1115,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     exactly no contribution).  f32 so the replayed masks are bit-identical
     to the forward's."""
     if knobs is None:
-        knobs = jnp.array(
-            [[params.density_threshold, params.early_termination_alpha]],
-            jnp.float32,
-        )
+        knobs = params.knobs()
     thr = knobs[0, 0]
     n_chunks = feats.shape[0]
     if n_chunks > CHUNK_GROUP:
@@ -1874,10 +1871,7 @@ def _render_pallas_diff_jit(
     knobs=None, planes=None,
 ):
     if knobs is None:
-        knobs = jnp.array(
-            [[params.density_threshold, params.early_termination_alpha]],
-            jnp.float32,
-        )
+        knobs = params.knobs()
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
     n_plane = vol_perm.shape[1]

@@ -203,7 +203,10 @@ def resolve_planes(params, n_slabs: int) -> int:
     if params.use_gaussian_smoothing:
         planes = min(planes, n_slabs)
         if planes % 8:
-            planes = (planes + 7) // 8 * 8
+            # round DOWN: rounding up could exceed n_slabs again,
+            # re-introducing the supersampling the min() above forbids
+            # (e.g. n_slabs=100 -> 104); subsample-only is the contract
+            planes = max(8, planes // 8 * 8)
     return planes
 
 
