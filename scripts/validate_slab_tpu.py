@@ -282,6 +282,35 @@ def main() -> int:
         if rel > 1e-2 or not np.isfinite(b).all():
             failures.append(f"bwd smoothed {name}")
 
+    # smoothed backward under the step-size plane mapping (planes < nr):
+    # exercises the stencil transpose's nr/nc tap bounds on hardware
+    # (the bug class test_smoothing_backward_subsampled_planes pins in CI)
+    p_smsub = params.replace(
+        use_gaussian_smoothing=True, use_shading=False,
+        raymarching_step_size=2.0 / scene.volume.shape[0],
+    )
+    from volym_tpu.render.slab import resolve_planes
+
+    assert resolve_planes(p_smsub, scene.volume.shape[0]) < scene.volume.shape[0]
+
+    def loss_smsub(render_fn, vol, lut):
+        img = render_fn(Scene(vol, scene.importance, lut), m, p_smsub, 32, 32)
+        return jnp.sum(img * w)
+
+    ga_ss = jax.grad(lambda v, l: loss_smsub(slab.render_diff, v, l), argnums=(0, 1))(
+        scene.volume, scene.tf_lut
+    )
+    gp_ss = jax.grad(
+        lambda v, l: loss_smsub(slab_kernel.render_diff, v, l), argnums=(0, 1)
+    )(scene.volume, scene.tf_lut)
+    for name, a, b in zip(("d_volume", "d_lut"), ga_ss, gp_ss):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        rel = np.abs(a - b).max() / scale
+        print(f"bwd smoothed subsampled-planes {name}: relerr {rel:.2e}")
+        if rel > 1e-2 or not np.isfinite(b).all():
+            failures.append(f"bwd smoothed subsampled-planes {name}")
+
     # smoothing + shading combined backward
     p_smsh = params.replace(use_gaussian_smoothing=True, use_shading=True)
 
