@@ -1470,6 +1470,12 @@ def _backward_call(
             smoothing or fuse or (coloring and shading),
             resident_bytes=n_chunks * (2 * N_FEATURES + 12)
             * RAYS_PER_CHUNK * 4,
+            # stored-density replays stream (1, sb, 1, R) density blocks;
+            # recomputing replays stream full (sb, nr, nc) slices
+            slice_bytes=(
+                sb * RAYS_PER_CHUNK * 4 if stored_density
+                else sb * nr * nc * 4
+            ),
         ),
     )(*inputs)
 

@@ -1305,12 +1305,13 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         compiler_params=vmem_params(
             smoothing or shading,
             resident_bytes=n_chunks * (N_FEATURES + 4) * RAYS_PER_CHUNK * 4,
+            slice_bytes=sb * vol_perm.shape[1] * vol_perm.shape[2] * 4,
         ),
     )(*inputs)
     return tuple(res) if emit_density else res
 
 
-def vmem_params(heavy: bool, resident_bytes: int = 0):
+def vmem_params(heavy: bool, resident_bytes: int = 0, slice_bytes: int = 0):
     """Compiler params for the slab kernels.  The smoothing+shading combo
     at 256^3 streams 3 double-buffered slice blocks plus the 3-channel
     gradient block (~17 MB scoped VMEM) — above Mosaic's 16 MB default
@@ -1318,10 +1319,15 @@ def vmem_params(heavy: bool, resident_bytes: int = 0):
     v5e); raise the cap only when needed so every other mode keeps the
     default working set.  ``resident_bytes``: the whole-array resident
     blocks (feats/output/backward state), which scale with the chunk
-    count — the cap grows with them (chunk grouping bounds the total)."""
+    count — the cap grows with them (chunk grouping bounds the total).
+    ``slice_bytes``: ONE streamed slice block — the cap budgets double
+    buffering for it beyond the 256^3 size the base figure assumes
+    (a 512^3 slab block is 8 MB; without this the base forward OOMs
+    scoped vmem at 512^3)."""
     base = (48 if heavy else 16) * 1024 * 1024
-    limit = base + resident_bytes
-    if resident_bytes == 0 and not heavy:
+    extra_slices = max(0, 2 * slice_bytes - 4 * 1024 * 1024)
+    limit = base + resident_bytes + extra_slices
+    if resident_bytes == 0 and not heavy and not extra_slices:
         return None
     return pltpu.CompilerParams(
         vmem_limit_bytes=min(limit, 112 * 1024 * 1024)
