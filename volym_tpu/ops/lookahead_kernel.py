@@ -683,5 +683,8 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
         out_shape=out_shape if inverted else out_shape[0],
         scratch_shapes=scratch,
         input_output_aliases=aliases,
+        compiler_params=fwd_mod.vmem_params(
+            False, slice_bytes=sb * nr * nc * 4
+        ),
     )(*inputs)
     return res[0] if inverted else res

@@ -1470,11 +1470,14 @@ def _backward_call(
             smoothing or fuse or (coloring and shading),
             resident_bytes=n_chunks * (2 * N_FEATURES + 12)
             * RAYS_PER_CHUNK * 4,
-            # stored-density replays stream (1, sb, 1, R) density blocks;
-            # recomputing replays stream full (sb, nr, nc) slices
-            slice_bytes=(
-                sb * RAYS_PER_CHUNK * 4 if stored_density
-                else sb * nr * nc * 4
+            # stored density removes only the VOLUME slice stream; the
+            # shading gradient field (3 channels) and the coloring
+            # importance slice still ride the grid at full block size
+            slice_bytes=sb * nr * nc * 4,
+            n_streams=(
+                (0 if stored_density else (3 if smoothing else 1))
+                + (3 if shading else 0)
+                + (1 if coloring else 0)
             ),
         ),
     )(*inputs)
@@ -1537,6 +1540,9 @@ def _backward_call(
             ] + meta_p2_specs,
             out_specs=pl.BlockSpec((sb, nr, nc), phys_index),
             out_shape=jax.ShapeDtypeStruct((n_slabs, nr, nc), jnp.float32),
+            compiler_params=fwd_mod.vmem_params(
+                False, slice_bytes=sb * nr * nc * 4
+            ),
         )(feats, dd1, *meta_p2_inputs)
 
     def scatter_shaded(dd4):
@@ -1563,8 +1569,11 @@ def _backward_call(
             ],
             # at 256^3 the double-buffered (sb, nr, nc) + (3, sb, nr, nc)
             # output blocks overflow Mosaic's 16 MB default scoped limit
-            # by ~0.3 MB — same cap bump as the heavy forward kernels
-            compiler_params=fwd_mod.vmem_params(True),
+            # by ~0.3 MB — same cap bump as the heavy forward kernels;
+            # at 512^3 the blocks themselves need the slice budget
+            compiler_params=fwd_mod.vmem_params(
+                True, slice_bytes=sb * nr * nc * 4, n_streams=4
+            ),
         )(feats, dd4, *meta_p2_inputs)
 
     d_grad = None

@@ -1306,12 +1306,14 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             smoothing or shading,
             resident_bytes=n_chunks * (N_FEATURES + 4) * RAYS_PER_CHUNK * 4,
             slice_bytes=sb * vol_perm.shape[1] * vol_perm.shape[2] * 4,
+            n_streams=(3 if smoothing else 1) + (3 if shading else 0)
+            + (1 if coloring else 0),
         ),
     )(*inputs)
     return tuple(res) if emit_density else res
 
 
-def vmem_params(heavy: bool, resident_bytes: int = 0, slice_bytes: int = 0):
+def vmem_params(heavy: bool, resident_bytes: int = 0, slice_bytes: int = 0, n_streams: int = 1):
     """Compiler params for the slab kernels.  The smoothing+shading combo
     at 256^3 streams 3 double-buffered slice blocks plus the 3-channel
     gradient block (~17 MB scoped VMEM) — above Mosaic's 16 MB default
@@ -1320,17 +1322,22 @@ def vmem_params(heavy: bool, resident_bytes: int = 0, slice_bytes: int = 0):
     default working set.  ``resident_bytes``: the whole-array resident
     blocks (feats/output/backward state), which scale with the chunk
     count — the cap grows with them (chunk grouping bounds the total).
-    ``slice_bytes``: ONE streamed slice block — the cap budgets double
-    buffering for it beyond the 256^3 size the base figure assumes
-    (a 512^3 slab block is 8 MB; without this the base forward OOMs
-    scoped vmem at 512^3)."""
+    ``slice_bytes``: ONE streamed slice block and ``n_streams`` how many
+    ride the grid (1 plain; 3 under smoothing's prev/cur/next; +3 more
+    for the shading gradient block) — the cap budgets double buffering
+    for them beyond the 256^3 sizes the base figure assumes (a 512^3
+    slab block is 8 MB; without this the forward OOMs scoped vmem at
+    512^3)."""
     base = (48 if heavy else 16) * 1024 * 1024
-    extra_slices = max(0, 2 * slice_bytes - 4 * 1024 * 1024)
+    # full double-buffered budget for the streamed blocks (no baseline
+    # subtraction: Mosaic's own accounting already runs above the naive
+    # sum, and the clamp below bounds the total at the chip's VMEM)
+    extra_slices = 2 * n_streams * slice_bytes
     limit = base + resident_bytes + extra_slices
-    if resident_bytes == 0 and not heavy and not extra_slices:
+    if resident_bytes == 0 and not heavy and slice_bytes <= 2 * 1024 * 1024:
         return None
     return pltpu.CompilerParams(
-        vmem_limit_bytes=min(limit, 112 * 1024 * 1024)
+        vmem_limit_bytes=min(limit, 126 * 1024 * 1024)
     )
 
 

@@ -201,11 +201,17 @@ def resolve_planes(params, n_slabs: int) -> int:
     slab-axis resample instead of a hard error (round-3 weak item 7)."""
     planes = step_planes(params.raymarching_step_size, n_slabs)
     if params.use_gaussian_smoothing:
-        planes = min(planes, n_slabs)
+        from volym_tpu.render.golden import GAUSSIAN_KERNEL_SIZE, GAUSSIAN_STEP
+
+        # the Pallas stencil's slab-axis reach |u| = K*STEP*planes must
+        # fit SMOOTH_HALO: cap the plane count at the halo bound (300 at
+        # the reference's K=2, STEP=.005) so over-bound grids (512^3)
+        # ride the slab-axis resample instead of a hard error
+        halo_max = int(SMOOTH_HALO / (GAUSSIAN_KERNEL_SIZE * GAUSSIAN_STEP))
+        planes = min(planes, n_slabs, halo_max)
         if planes % 8:
-            # round DOWN: rounding up could exceed n_slabs again,
-            # re-introducing the supersampling the min() above forbids
-            # (e.g. n_slabs=100 -> 104); subsample-only is the contract
+            # round DOWN: rounding up could exceed n_slabs (e.g. 100 ->
+            # 104) or the halo bound again; subsample-only is the contract
             planes = max(8, planes // 8 * 8)
     return planes
 
