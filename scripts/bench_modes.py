@@ -91,6 +91,41 @@ def main() -> int:
         ("fwd+bwd smoothed scene-grads", fwdbwd(scene, m, P(
             use_gaussian_smoothing=True, camera_grads=False,
         ))),
+        ("fwd+bwd fast_math scene-grads", fwdbwd(scene, m, P(
+            camera_grads=False, fast_math=True,
+        ))),
+        ("fwd+bwd coloring", fwdbwd(scene, m, P(
+            use_importance_coloring=True, camera_grads=False,
+        ))),
+        ("fwd+bwd lookahead", fwdbwd(scene, m, P(
+            use_importance_rendering=True, camera_grads=False,
+        ))),
+    ]
+    # the reference's own benchmark window (src/main.rs:357)
+    m_ref = Camera(aspect=1024 / 768, distance=1.0).orbit(30.0, 20.0, 0.0).matrices()
+
+    def fwd_ref(params):
+        f = jax.jit(
+            lambda v, l: slab_kernel.render(
+                Scene(v, scene.importance, l), m_ref, params, 768, 1024
+            )
+        )
+        return lambda: f(scene.volume, scene.tf_lut)
+
+    def fwdbwd_ref(params):
+        def loss(vol, lut):
+            img = slab_kernel.render_diff(
+                Scene(vol, scene.importance, lut), m_ref, params, 768, 1024
+            )
+            return jnp.sum(img)
+
+        step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+        return lambda: step(scene.volume, scene.tf_lut)
+
+    wide = [
+        ("fwd base @1024x768", fwd_ref(P()), 768 * 1024),
+        ("fwd+bwd scene-grads @1024x768",
+         fwdbwd_ref(P(camera_grads=False)), 768 * 1024),
     ]
     for name, fn in modes:
         if want and not any(w in name for w in want):
@@ -98,6 +133,16 @@ def main() -> int:
         ms = marginal_time(fn) * 1e3
         rays = HEIGHT * WIDTH / (ms / 1e3)
         print(f"{name:32s}: {ms:7.2f} ms  {rays/1e6:6.2f} M rays/s", flush=True)
+    for name, fn, n_rays in wide:
+        if want and not any(w in name for w in want):
+            continue
+        ms = marginal_time(fn, iters=15) * 1e3
+        rays = n_rays / (ms / 1e3)
+        print(
+            f"{name:32s}: {ms:7.2f} ms  {rays/1e6:6.2f} M rays/s"
+            f"  ({1e3/ms:.0f} FPS)",
+            flush=True,
+        )
     return 0
 
 
