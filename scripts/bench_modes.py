@@ -39,19 +39,19 @@ BASE = dict(
 )
 
 
-def fwd(scene, m, params):
+def fwd(scene, m, params, height=HEIGHT, width=WIDTH):
     f = jax.jit(
         lambda v, l: slab_kernel.render(
-            Scene(v, scene.importance, l), m, params, HEIGHT, WIDTH
+            Scene(v, scene.importance, l), m, params, height, width
         )
     )
     return lambda: f(scene.volume, scene.tf_lut)
 
 
-def fwdbwd(scene, m, params):
+def fwdbwd(scene, m, params, height=HEIGHT, width=WIDTH):
     def loss(vol, lut):
         img = slab_kernel.render_diff(
-            Scene(vol, scene.importance, lut), m, params, HEIGHT, WIDTH
+            Scene(vol, scene.importance, lut), m, params, height, width
         )
         return jnp.sum(img)
 
@@ -103,29 +103,10 @@ def main() -> int:
     ]
     # the reference's own benchmark window (src/main.rs:357)
     m_ref = Camera(aspect=1024 / 768, distance=1.0).orbit(30.0, 20.0, 0.0).matrices()
-
-    def fwd_ref(params):
-        f = jax.jit(
-            lambda v, l: slab_kernel.render(
-                Scene(v, scene.importance, l), m_ref, params, 768, 1024
-            )
-        )
-        return lambda: f(scene.volume, scene.tf_lut)
-
-    def fwdbwd_ref(params):
-        def loss(vol, lut):
-            img = slab_kernel.render_diff(
-                Scene(vol, scene.importance, lut), m_ref, params, 768, 1024
-            )
-            return jnp.sum(img)
-
-        step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-        return lambda: step(scene.volume, scene.tf_lut)
-
     wide = [
-        ("fwd base @1024x768", fwd_ref(P()), 768 * 1024),
+        ("fwd base @1024x768", fwd(scene, m_ref, P(), 768, 1024), 768 * 1024),
         ("fwd+bwd scene-grads @1024x768",
-         fwdbwd_ref(P(camera_grads=False)), 768 * 1024),
+         fwdbwd(scene, m_ref, P(camera_grads=False), 768, 1024), 768 * 1024),
     ]
     for name, fn in modes:
         if want and not any(w in name for w in want):

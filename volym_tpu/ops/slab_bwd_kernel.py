@@ -1064,6 +1064,11 @@ def _run_feats_grad(feats, vol_perm, dd, *, bilinear, win_rows, sb, sign, aux=ja
             (n_chunks, N_FEATURES, RAYS_PER_CHUNK), jnp.float32
         ),
         input_output_aliases=aliases,
+        # streams full (sb, nr, nc) volume slices like the replay —
+        # budget them or 512^3 smoothed camera grads OOM scoped vmem
+        compiler_params=fwd_mod.vmem_params(
+            False, slice_bytes=vol_perm.shape[1] * vol_perm.shape[2] * sb * 4
+        ),
     )(*inputs)
 
 
@@ -1267,8 +1272,7 @@ def _backward_call(
     lookahead = ahead is not None
     shading = grad_perm is not None
     smoothing = params.use_gaussian_smoothing
-    stored_density = dens is not None
-    assert not (stored_density and params.camera_grads), (
+    assert not ((dens is not None) and params.camera_grads), (
         "camera cotangents need the volume slice (dhat chain / d-F_TS tap"
         " rows) — the stored-density replay never streams it"
     )
@@ -1296,8 +1300,28 @@ def _backward_call(
     inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
     # pass-2 fusion (inverted grid only, see _replay_kernel): the scatter
     # blocks ride the OUTER grid axis and accumulate in VMEM, so dd never
-    # touches HBM and pass 2 disappears
-    fuse = inverted and not smoothing
+    # touches HBM and pass 2 disappears.  The fused layout's working set
+    # (double-buffered input streams + the grid-riding scatter OUTPUT
+    # blocks + the per-chunk resident state) must fit the chip's VMEM —
+    # at 512^3 with shading it does not (the 3-channel grad stream plus
+    # the d_vol/d_grad outputs are ~160 MB vs 128 MB physical on v5e),
+    # so the backward falls back to the two-pass layout there
+    stored_density = dens is not None
+    slice_bytes = sb * nr * nc * 4
+    fused_streams = (
+        (0 if stored_density else 1)
+        + (3 if shading else 0) + (1 if coloring else 0)  # input streams
+        + 1 + (3 if shading else 0)                       # scatter outputs
+    )
+    fused_working = (
+        48 * 1024 * 1024
+        + n_chunks * (2 * N_FEATURES + 12) * RAYS_PER_CHUNK * 4
+        + 2 * fused_streams * slice_bytes
+    )
+    fuse = (
+        inverted and not smoothing
+        and fused_working <= 110 * 1024 * 1024
+    )
     dd_w = 4 if shading else 1  # density (or d_imp) + 3 grad-field channels
 
     # index maps below are written in (chunk, block) order; W re-orders the
@@ -1472,12 +1496,16 @@ def _backward_call(
             * RAYS_PER_CHUNK * 4,
             # stored density removes only the VOLUME slice stream; the
             # shading gradient field (3 channels) and the coloring
-            # importance slice still ride the grid at full block size
+            # importance slice still ride the grid at full block size —
+            # and so do the FUSED scatter OUTPUT blocks (d_vol/d_imp
+            # slice + the 3-channel d_grad), which Mosaic double-buffers
+            # against the same scoped limit
             slice_bytes=sb * nr * nc * 4,
             n_streams=(
                 (0 if stored_density else (3 if smoothing else 1))
                 + (3 if shading else 0)
                 + (1 if coloring else 0)
+                + ((1 + (3 if shading else 0)) if fuse else 0)
             ),
         ),
     )(*inputs)
