@@ -110,9 +110,10 @@ def _boxhat_sample(slice_ref, slice_row, rows_c, cols_c, nr, nc, rays, win_rows,
         hat_y = boxk(rows_c, iota(nr))
         sl = slice_ref[slice_row]
     # DEFAULT (single-pass bf16 MXU) is EXACT here: the box hats are
-    # one-hot {0,1} and the importance slices are pre-binarised to {0,1}
-    # (lookahead_call), so every product and the <=1-term sums are
-    # integers representable in bf16 — 6x fewer MXU passes than HIGHEST
+    # one-hot {0,1} and the importance slices are pre-quantised to the
+    # ternary levels {0, 0.75, 1.5} (lookahead_call's combined gate
+    # encoding), all exactly representable in bf16, so every product and
+    # the <=1-term sums are bf16-exact — 6x fewer MXU passes than HIGHEST
     colvals = jax.lax.dot_general(
         sl, hat_y, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -1337,8 +1337,20 @@ def vmem_params(heavy: bool, resident_bytes: int = 0, slice_bytes: int = 0, n_st
     if resident_bytes == 0 and not heavy and slice_bytes <= 2 * 1024 * 1024:
         return None
     return pltpu.CompilerParams(
-        vmem_limit_bytes=min(limit, 126 * 1024 * 1024)
+        vmem_limit_bytes=min(limit, _vmem_cap_bytes())
     )
+
+
+def _vmem_cap_bytes() -> int:
+    """Ceiling for scoped-VMEM requests: the chip's physical VMEM minus
+    ~2 MB of headroom for Mosaic's own scratch.  Sized for the deploy
+    target's 128 MB (TPU v4/v5e/v5p class); earlier generations with
+    smaller VMEM (v2/v3: 16 MB class) would fail AT COMPILE TIME on the
+    512^3 configs that need the raised cap — override with
+    VOLYM_VMEM_MB for such chips (the kernels then fall back to their
+    smaller-working-set paths or refuse the config loudly)."""
+    mb = int(__import__("os").environ.get("VOLYM_VMEM_MB", "128"))
+    return (mb - 2) * 1024 * 1024
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -1359,19 +1371,38 @@ def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, vol
     )
 
 
-def _use_stored_density(params):
+#: HBM budget for the stored-density residual (MB).  The residual is f32
+#: (C, n_slabs, 1, R) held from forward to backward: 67 MB at 256^2 /
+#: 256 slabs, ~1 GB at 1024^2/256, ~2 GB at 1024^2/512.  Above the
+#: budget the replay recomputes instead (bit-identical results, measured
+#: slower) — mirroring the fused-backward working-set gate — so huge
+#: frames cannot silently pin gigabytes across the whole backward.
+STORE_DENSITY_BUDGET_MB = int(
+    __import__("os").environ.get("VOLYM_STORE_DENSITY_BUDGET_MB", "1536")
+)
+
+
+def _use_stored_density(params, feats=None, n_slabs=None):
     """Stored-density backward applies (see STORE_DENSITY) whenever camera
     cotangents are off: their dhat chain needs the volume slice and the
     density colvals anyway (and, under smoothing, the d/dF_TS tap-offset
     rows).  With Gaussian smoothing the stored value is the SMOOTHED
     density, which lets the replay skip the whole sb+2·halo-row stencil
     prologue (the scatter's stencil transpose runs outside the kernel on
-    dd and never needed the slices)."""
-    return STORE_DENSITY and not params.camera_grads
+    dd and never needed the slices).  When the caller passes the chunked
+    feats + slab count, the (C, n_slabs, 1, R) f32 residual is also
+    size-gated against :data:`STORE_DENSITY_BUDGET_MB`."""
+    if not (STORE_DENSITY and not params.camera_grads):
+        return False
+    if feats is not None and n_slabs is not None:
+        resid = feats.shape[0] * int(n_slabs) * RAYS_PER_CHUNK * 4
+        if resid > STORE_DENSITY_BUDGET_MB * 1024 * 1024:
+            return False
+    return True
 
 
 def _mp_fwd(params, major, sign, win_rows, vol_perm, lut, feats, knobs):
-    stored = _use_stored_density(params)
+    stored = _use_stored_density(params, feats, vol_perm.shape[0])
     res = _forward_call(
         params, sign, vol_perm, lut, feats, win_rows=win_rows, knobs=knobs,
         emit_density=stored,
@@ -1415,7 +1446,7 @@ def march_pallas_lookahead(params, major, sign, win_rows, vol_perm, imp_perm, lu
 
 
 def _mpl_fwd(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm, knobs):
-    stored = _use_stored_density(params)
+    stored = _use_stored_density(params, feats, vol_perm.shape[0])
     res = _forward_call(
         params, sign, vol_perm, lut, feats, imp_perm=imp_perm,
         grad_perm=grad_perm, win_rows=win_rows, ahead=ahead, knobs=knobs,
@@ -1468,7 +1499,7 @@ def march_pallas_shaded(params, major, sign, win_rows, vol_perm, grad_perm, lut,
 
 
 def _mps_fwd(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats, knobs):
-    stored = _use_stored_density(params)
+    stored = _use_stored_density(params, feats, vol_perm.shape[0])
     res = _forward_call(
         params, sign, vol_perm, lut, feats, grad_perm=grad_perm,
         win_rows=win_rows, knobs=knobs, emit_density=stored,
@@ -1512,7 +1543,7 @@ def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, fea
 
 
 def _mpc_fwd(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm, knobs):
-    stored = _use_stored_density(params)
+    stored = _use_stored_density(params, feats, vol_perm.shape[0])
     res = _forward_call(
         params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
         imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,

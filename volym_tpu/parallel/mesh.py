@@ -320,6 +320,7 @@ def make_train_step(
     mesh: Mesh,
     backend: str = "ray",
     camera_matrices=None,
+    split_psum: bool = False,
 ):
     """Distributed inverse-rendering step (BASELINE.json config 5).
 
@@ -329,9 +330,19 @@ def make_train_step(
     merges the gradient psums into ONE tuple all-reduce at the end of the
     module — no overlap with backward compute, and none needed at this
     scale (the fused reduction moves ~33 MB, ~0.4 ms on ICI vs a 137 ms
-    1024² backward).  If a DCN-dominated multi-host reduction ever
-    matters, split the psum so the early-finishing gradients (LUT,
-    camera) reduce during the volume backward.
+    1024² backward).
+
+    ``split_psum=True`` is the lever for a DCN-dominated multi-host
+    reduction (BASELINE north star: "grad allreduce overlapped with the
+    backward"): the small, early-finishing gradients (TF LUT, importance)
+    psum in their OWN all-reduce, which depends only on its own cotangents
+    and can therefore be issued by the latency-hiding scheduler while the
+    volume-grad scatter is still computing; an ``optimization_barrier``
+    then pins the volume all-reduce after them, which keeps XLA's
+    all-reduce combiner from fusing everything back into one tail tuple
+    reduce (the default, measured-optimal single-slice schedule).  The
+    schedule split is asserted from the compiled HLO in
+    ``tests/test_parallel.py::test_split_psum_hlo_schedule``.
 
     ``backend``: ``"ray"`` (t-step replay VJP), ``"slab"`` (jnp slab replay
     VJP), or ``"slab_pallas"`` (the production Pallas kernels; jnp slab
@@ -420,9 +431,28 @@ def make_train_step(
             scene, camera_matrices, ndc, target_rows
         )
         loss = jax.lax.psum(local_sq, axes) / n_pixels
-        grads = jax.tree_util.tree_map(
-            lambda gr: jax.lax.psum(gr, axes) / n_pixels, grads
+        if not split_psum:
+            grads = jax.tree_util.tree_map(
+                lambda gr: jax.lax.psum(gr, axes) / n_pixels, grads
+            )
+            return loss, grads
+        # split lever (see make_train_step docstring): small grads reduce
+        # in their own all-reduce, and the volume all-reduce is made
+        # data-dependent on its RESULT so the all-reduce combiner cannot
+        # re-merge them.  The dependency is real arithmetic, not an
+        # optimization_barrier: XLA's barrier expander can run before the
+        # combiner (observed on the CPU pipeline), dissolving a
+        # barrier-only ordering.  ``s - s`` is exactly +0.0 for finite s
+        # and floats are not x-x-foldable (NaN/Inf), so the add survives
+        # optimization, fuses into the scatter epilogue, and leaves the
+        # gradients bit-identical (loss grads are finite by construction).
+        small = jax.tree_util.tree_map(
+            lambda gr: jax.lax.psum(gr, axes) / n_pixels,
+            (grads.importance, grads.tf_lut),
         )
+        s = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(small))
+        d_vol = jax.lax.psum(grads.volume + (s - s), axes) / n_pixels
+        grads = Scene(volume=d_vol, importance=small[0], tf_lut=small[1])
         return loss, grads
 
     @jax.jit
