@@ -1827,11 +1827,19 @@ def cone_features_from_rays(origin, dirs, n_slabs, major, sign, layout, n_plane=
     return jnp.stack(rows)  # (CONE_FEATURES, R)
 
 
-def _assemble(out, miss, r, height, width):
+def _unchunk_tiled(out, r, height, width):
+    """(C, 4, RAYS_PER_CHUNK) -> (r, 4) in raster order: inverse of
+    :func:`_chunk_rays` (tile-order permutation undone; identity layout
+    when the image does not tile)."""
     img = out.transpose(0, 2, 1).reshape(-1, 4)[:r]  # (R, 4), tile order
     order = _tile_order(height, width)
     if order is not None:
         img = _perm_gather(img, np.argsort(order), axis=0)
+    return img
+
+
+def _assemble(out, miss, r, height, width):
+    img = _unchunk_tiled(out, r, height, width)
     miss_color = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
     img = jnp.where(miss[:, None], miss_color[None, :], img)
     return img.reshape(height, width, 4)

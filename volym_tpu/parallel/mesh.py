@@ -99,17 +99,44 @@ def render_sharded(
         major, sign = slab_mod.dominant_axis(camera_matrices)
         # step-size mapping, identical to the single-device entries
         planes = slab_mod.resolve_planes(params, int(scene.volume.shape[0]))
+    win_rows = shard_h = 0
+    if backend == "slab_pallas":
+        win_rows, shard_h = _shard_layout(
+            scene, camera_matrices, params, height, width, mesh, planes,
+            major, sign,
+        )
     return _render_sharded_jit(
         scene, camera_matrices, params, height, width, mesh, differentiable,
-        backend, major, sign, planes,
+        backend, major, sign, planes, win_rows, shard_h,
     )
+
+
+def _shard_layout(scene, camera_matrices, params, height, width, mesh, planes, major, sign):
+    """Static per-shard layout for the Pallas path (host-side, cached):
+    the FULL-image static row window (covers every 32x32 tile, hence every
+    shard's tiles) and the shard sub-image height.  ``shard_h`` is 0 —
+    row-major chunking, window off — when the ray partition does not land
+    on whole 32-divisible pixel rows."""
+    from volym_tpu.ops import slab_kernel as sk
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    r_shard = (height * width) // n_dev
+    shard_h = r_shard // width if r_shard % width == 0 else 0
+    if shard_h % sk.TILE or width % sk.TILE:
+        shard_h = 0
+    win_rows = sk.window_rows(
+        camera_matrices, height, width, planes, major, sign,
+        halo=sk.SMOOTH_HALO if params.use_gaussian_smoothing else 0,
+        n_plane=int(scene.volume.shape[0]),
+    )
+    return (win_rows if shard_h else 0), shard_h
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "params", "height", "width", "mesh", "differentiable", "backend",
-        "major", "sign", "planes",
+        "major", "sign", "planes", "win_rows", "shard_h",
     ),
 )
 def _render_sharded_jit(
@@ -124,6 +151,8 @@ def _render_sharded_jit(
     major: int,
     sign: int,
     planes: int = 0,
+    win_rows: int = 0,
+    shard_h: int = 0,
 ):
     _ray_count(height, width, mesh)
     axes = _mesh_axes(mesh)
@@ -151,6 +180,7 @@ def _render_sharded_jit(
                 img = _pallas_shard_march(
                     render_params, major, sign, scene,
                     origin, dirs, entry, exit_, differentiable, planes,
+                    shard_h, width, win_rows,
                 )
             elif differentiable:
                 grad_perm = (
@@ -216,16 +246,23 @@ def _rays_from_ndc(camera_matrices, ndc):
     return camera_matrices.position, d
 
 
-def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, differentiable, planes=0):
-    """One shard's rays through the production Pallas slab kernels.
+def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, differentiable, planes=0, shard_h=0, shard_w=0, win_rows=0):
+    """One shard's rays through the production Pallas slab kernels, at
+    single-device parity (VERDICT r4 item 2).
 
-    Builds the per-ray feats from the shard's own rays (row-major chunking,
-    no tile order — the shard layout is fixed by the partitioning, so the
-    windowed contraction is off) and dispatches exactly like the
-    single-device entry (:func:`volym_tpu.ops.slab_kernel.render` /
-    ``render_diff``): Gaussian smoothing runs in-kernel, importance
-    look-ahead (straight + cone) via the reverse pre-pass on the shard's
-    own rays, coloring via the importance grid."""
+    Each device's rays are a contiguous raster block of the image
+    (``shard_h`` x ``shard_w`` when the partition lands on whole pixel
+    rows), so the shard re-applies BOTH single-device layout levers on its
+    own sub-image: the 32x32 tile-order permutation (compact per-chunk
+    slab footprints — the windowed contraction's fits condition) and the
+    static ``win_rows`` y-window (computed over the FULL image's tiles by
+    :func:`volym_tpu.ops.slab_kernel.window_rows`, so it covers every
+    shard's tiles).  ``shard_h=0`` falls back to row-major chunking with
+    the window off (a shard that does not tile).  Dispatch then matches
+    the single-device entry (:func:`volym_tpu.ops.slab_kernel.render` /
+    ``render_diff``): Gaussian smoothing in-kernel, importance look-ahead
+    (straight + cone) via the reverse pre-pass on the shard's own rays,
+    coloring via the importance grid."""
     from volym_tpu.ops import slab_kernel as sk
     from volym_tpu.render import slab as slab_mod
 
@@ -236,12 +273,22 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
         planes = vol_perm.shape[0]
     vol_perm = slab_mod.slab_resample(vol_perm, planes)
     n_slabs = planes
+    if not shard_h:
+        win_rows = 0
     feats = sk.features_from_rays(
         origin, dirs, entry, jax.lax.stop_gradient(exit_),
         n_slabs, major, sign, layout, n_plane=n_plane,
     )
     r = feats.shape[1]
-    fc = sk._chunk_flat(feats)
+
+    def chunk(mat):
+        return (
+            sk._chunk_rays(mat, shard_h, shard_w)
+            if shard_h
+            else sk._chunk_flat(mat)
+        )
+
+    fc = chunk(feats)
     lookahead = (
         params.use_importance_rendering and not params.use_importance_coloring
     )
@@ -269,7 +316,7 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
         # the ahead bits are a zero-gradient gate (pure comparisons):
         # the pre-pass always runs on stop_gradient'ed inputs
         cone_feats = (
-            sk._chunk_flat(
+            chunk(
                 sk.cone_features_from_rays(
                     jax.lax.stop_gradient(origin), jax.lax.stop_gradient(dirs),
                     n_slabs, major, sign, layout, n_plane=n_plane,
@@ -280,7 +327,7 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
         )
         ahead = lookahead_kernel.lookahead_call(
             sign, jax.lax.stop_gradient(imp_perm),
-            jax.lax.stop_gradient(fc), cone_feats, 0,
+            jax.lax.stop_gradient(fc), cone_feats, win_rows,
             subtexel=params.subtexel_bits,
         )
     knobs = params.knobs()
@@ -288,29 +335,34 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
         if params.use_importance_coloring:
             # grad_perm non-None = the combined coloring+shading mode
             out = sk.march_pallas_coloring(
-                params, major, sign, 0, vol_perm, imp_perm, fc, grad_perm,
-                knobs,
+                params, major, sign, win_rows, vol_perm, imp_perm, fc,
+                grad_perm, knobs,
             )
         elif lookahead:
             out = sk.march_pallas_lookahead(
-                params, major, sign, 0, vol_perm, imp_perm,
+                params, major, sign, win_rows, vol_perm, imp_perm,
                 scene.tf_lut, fc, ahead, grad_perm, knobs,
             )
         elif params.use_shading:
             out = sk.march_pallas_shaded(
-                params, major, sign, 0, vol_perm, grad_perm, scene.tf_lut,
-                fc, knobs,
+                params, major, sign, win_rows, vol_perm, grad_perm,
+                scene.tf_lut, fc, knobs,
             )
         else:
             out = sk.march_pallas(
-                params, major, sign, 0, vol_perm, scene.tf_lut, fc, knobs
+                params, major, sign, win_rows, vol_perm, scene.tf_lut, fc,
+                knobs,
             )
     else:
         out = sk._forward_call(
             params, sign, vol_perm, scene.tf_lut, fc, imp_perm, grad_perm,
-            0, ahead,
+            win_rows, ahead,
         )
-    return sk._unchunk_flat(out, r)
+    return (
+        sk._unchunk_tiled(out, r, shard_h, shard_w)
+        if shard_h
+        else sk._unchunk_flat(out, r)
+    )
 
 
 def make_train_step(
@@ -373,7 +425,7 @@ def make_train_step(
             raise ValueError("slab train-step backends need camera_matrices")
         major, sign = slab_mod.dominant_axis(camera_matrices)
 
-    def per_shard_loss(scene, camera_matrices, ndc, target_rows):
+    def per_shard_loss(scene, camera_matrices, ndc, target_rows, win_rows=0, shard_h=0):
         from volym_tpu.render import slab as slab_mod
 
         origin, dirs = _rays_from_ndc(camera_matrices, ndc)
@@ -383,6 +435,7 @@ def make_train_step(
             img = _pallas_shard_march(
                 fixed, major, sign, scene, origin, dirs, entry, exit_, True,
                 slab_mod.resolve_planes(fixed, int(scene.volume.shape[0])),
+                shard_h, width, win_rows,
             )
         elif backend in ("slab", "slab_pallas"):
             p_ = slab_mod.resolve_planes(fixed, int(scene.volume.shape[0]))
@@ -426,9 +479,9 @@ def make_train_step(
 
     n_pixels = height * width * 4
 
-    def shard_fn(scene, camera_matrices, ndc, target_rows):
+    def shard_fn(scene, camera_matrices, ndc, target_rows, win_rows=0, shard_h=0):
         local_sq, grads = jax.value_and_grad(per_shard_loss)(
-            scene, camera_matrices, ndc, target_rows
+            scene, camera_matrices, ndc, target_rows, win_rows, shard_h
         )
         loss = jax.lax.psum(local_sq, axes) / n_pixels
         if not split_psum:
@@ -455,16 +508,36 @@ def make_train_step(
         grads = Scene(volume=d_vol, importance=small[0], tf_lut=small[1])
         return loss, grads
 
-    @jax.jit
-    def step(scene, camera_matrices, target):
+    @partial(jax.jit, static_argnames=("win_rows", "shard_h"))
+    def _step(scene, camera_matrices, target, win_rows=0, shard_h=0):
         ndc = rays_mod.pixel_ndc(height, width)
         target_rows = target.reshape(-1, 4)
         return jax.shard_map(
-            shard_fn,
+            partial(shard_fn, win_rows=win_rows, shard_h=shard_h),
             mesh=mesh,
             in_specs=(P(), P(), spec_r, spec_r),
             out_specs=(P(), P()),
             check_vma=False,
         )(scene, camera_matrices, ndc, target_rows)
+
+    if backend != "slab_pallas":
+        return _step
+
+    def step(scene, camera_matrices, target):
+        # per-call static layout, matching the single-device render_diff
+        # entry: the row window follows the CALL's camera (host state), so
+        # pose refinement around the factory camera stays covered, and the
+        # window ladder bounds the jit-key count per (major, sign)
+        from volym_tpu.render import slab as slab_mod
+
+        win_rows, shard_h = _shard_layout(
+            scene, camera_matrices, fixed, height, width, mesh,
+            slab_mod.resolve_planes(fixed, int(scene.volume.shape[0])),
+            major, sign,
+        )
+        return _step(
+            scene, camera_matrices, target, win_rows=win_rows,
+            shard_h=shard_h,
+        )
 
     return step
