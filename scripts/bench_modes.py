@@ -100,6 +100,26 @@ def main() -> int:
         ("fwd+bwd lookahead", fwdbwd(scene, m, P(
             use_importance_rendering=True, camera_grads=False,
         ))),
+        ("fwd+bwd lookahead cone", fwdbwd(scene, m, P(
+            use_importance_rendering=True, use_cone_importance_check=True,
+            camera_grads=False,
+        ))),
+        # the reference kernel shades unconditionally (wgsl:306-311) and
+        # defaults smoothing ON (src/state.rs:46): its default config's
+        # differentiable rows (VERDICT r4 item 5)
+        ("fwd+bwd shaded scene-grads", fwdbwd(scene, m, P(
+            use_shading=True, camera_grads=False,
+        ))),
+        ("fwd+bwd shaded fast_math", fwdbwd(scene, m, P(
+            use_shading=True, camera_grads=False, fast_math=True,
+        ))),
+        ("fwd+bwd shaded+smoothed", fwdbwd(scene, m, P(
+            use_shading=True, use_gaussian_smoothing=True, camera_grads=False,
+        ))),
+        ("fwd+bwd ref-default (sh+sm t.12 s.01)", fwdbwd(scene, m, P(
+            use_shading=True, use_gaussian_smoothing=True, camera_grads=False,
+            density_threshold=0.12, raymarching_step_size=0.010,
+        ))),
     ]
     # the reference's own benchmark window (src/main.rs:357)
     m_ref = Camera(aspect=1024 / 768, distance=1.0).orbit(30.0, 20.0, 0.0).matrices()

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from volym_tpu import Camera, RenderParams, Scene
-from volym_tpu.bench.harness import marginal_time
+from volym_tpu.bench.harness import device_frame_ms, marginal_time
 from volym_tpu.ops import slab_kernel as sk
 from volym_tpu.parallel import mesh as pmesh
 
@@ -96,6 +96,45 @@ print(
     flush=True,
 )
 
-ok = err < 5e-3 and rel_l < 1e-4 and rel_v < 1e-2 and rel_t < 1e-2
+# --- chunk-grouped + cone pre-pass under sharding (VERDICT r4 item 8) ------
+# 1024^2 rays = 1024 chunks per shard on the 1-device mesh: > CHUNK_GROUP
+# (256), so the sharded path exercises the sequential grouped calls that
+# stream the volume once per group; cone mode runs the reverse look-ahead
+# pre-pass per shard.
+BIG = 1024
+cone_p = params.replace(
+    use_importance_rendering=True, use_cone_importance_check=True
+)
+imp = np.zeros((SIDE, SIDE, SIDE), np.float32)
+imp[96:160, 96:160, 96:160] = 1.0
+cone_scene = Scene(
+    volume=scene.volume, importance=jnp.asarray(imp), tf_lut=scene.tf_lut
+)
+err_big = err_cone = 0.0
+for tag, sc, p in (("grouped base", scene, params), ("grouped cone", cone_scene, cone_p)):
+    a = sk.render(sc, m, p, BIG, BIG)
+    b = pmesh.render_sharded(sc, m, p, BIG, BIG, mesh1, backend="slab_pallas")
+    e = float(jnp.abs(a - b).max())
+    # device time, not wall clock: a 1024^2 RGBA fetch is ~16 MB through
+    # the tunnel (~1.6 s, bandwidth-bound) and its jitter swamps the
+    # 40 ms frame in the wall-clock differencing (see device_frame_ms)
+    ta = device_frame_ms(lambda: sk.render(sc, m, p, BIG, BIG))
+    tb = device_frame_ms(
+        lambda: pmesh.render_sharded(sc, m, p, BIG, BIG, mesh1, backend="slab_pallas"),
+    )
+    print(
+        f"{tag} @{BIG}^2 (device time): maxerr {e:.2e} | direct {ta:.1f} ms |"
+        f" sharded {tb:.1f} ms | overhead {(tb/ta-1)*100:+.1f}%",
+        flush=True,
+    )
+    if "base" in tag:
+        err_big = e
+    else:
+        err_cone = e
+
+ok = (
+    err < 5e-3 and rel_l < 1e-4 and rel_v < 1e-2 and rel_t < 1e-2
+    and err_big < 5e-3 and err_cone < 5e-3
+)
 print("OK" if ok else "MISMATCH")
 sys.exit(0 if ok else 1)

@@ -140,6 +140,49 @@ def marginal_time(fn, *, iters: int = 25, warmup: int = 2) -> float:
     return min(uppers)
 
 
+def device_frame_ms(fn, frames: int = 3, prefix: str = "jit") -> float:
+    """On-device ms/frame of ``fn``'s top-level jit module, from a
+    ``jax.profiler`` trace (decoded by :mod:`volym_tpu.bench.trace`).
+
+    ``marginal_time`` differences two wall-clock batches, which cancels
+    the tunnel round trip only up to its jitter — fine when frames cost
+    more than the jitter, but a MEGABYTE-class output (e.g. a 1024^2
+    RGBA frame = 16 MB) makes every fence a ~1.6 s bandwidth-bound fetch
+    whose jitter swamps a 40 ms frame.  This helper reads the device
+    timeline instead: the summed duration of the largest ``prefix``-named
+    event on the TPU plane over ``frames`` dispatches.  It measures
+    device occupancy only (no dispatch/host overhead), so use it for
+    device-side A/Bs of big-output configs, not for end-to-end claims."""
+    import tempfile
+
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(fn())
+    jax.block_until_ready(leaves)
+    np.asarray(leaves[0])  # fence: warm + compiled before tracing
+    from volym_tpu.bench import trace as trace_mod
+
+    d = tempfile.mkdtemp(prefix="volym_devtime_")
+    with jax.profiler.trace(d):
+        for _ in range(frames):
+            out = fn()
+        leaves = jax.tree_util.tree_leaves(out)
+        jax.block_until_ready(leaves)
+        np.asarray(leaves[0])  # real fence (see marginal_time docstring)
+    planes = trace_mod.parse_xspace(trace_mod.find_xplane(d))
+    best = 0.0
+    for p in planes:
+        nm = p.name.lower()
+        if ":cpu" in nm or ("device" not in nm and "tpu" not in nm):
+            continue
+        for name, (t, _c) in p.ops.items():
+            if name.startswith(prefix) and t > best:
+                best = t
+    if best == 0.0:
+        raise RuntimeError("no jit module event found on the device plane")
+    return best / frames * 1e3
+
+
 #: frames dispatched between fences (device->host fetches).  The fetch is
 #: a ~60 ms round trip through the axon tunnel — 4x a 256^2 frame's device
 #: time — and is NOT part of rendering (the reference presents device-side
