@@ -130,6 +130,11 @@ def main() -> int:
         # baseline below likewise computes no camera grads (camera matrices
         # are closed over, grad is w.r.t. the scene pytree).
         camera_grads=False,
+        # integer-exact bf16 streaming: the synthetic bonsai is u8-origin
+        # (Scene.from_uint8), exactly like the reference's uint8 raws —
+        # single-pass density matmuls at half the slice DMA
+        # (tests/test_u8_stream.py pins the path against the f32 kernels)
+        u8_volume=True,
     )
     scene = Scene.synthetic("bonsai", side=256 if on_tpu else 64)
     cam = Camera(aspect=1.0, distance=1.0).orbit(30.0, 20.0, 0.0)
@@ -188,6 +193,7 @@ def main() -> int:
             "slab_batch": prod_mod.SLAB_BATCH,
             "fast_math": params.fast_math,
             "camera_grads": params.camera_grads,
+            "u8_volume": params.u8_volume,
             "subtexel_bits": params.subtexel_bits,
             "prod_ms_per_frame": round(t_prod * 1e3, 2),
             "baseline_ms_per_frame": round(t_base * 1e3, 1),

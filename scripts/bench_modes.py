@@ -36,6 +36,10 @@ BASE = dict(
     interpolation="trilinear",
     adaptive_stepping=False,
     use_shading=False,
+    # production default (bench.py, CLI): integer-exact bf16 streaming for
+    # the u8-origin volume; _u8_active gates the unsupported combinations
+    # (smoothing, camera grads) back to f32 automatically
+    u8_volume=True,
 )
 
 

@@ -120,3 +120,55 @@ print(
     "fwd+bwd MFU at a measured step time T: e.g. T=11.7ms -> "
     f"{(passes*(mxu_nominal+tf_flops)+bwd_pass_flops)/11.7e-3/peak_bf16:.1%}"
 )
+
+# ---- VPU-inclusive model (VERDICT r4 item 1) ------------------------------
+# The MXU-only roofline under-counts the kernels' real critical path: the
+# hat BUILDS and x-contractions are elementwise VPU work proportional to
+# (rows x R) per executed step, and inside one step they are data-dependent
+# with the matmuls (hats feed the MXU; colvals feed the x-contraction), so
+# the honest per-step cost is closer to SERIAL MXU + VPU than to their max.
+# VPU peak (v5e): 4 ALUs x (8, 128) vregs x 0.94 GHz ~= 3.85e12 f32 op/s.
+peak_vpu = 3.85e12
+nx_eff = cols_eff  # x-lane width after the column window
+# forward, per executed step (ops over R-lane rows; counts from
+# _march_step_body): tri hat = sub+abs+sub+max = 4 ops/site
+vpu_fwd_step = (
+    4 * win * R        # hat_y build (win rows)
+    + 4 * nx_eff * R   # hat_x build
+    + 2 * nx_eff * R   # x contraction (mult + add)
+    + 1 * win * R      # y-iota + r0 add
+    + (2 + 4 + 2) * 17 * R + 2 * 16 * R + 8 * 4 * R  # TF two-level chain
+    + 40 * R           # compositing / masks / opacity correction
+)
+vpu_fwd = exec_steps * vpu_fwd_step
+t_vpu_fwd = vpu_fwd / peak_vpu
+# u8 path: density matmul single-pass (integer-exact bf16)
+t_mxu_u8 = (1 * mxu_nominal + passes * tf_flops) / peak_bf16
+print(
+    f"\nVPU-inclusive forward: VPU {vpu_fwd/1e9:.1f} G ops -> "
+    f"{t_vpu_fwd*1e3:.2f} ms at {peak_vpu/1e12:.2f} T op/s; "
+    f"serial SOL (u8 single-pass density): "
+    f"{(t_mxu_u8 + t_vpu_fwd)*1e3:.2f} ms "
+    f"(MXU {t_mxu_u8*1e3:.2f} + VPU {t_vpu_fwd*1e3:.2f})"
+)
+# backward replay + fused scatter, per executed step (from
+# _replay_step_body): hats rebuilt (hat_y, hat_x), dtri/onehot chains,
+# d_beta/d_alpha suffix chain ~60 ops, scatter pre-multiply hat_x*dd
+vpu_bwd_step = (
+    4 * win * R + 4 * N * R      # hat_y + FULL-width hat_x (no col window)
+    + 2 * N * R                  # scatter lane pre-multiply hat_x*dd + add
+    + (2 + 4 + 2 + 3) * 17 * R + 2 * 16 * R + 10 * 4 * R  # TF fwd + dtri + fold
+    + 60 * R                     # compositing replay + cotangent chains
+)
+vpu_bwd = exec_steps * vpu_bwd_step
+t_vpu_bwd = vpu_bwd / peak_vpu
+t_serial = t_mxu_u8 + t_vpu_fwd + t_mxu_bwd + t_vpu_bwd
+print(
+    f"VPU-inclusive backward: VPU {vpu_bwd/1e9:.1f} G ops -> "
+    f"{t_vpu_bwd*1e3:.2f} ms; serial SOL {(t_mxu_bwd + t_vpu_bwd)*1e3:.2f} ms"
+)
+print(
+    f"fwd+bwd VPU-inclusive serial SOL: {t_serial*1e3:.2f} ms; "
+    "utilization at a measured step time T = SOL/T, e.g. "
+    f"T=10.1ms -> {t_serial/10.1e-3:.1%}"
+)

@@ -531,6 +531,51 @@ def main() -> int:
     if rel_l > 1e-4 or rel > 1e-2 or not np.isfinite(bb).all():
         failures.append("sharded pallas smoothed train-step")
 
+    # u8 integer-exact streaming (RenderParams.u8_volume) vs the f32 path
+    # on a u8-quantised volume: bulk must agree to float-class; a tiny
+    # knife-edge population may flip threshold masks (same accounting as
+    # the x3-vs-x6 exactness classes)
+    u8_scene = Scene(
+        volume=jnp.round(scene.volume * 255.0) / 255.0,
+        importance=scene.importance,
+        tf_lut=scene.tf_lut,
+    )
+    p_u8f = params.replace(camera_grads=False)
+    for tag, p in (
+        ("base", p_u8f),
+        ("shaded", p_u8f.replace(use_shading=True)),
+    ):
+        a = np.asarray(slab_kernel.render(u8_scene, m, p, 64, 64))
+        bimg = np.asarray(
+            slab_kernel.render(u8_scene, m, p.replace(u8_volume=True), 64, 64)
+        )
+        err = np.abs(a - bimg).max(-1)
+        bad = (err > 1e-3).mean()
+        print(f"u8 fwd {tag}: maxerr {err.max():.2e} frac>0.001 {bad:.2e}")
+        if bad > 2e-3 or not np.isfinite(bimg).all():
+            failures.append(f"u8 fwd {tag}")
+
+    def grads_u8(p):
+        def loss(v, l):
+            img = slab_kernel.render_diff(
+                Scene(v, u8_scene.importance, l), m, p, 64, 64
+            )
+            return jnp.sum(img * w)
+        return jax.grad(loss, argnums=(0, 1))(u8_scene.volume, u8_scene.tf_lut)
+
+    w = jnp.cos(jnp.arange(64 * 64 * 4, dtype=jnp.float32).reshape(64, 64, 4))
+    ga8 = grads_u8(p_u8f.replace(u8_volume=True))
+    ga32 = grads_u8(p_u8f)
+    for name, a, bb in zip(("d_volume", "d_lut"), ga32, ga8):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = max(np.abs(a).max(), 1e-9)
+        rel = np.abs(a - bb) / scale
+        n_out = int((rel > 1e-2).sum())
+        bulk = np.abs(a - bb)[rel <= 1e-2].max() / scale
+        print(f"u8 bwd {name}: outliers>1e-2 {n_out} bulk rel {bulk:.2e}")
+        if n_out > 16 or bulk > 1e-3 or not np.isfinite(bb).all():
+            failures.append(f"u8 bwd {name}")
+
     if failures:
         print("FAILURES:", failures)
         return 1

@@ -63,6 +63,11 @@ def _params(args):
         interpolation=args.interpolation,
         use_shading=not args.no_shading,
         use_opacity=not getattr(args, "first_hit", False),
+        # every CLI scene source is u8-origin (raw uint8 files /
+        # from_uint8 synthetics), so the integer-exact bf16 streaming
+        # path is always eligible (slab_kernel._u8_active gates the
+        # unsupported mode combinations itself); --no-u8 forces f32
+        u8_volume=not getattr(args, "no_u8", False),
     )
 
 
@@ -319,6 +324,12 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--importance", action="store_true")
         p.add_argument("--cone", action="store_true")
         p.add_argument("--coloring", action="store_true")
+        p.add_argument(
+            "--no-u8", action="store_true",
+            help="force f32 volume streaming (default: integer-exact bf16 "
+            "streaming for the u8-origin volume — see "
+            "RenderParams.u8_volume)",
+        )
         p.add_argument("--ahead-steps", type=int, default=12)
         p.add_argument("--interpolation", default="nearest", choices=["nearest", "trilinear"])
         p.add_argument(

@@ -110,6 +110,23 @@ class RenderParams:
     #: importance but SILENTLY ZERO camera-matrix gradients — leave True
     #: for pose optimisation.
     camera_grads: bool = True
+    #: Integer-exact streaming for u8-origin volumes (the reference's
+    #: datasets are uint8 raws, ``src/demos/simple/mod.rs:40-55``).  The
+    #: slab kernels then stream the density grid as bf16 holding the RAW
+    #: 0..255 integers (2 bytes/voxel — half the slice DMA) and run the
+    #: density sampling matmul SINGLE-pass: u8 integers and subtexel-
+    #: snapped hat weights are both exactly bf16-representable, so the
+    #: bf16 products accumulate exactly in the MXU's f32 accumulator —
+    #: fewer passes than the split-exact f32 path at BETTER accuracy (the
+    #: integer dot is exact; only the final 1/255-scale entries round).
+    #: The march runs in the scaled density domain: threshold knob x255,
+    #: TF coordinate scale ln/255 — mask/LUT semantics preserved to f32
+    #: rounding class (knife-edge pixels only vs the f32 path).
+    #: CONTRACT: the volume must be exactly u8-representable
+    #: (``round(v*255)/255 == v``); the flag is auto-set by the CLI for
+    #: u8 raw sources and silently ignored (f32 path) under Gaussian
+    #: smoothing, camera cotangents, or a resampled slab ladder.
+    u8_volume: bool = False
 
     def __post_init__(self):
         if not isinstance(self.interpolation, Interpolation):

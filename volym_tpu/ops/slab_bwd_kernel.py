@@ -192,8 +192,10 @@ def _replay_kernel(
     aux=jax.lax.Precision.HIGHEST,
     subtexel: int = 0,
     stored_density: bool = False,
+    stored_grads: bool = False,
     nr: int = 0,
     nc: int = 0,
+    u8: bool = False,
 ):
     if stored_density:
         # the second positional ref is the forward's per-step density
@@ -212,7 +214,7 @@ def _replay_kernel(
     next_ref = rest.pop(0) if smoothing and not stored_density else None
     imp_ref = rest.pop(0) if coloring else None
     meta_ref = rest.pop(0) if (occupancy or win_rows or win_cols) else None
-    grad_ref = rest.pop(0) if shading else None
+    grad_ref = rest.pop(0) if shading and not stored_grads else None
     ahead_ref = rest.pop(0) if lookahead else None
     dvol_ref = dgrad_out_ref = None
     if fuse_scatter:
@@ -366,8 +368,11 @@ def _replay_kernel(
                     imp_ref=imp_ref, grad_ref=grad_ref, coloring=coloring,
                     ahead=ahead_ref[0, i] if lookahead else None,
                     density_override=(
-                        dens_ref[0, i] if stored_density
+                        dens_ref[0, i, 0:1] if stored_density
                         else (None if smooth_rows is None else smooth_rows[i])
+                    ),
+                    g_override=(
+                        dens_ref[0, i, 1:4] if stored_grads else None
                     ),
                     dsmooth_dts=None if dts_rows is None else dts_rows[i],
                     camera_grads=camera_grads,
@@ -380,6 +385,7 @@ def _replay_kernel(
                     subtexel=subtexel,
                     nr=nr,
                     nc=nc,
+                    u8=u8,
                 )
 
         if win_cols and fits_b is not None:
@@ -413,9 +419,10 @@ def _replay_step(
     dfeat_ref, acc_ref,
     *, j, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
-    density_override=None, dsmooth_dts=None, camera_grads=True,
-    occupied=None, r0=None, c0=None, dvol_ref=None, dgrad_out_ref=None,
-    aux=jax.lax.Precision.HIGHEST, subtexel=0, nr=None, nc=None,
+    density_override=None, g_override=None, dsmooth_dts=None,
+    camera_grads=True, occupied=None, r0=None, c0=None, dvol_ref=None,
+    dgrad_out_ref=None,
+    aux=jax.lax.Precision.HIGHEST, subtexel=0, nr=None, nc=None, u8=False,
 ):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
@@ -430,10 +437,11 @@ def _replay_step(
             slice_row=slice_row, bilinear=bilinear, early_alpha=early_alpha,
             threshold=threshold, win_rows=win_rows, imp_ref=imp_ref,
             grad_ref=grad_ref, coloring=coloring, ahead=ahead,
-            density_override=density_override, dsmooth_dts=dsmooth_dts,
+            density_override=density_override, g_override=g_override,
+            dsmooth_dts=dsmooth_dts,
             camera_grads=camera_grads, r0=r0, dvol_ref=dvol_ref,
             dgrad_out_ref=dgrad_out_ref, win_cols=win_cols, c0=c0, aux=aux,
-            subtexel=subtexel, nr=nr, nc=nc,
+            subtexel=subtexel, nr=nr, nc=nc, u8=u8,
         )
 
     if occupied is None:
@@ -452,9 +460,10 @@ def _replay_step_body(
     dlut_ref, dfeat_ref, acc_ref,
     *, dd_row, slice_row, bilinear, early_alpha, threshold, win_rows=0,
     win_cols=0, imp_ref=None, grad_ref=None, coloring=False, ahead=None,
-    density_override=None, dsmooth_dts=None, camera_grads=True, r0=None,
+    density_override=None, g_override=None, dsmooth_dts=None,
+    camera_grads=True, r0=None,
     c0=None, dvol_ref=None, dgrad_out_ref=None,
-    aux=jax.lax.Precision.HIGHEST, subtexel=0, nr=None, nc=None,
+    aux=jax.lax.Precision.HIGHEST, subtexel=0, nr=None, nc=None, u8=False,
 ):
     if slice_ref is not None:
         nr, nc = slice_ref.shape[1], slice_ref.shape[2]
@@ -501,7 +510,20 @@ def _replay_step_body(
         # forward's own sample — either way the volume slice is not read
         density = density_override
 
-    if grad_ref is not None:
+    shaded = (grad_ref is not None) or (g_override is not None)
+    if g_override is not None:
+        # shaded stored residual (stored_grads): the forward's own
+        # gradient-field samples ride the width-4 density block — neither
+        # the volume nor the gradient field is streamed, and the samples
+        # are bit-identical to a re-contraction by construction
+        gx = g_override[0:1, :]
+        gy = g_override[1:2, :]
+        gz = g_override[2:3, :]
+        g_sq = gx * gx + gy * gy + gz * gz
+        g_nonzero = g_sq > 0.0
+        inv_norm = jax.lax.rsqrt(jnp.where(g_nonzero, g_sq, 1.0))
+        n_x, n_y, n_z = gx * inv_norm, gy * inv_norm, gz * inv_norm
+    elif grad_ref is not None:
         # shaded replay: re-sample the precomputed gradient field with the
         # same hats (forward: slab_kernel._march_step_body shading branch)
         g_colvals = []
@@ -552,12 +574,12 @@ def _replay_step_body(
         b = lut_ref[:]  # grouped LUT (4G, NI) — see slab_kernel.lut_groups
         n_groups = b.shape[0] // 4
         rgba, onehot, diff, tri_o, tf_c_raw, ln = fwd_mod._tf_lookup(
-            b, density, rays
+            b, density, rays, dscale=(1.0 / 255.0) if u8 else None
         )
         tf_in_range = (tf_c_raw > 0.0) & (tf_c_raw < ln - 1.0)  # clip grad mask
 
     rgb_comp = rgba[:3, :]
-    if grad_ref is not None:
+    if shaded:
         # Blinn-Phong forward (wgsl:190-211; mirrors the fwd kernel exactly)
         from volym_tpu.render.shading import AMBIENT, DIFFUSE, SHININESS, SPECULAR
 
@@ -621,7 +643,7 @@ def _replay_step_body(
     # d alpha / d a = aexp * (1-a)^(aexp-1)
     d_a = d_alpha * aexp * jnp.exp((aexp - 1.0) * log1ma)
 
-    if grad_ref is not None:
+    if shaded:
         # chain the shading: rgb_comp = nonzero ? tf_rgb*shade_f + S*spec
         #                                       : tf_rgb
         from volym_tpu.render.shading import DIFFUSE, SHININESS, SPECULAR
@@ -661,7 +683,7 @@ def _replay_step_body(
             - d_rgba[1:2, :] * 1.2
             + d_rgba[3:4, :]
         )
-        if grad_ref is not None:
+        if shaded:
             # coloring+shading combined: row 0 carries d_imp (box-hat
             # scatter into the importance grid), rows 1..3 the
             # gradient-field channel cotangents
@@ -729,8 +751,13 @@ def _replay_step_body(
             axis=0,
         )  # (4, R)
         d_tf_c = jnp.sum(d_rgba * drgba_dc, axis=0, keepdims=True)  # (1, R)
-        dd = d_tf_c * ln * tf_in_range.astype(jnp.float32)
-        if grad_ref is not None:
+        # u8 mode: density is in the scaled 0..255 domain, so the TF
+        # coordinate derivative carries the ln/255 factor (matching the
+        # forward's dscale) — dd is then d/d(scaled density); the caller
+        # rescales the final scatter by 255 back to the v/255 volume
+        dd = d_tf_c * (float(ln) * ((1.0 / 255.0) if u8 else 1.0))
+        dd = dd * tf_in_range.astype(jnp.float32)
+        if shaded:
             # rows 0..3: density cotangent + the 3 gradient-field channel
             # cotangents (scattered by _voxel_grad_shaded_kernel)
             dd_ref[0, dd_row] = jnp.concatenate([dd, d_gx, d_gy, d_gz], axis=0)
@@ -816,7 +843,7 @@ def _replay_step_body(
         return
     # d alpha / d aexp = -log1ma * exp(aexp * log1ma) = log1ma * (alpha-1)
     d_aexp = d_alpha * log1ma * (alpha - 1.0)
-    if grad_ref is not None:
+    if shaded:
         dh_x, dh_y, dh_z = d_half_x, d_half_y, d_half_z
     else:
         dh_x = dh_y = dh_z = zero
@@ -1277,6 +1304,19 @@ def _backward_call(
         " rows) — the stored-density replay never streams it"
     )
     assert not (coloring and lookahead), "coloring replaces the look-ahead gate"
+    # u8 integer-exact streaming: EXACTLY the forward's gate and scaling
+    # (fwd_mod._u8_active / _forward_call) — the replay must reproduce the
+    # forward's masks bit-for-bit, so both sides run in the same scaled
+    # density domain.  The scatter outputs are d/d(scaled) and are
+    # rescaled by 255 below (d_imp is NOT scaled: the importance grid
+    # never enters the scaled domain).
+    u8 = fwd_mod._u8_active(params)
+    if u8:
+        knobs = knobs * jnp.asarray([[255.0, 1.0]], jnp.float32)
+        thr = knobs[0, 0]
+        vol_perm = jnp.round(vol_perm * 255.0)
+        # the gradient field stays f32 (non-dyadic 0.01-offset tap blend
+        # is not bf16-exact — see fwd_mod._forward_call)
     n_chunks = feats.shape[0]
     n_slabs, nr, nc = vol_perm.shape
     bilinear = params.interpolation == Interpolation.TRILINEAR
@@ -1307,10 +1347,16 @@ def _backward_call(
     # the d_vol/d_grad outputs are ~160 MB vs 128 MB physical on v5e),
     # so the backward falls back to the two-pass layout there
     stored_density = dens is not None
-    slice_bytes = sb * nr * nc * 4
+    # shaded stored residuals are width 4 (density + 3 gradient-field
+    # sample rows): the replay streams NEITHER the volume nor the grad
+    # field (see _replay_step_body g_override)
+    stored_grads = stored_density and shading
+    dens_w = 4 if shading else 1
+    slice_bytes = sb * nr * nc * (2 if u8 else 4)
     fused_streams = (
         (0 if stored_density else 1)
-        + (3 if shading else 0) + (1 if coloring else 0)  # input streams
+        + (0 if stored_grads else (3 if shading else 0))
+        + (1 if coloring else 0)                          # input streams
         + 1 + (3 if shading else 0)                       # scatter outputs
     )
     fused_working = (
@@ -1376,8 +1422,10 @@ def _backward_call(
         aux=aux_prec,
         subtexel=params.subtexel_bits,
         stored_density=stored_density,
+        stored_grads=stored_grads,
         nr=nr,
         nc=nc,
+        u8=u8,
     )
     # inputs in the replay kernel's pop order (see _replay_kernel *rest).
     # With stored density the forward's per-step density output replaces
@@ -1389,14 +1437,15 @@ def _backward_call(
         ),
         (
             pl.BlockSpec(
-                (1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))
+                (1, sb, dens_w, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))
             )
             if stored_density
             else pl.BlockSpec((sb, nr, nc), slab_index)
         ),
         pl.BlockSpec((1, 2), W(lambda c, j: (0, 0)), memory_space=pltpu.SMEM),
     ]
-    inputs = [feats, dens if stored_density else vol_perm, knobs]
+    vol_stream = vol_perm.astype(jnp.bfloat16) if u8 else vol_perm
+    inputs = [feats, dens if stored_density else vol_stream, knobs]
     if smoothing and not stored_density:
         # previous / next MARCH blocks (clamped at the sweep ends) for the
         # slab-axis stencil's halo rows
@@ -1436,7 +1485,7 @@ def _backward_call(
             )
         )
         inputs.append(meta)
-    if shading:
+    if shading and not stored_grads:
         in_specs.append(pl.BlockSpec((3, sb, nr, nc), grad_index))
         inputs.append(grad_perm)
     if lookahead:
@@ -1503,7 +1552,7 @@ def _backward_call(
             slice_bytes=sb * nr * nc * 4,
             n_streams=(
                 (0 if stored_density else (3 if smoothing else 1))
-                + (3 if shading else 0)
+                + (0 if stored_grads else (3 if shading else 0))
                 + (1 if coloring else 0)
                 + ((1 + (3 if shading else 0)) if fuse else 0)
             ),
@@ -1513,8 +1562,16 @@ def _backward_call(
     def fold(dlx):
         return None if coloring else fwd_mod.fold_lut_groups_grad(dlx, lut.shape[0])
 
+    def rescale(d_scatter, d_grad):
+        # d/d(scaled volume) -> d/d(v/255 volume): the x255 chain; d_imp
+        # (coloring) and d_grad (f32 gradient field) are unscaled
+        if u8 and d_scatter is not None and not coloring:
+            d_scatter = d_scatter * 255.0
+        return d_scatter, d_grad
+
     if fuse:
-        return res[2], (res[3] if shading else None), fold(res[0]), res[1]
+        d_scatter, d_grad = rescale(res[2], res[3] if shading else None)
+        return d_scatter, d_grad, fold(res[0]), res[1]
 
     dd, d_lut, d_feats = res[0], fold(res[1]), res[2]
     if smoothing and not coloring:
@@ -1621,6 +1678,7 @@ def _backward_call(
     else:
         d_scatter = scatter_plain(dd, box=False)
 
+    d_scatter, d_grad = rescale(d_scatter, d_grad)
     if smoothing and bilinear and params.camera_grads and not coloring:
         # Pass 2b: the plain rows' own bilinear-hat camera chain (fused
         # into pass 1 when unsmoothed; see _feats_grad_kernel).  Box

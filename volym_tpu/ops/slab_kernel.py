@@ -99,6 +99,7 @@ def _march_kernel(
     first_hit: bool = False,
     subtexel: int = 0,
     emit_density: bool = False,
+    u8: bool = False,
 ):
     rest = list(rest)
     # live-mutation knobs (density threshold, early-termination alpha) ride
@@ -248,6 +249,7 @@ def _march_kernel(
                     subtexel=subtexel,
                     dens_ref=dens_all,
                     dens_row=i,
+                    u8=u8,
                 )
 
         if win_cols and fits_b is not None:
@@ -339,7 +341,28 @@ def kernel_dot(a, b, dims, precision, exact=None):
     second residual), so the x3 error bound holds unchanged.  The caller
     owns the exactness contract; a wrong hint silently loses the operand's
     low bits (plain bf16 rounding, DEFAULT-precision class).
+
+    A BF16 operand (the u8-volume integer stream, see
+    ``RenderParams.u8_volume``) short-circuits to ONE pass: the other
+    operand must carry an exact hint (its bf16 cast is lossless), so every
+    bf16xbf16 product is exact and the MXU's f32 accumulation makes the
+    whole contraction EXACT — strictly fewer passes than x3/x6 at
+    strictly better accuracy.
     """
+    if a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
+        x, y = a, b
+        if x.dtype != jnp.bfloat16:
+            assert exact in ("a", "ab"), "f32 operand needs an exactness hint"
+            _verify_exact_hint(x, "a")
+            x = x.astype(jnp.bfloat16)
+        if y.dtype != jnp.bfloat16:
+            assert exact in ("b", "ab"), "f32 operand needs an exactness hint"
+            _verify_exact_hint(y, "b")
+            y = y.astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
     if precision != jax.lax.Precision.HIGHEST or EXACT_DOT == "x6":
         return jax.lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32, precision=precision
@@ -772,7 +795,7 @@ def fold_lut_groups_grad(dlx, ln):
     return jnp.zeros((ln, 4), jnp.float32).at[idx].add(flat)
 
 
-def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
+def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST, dscale=None):
     """Two-level linear TF filter (identical math to the LN-row hat).
 
     Returns ``(rgba, onehot, diff, tri_o, tf_c_raw, ln)`` — the extras are
@@ -790,7 +813,10 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     # scatter weight between adjacent entries.  Volume coords CAN snap
     # because both sides share the bit-identical affine march
     # (slab.ray_affine); density cannot.
-    tf_c_raw = density * ln - 0.5
+    # u8 mode (dscale = 1/255): density arrives in the scaled 0..255
+    # domain, so the LUT coordinate scale folds 1/255 into the ln factor
+    # (one constant; same f32-rounding class as the unscaled product)
+    tf_c_raw = density * (float(ln) * (dscale if dscale else 1.0)) - 0.5
     tf_c = jnp.clip(tf_c_raw, 0.0, ln - 1.0)
     gf = jnp.floor(tf_c / gw)  # (1, R) group index as float
     o = tf_c - gf * gw  # within-group offset in [0, gw)
@@ -816,7 +842,7 @@ def _tf_lookup(b, density, rays, precision=jax.lax.Precision.HIGHEST):
     return rgba, onehot, diff, tri_o, tf_c_raw, ln
 
 
-def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, win_cols=0, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occupied=None, r0=None, c0=None, first_hit=False, subtexel=0, dens_ref=None, dens_row=0):
+def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, slice_row, bilinear, early_alpha, threshold, precision=jax.lax.Precision.HIGHEST, win_rows=0, win_cols=0, coloring=False, ahead_ref=None, ahead_row=0, density_override=None, occupied=None, r0=None, c0=None, first_hit=False, subtexel=0, dens_ref=None, dens_row=0, u8=False):
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]  # (16, RAYS)
     rows_c = feat[F_RS : F_RS + 1, :] * jf + feat[F_RB : F_RB + 1, :]  # (1, R)
@@ -841,7 +867,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             win_rows=win_rows, coloring=coloring, ahead=ahead,
             density_override=density_override, r0=r0, first_hit=first_hit,
             win_cols=win_cols, c0=c0, subtexel=subtexel, dens_ref=dens_ref,
-            dens_row=dens_row,
+            dens_row=dens_row, u8=u8,
         )
 
     if occupied is None:
@@ -855,7 +881,7 @@ def _march_step(feat_ref, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, j, 
             body()
 
 
-def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None, first_hit=False, win_cols=0, c0=None, subtexel=0, dens_ref=None, dens_row=0):
+def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_ref, out_ref, *, slice_row, bilinear, early_alpha, threshold, precision, win_rows, coloring=False, ahead=None, density_override=None, r0=None, first_hit=False, win_cols=0, c0=None, subtexel=0, dens_ref=None, dens_row=0, u8=False):
     nr, nc = slice_ref.shape[1], slice_ref.shape[2]
     rays = rows_c.shape[-1]
     if win_cols:
@@ -963,7 +989,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         density = jnp.sum(colvals[0] * hat_x, axis=0, keepdims=True)
     else:
         density = density_override
-    if dens_ref is not None:
+    if dens_ref is not None and grad_ref is None:
         # stored-density residual for the backward replay: bit-identical to
         # what the replay would recompute (same kernel_dot, same operands),
         # so the backward's threshold/early-alpha masks match the forward
@@ -986,7 +1012,7 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
             axis=0,
         )  # (4, R)
     else:
-        rgba = _tf_lookup(lut_ref[:], density, rays)[0]
+        rgba = _tf_lookup(lut_ref[:], density, rays, dscale=(1.0 / 255.0) if u8 else None)[0]
 
     rgb = rgba[:3, :]
     if grad_ref is not None:
@@ -997,6 +1023,14 @@ def _march_step_body(feat, rows_c, cols_c, t, slice_ref, imp_ref, grad_ref, lut_
         gx = jnp.sum(colvals[grad_base + 0] * hat_x, axis=0, keepdims=True)
         gy = jnp.sum(colvals[grad_base + 1] * hat_x, axis=0, keepdims=True)
         gz = jnp.sum(colvals[grad_base + 2] * hat_x, axis=0, keepdims=True)
+        if dens_ref is not None:
+            # shaded stored residual: density + the 3 gradient-field
+            # samples (width-4 rows) — the backward replay then streams
+            # NEITHER the volume nor the gradient field (slab_bwd_kernel
+            # stored_grads), reusing these bit-identical samples
+            dens_ref[0, dens_row] = jnp.concatenate(
+                [density, gx, gy, gz], axis=0
+            )
         sq = gx * gx + gy * gy + gz * gz
         nonzero = sq > 0.0
         inv_norm = jax.lax.rsqrt(jnp.where(nonzero, sq, 1.0))
@@ -1142,6 +1176,29 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
                 jnp.concatenate([o[1] for o in outs], axis=0),
             )
         return jnp.concatenate(outs, axis=0)
+    # u8 integer-exact streaming (see RenderParams.u8_volume): the march
+    # runs in the SCALED density domain — volume as raw 0..255 integers in
+    # bf16 (exact), threshold knob x255, TF coordinate scale ln/255.  The
+    # sampling matmul then runs single-pass (kernel_dot's bf16 path).
+    # Gaussian smoothing keeps the f32 path (stencil prologue + its
+    # backward are f32-specified); callers clear the flag for resampled
+    # ladders / camera cotangents.  (Placed after the chunk-group
+    # recursion so groups receive the UNSCALED operands.)
+    u8 = _u8_active(params)
+    if u8:
+        knobs = knobs * jnp.asarray([[255.0, 1.0]], jnp.float32)
+        thr = knobs[0, 0]
+        # round() recovers the exact integers from the f32 v/255 volume
+        # (contract: u8-representable); occupancy below uses the SAME
+        # scaled values/threshold, so its block gate can never skip a
+        # sample the kernel's scaled mask would have taken
+        vol_perm = jnp.round(vol_perm * 255.0)
+        # NOTE the gradient field stays f32: gradient_volume's 0.01-offset
+        # taps blend neighbours with a NON-dyadic (0.44, 0.56) weight, so
+        # the field values are not exactly bf16-representable — only the
+        # density stream takes the u8 fast path (the shading chain is
+        # scale-invariant either way, and its matmuls keep the exact
+        # 2-pass split).
     n_slabs, nr, nc = vol_perm.shape
     coloring = params.use_importance_coloring
     lookahead = ahead is not None
@@ -1197,6 +1254,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         inverted=inverted,
         first_hit=not (params.use_opacity or params.use_importance_coloring),
         emit_density=emit_density,
+        u8=u8,
     )
     # index maps below are written in (chunk, block) order; W re-orders the
     # arguments for the inverted (slab-outer) grid
@@ -1216,7 +1274,8 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         slice_spec,
         pl.BlockSpec((1, 2), W(lambda c, j: (0, 0)), memory_space=pltpu.SMEM),
     ]
-    inputs = [feats, vol_perm, knobs]
+    vol_stream = vol_perm.astype(jnp.bfloat16) if u8 else vol_perm
+    inputs = [feats, vol_stream, knobs]
     if smoothing:
         # previous / next MARCH blocks (clamped at the sweep ends) for the
         # slab-axis smoothing stencil's halo rows
@@ -1284,16 +1343,17 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     )
     out_shape = jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
     if emit_density:
+        dw = 4 if shading else 1  # +3 gradient-field sample rows (see body)
         out_specs = [
             out_specs,
             pl.BlockSpec(
-                (1, sb, 1, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))
+                (1, sb, dw, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))
             ),
         ]
         out_shape = [
             out_shape,
             jax.ShapeDtypeStruct(
-                (n_chunks, n_slabs, 1, RAYS_PER_CHUNK), jnp.float32
+                (n_chunks, n_slabs, dw, RAYS_PER_CHUNK), jnp.float32
             ),
         ]
     res = pl.pallas_call(
@@ -1305,7 +1365,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         compiler_params=vmem_params(
             smoothing or shading,
             resident_bytes=n_chunks * (N_FEATURES + 4) * RAYS_PER_CHUNK * 4,
-            slice_bytes=sb * vol_perm.shape[1] * vol_perm.shape[2] * 4,
+            slice_bytes=sb * vol_perm.shape[1] * vol_perm.shape[2] * (2 if u8 else 4),
             n_streams=(3 if smoothing else 1) + (3 if shading else 0)
             + (1 if coloring else 0),
         ),
@@ -1382,6 +1442,28 @@ STORE_DENSITY_BUDGET_MB = int(
 )
 
 
+def _u8_active(params) -> bool:
+    """Whether the integer-exact u8 streaming path applies (see
+    RenderParams.u8_volume).  Must be evaluated IDENTICALLY by the forward
+    and the backward (the replay reproduces the forward's scaled-domain
+    masks bit-for-bit): excluded under Gaussian smoothing (f32-specified
+    stencil prologue + pass 2b), camera cotangents (dhat chains read f32
+    slices), and un-snapped trilinear hats (the single-pass contraction
+    needs bf16-exact weights).  Callers additionally clear the flag for
+    resampled slab ladders (lerped planes are not u8-representable)."""
+    from volym_tpu.config import Interpolation
+
+    return bool(
+        params.u8_volume
+        and not params.use_gaussian_smoothing
+        and not params.camera_grads
+        and (
+            params.subtexel_bits > 0
+            or params.interpolation != Interpolation.TRILINEAR
+        )
+    )
+
+
 def _use_stored_density(params, feats=None, n_slabs=None):
     """Stored-density backward applies (see STORE_DENSITY) whenever camera
     cotangents are off: their dhat chain needs the volume slice and the
@@ -1395,7 +1477,8 @@ def _use_stored_density(params, feats=None, n_slabs=None):
     if not (STORE_DENSITY and not params.camera_grads):
         return False
     if feats is not None and n_slabs is not None:
-        resid = feats.shape[0] * int(n_slabs) * RAYS_PER_CHUNK * 4
+        width = 4 if params.use_shading else 1  # +3 stored g-sample rows
+        resid = feats.shape[0] * int(n_slabs) * RAYS_PER_CHUNK * 4 * width
         if resid > STORE_DENSITY_BUDGET_MB * 1024 * 1024:
             return False
     return True
@@ -1749,11 +1832,22 @@ def _perm_gather(x, order, axis=0):
 
 def _chunk_rays(mat, height, width):
     """(rows, R) per-ray matrix -> (C, rows, RAYS_PER_CHUNK) chunk layout
-    (tile order + padding)."""
+    (tile order + padding).
+
+    The tile-order permutation is EXACTLY a reshape+transpose (it was
+    built from one — :func:`_tile_order`), so it runs as a layout copy at
+    full HBM bandwidth instead of an index gather: jnp.take on this TPU
+    crawls at ~100 M elements/s AND stages its s32 index vector through a
+    separate per-execution copy (~3 ms/frame of XLA glue at 256² in the
+    profiler — the largest single non-kernel term the trace summarizer
+    found).  Autodiff of a transpose is the inverse transpose, so the
+    backward is equally gather-free (this also retires the _perm_gather
+    custom-VJP workaround on this path)."""
     rows, r = mat.shape
-    order = _tile_order(height, width)
-    if order is not None:
-        mat = _perm_gather(mat, order, axis=1)
+    if height % TILE == 0 and width % TILE == 0 and r == height * width:
+        m = mat.reshape(rows, height // TILE, TILE, width // TILE, TILE)
+        m = m.transpose(1, 3, 0, 2, 4)  # (H/T, W/T, rows, T, T)
+        return m.reshape(-1, rows, RAYS_PER_CHUNK)
     if r % RAYS_PER_CHUNK:
         pad = RAYS_PER_CHUNK - r % RAYS_PER_CHUNK
         mat = jnp.pad(mat, ((0, 0), (0, pad)))
@@ -1828,14 +1922,16 @@ def cone_features_from_rays(origin, dirs, n_slabs, major, sign, layout, n_plane=
 
 
 def _unchunk_tiled(out, r, height, width):
-    """(C, 4, RAYS_PER_CHUNK) -> (r, 4) in raster order: inverse of
-    :func:`_chunk_rays` (tile-order permutation undone; identity layout
-    when the image does not tile)."""
-    img = out.transpose(0, 2, 1).reshape(-1, 4)[:r]  # (R, 4), tile order
-    order = _tile_order(height, width)
-    if order is not None:
-        img = _perm_gather(img, np.argsort(order), axis=0)
-    return img
+    """(C, ch, RAYS_PER_CHUNK) -> (r, ch) in raster order: inverse of
+    :func:`_chunk_rays` (tile-order permutation undone as a pure
+    reshape/transpose — see _chunk_rays; identity layout when the image
+    does not tile)."""
+    ch = out.shape[1]
+    if height % TILE == 0 and width % TILE == 0 and r == height * width:
+        m = out.reshape(height // TILE, width // TILE, ch, TILE, TILE)
+        m = m.transpose(0, 3, 1, 4, 2)  # (H/T, T, W/T, T, ch)
+        return m.reshape(r, ch)
+    return out.transpose(0, 2, 1).reshape(-1, ch)[:r]
 
 
 def _assemble(out, miss, r, height, width):
@@ -2024,6 +2120,9 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
         halo=SMOOTH_HALO if params.use_gaussian_smoothing else 0,
         n_plane=n,
     )
+    if planes != n:
+        # resampled slab ladder: lerped planes are not u8-representable
+        params = params.replace(u8_volume=False)
     return _render_pallas_diff_jit(
         scene, camera_matrices, params.pallas_static(), height, width, major,
         sign, win, knobs=params.knobs(), planes=planes,
@@ -2044,6 +2143,12 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
         halo=SMOOTH_HALO if params.use_gaussian_smoothing else 0,
         n_plane=n,
     )
+    # forward-only: camera cotangents are moot, so clear the flag (it
+    # would otherwise veto the u8 fast path — _u8_active); a resampled
+    # slab ladder lerps planes (not u8-representable) — clear u8 there
+    params = params.replace(camera_grads=False)
+    if planes != n:
+        params = params.replace(u8_volume=False)
     return _render_pallas_jit(
         scene, camera_matrices, params.pallas_static(), height, width, major,
         sign, win, knobs=params.knobs(), planes=planes,

@@ -269,10 +269,18 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
     n_plane = vol_perm.shape[1]
+    native = vol_perm.shape[0]
     if not planes:
-        planes = vol_perm.shape[0]
+        planes = native
     vol_perm = slab_mod.slab_resample(vol_perm, planes)
     n_slabs = planes
+    if planes != native:
+        # resampled slab ladder: lerped planes are not u8-representable
+        params = params.replace(u8_volume=False)
+    if not differentiable:
+        # forward-only: camera cotangents are moot; clearing the flag
+        # keeps the u8 fast path eligible (slab_kernel._u8_active)
+        params = params.replace(camera_grads=False)
     if not shard_h:
         win_rows = 0
     feats = sk.features_from_rays(
