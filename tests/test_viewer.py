@@ -118,3 +118,17 @@ def test_unknown_path_404(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_frame_live_resize(server):
+    """Per-request render size (live resize, gpu_context.rs:68-75 analog):
+    pw/ph override the launch resolution, clamped + rounded to /8."""
+    srv, _ = server
+    with _get(srv, "/frame?h=30&v=20&dist=1.2&renderer=ray&pw=32&ph=24") as r:
+        data = r.read()
+    assert r.status == 200
+    assert _png_shape(data) == (24, 32, 4)
+    # rounding + clamping: 70 -> 64; 9000 -> 2048
+    with _get(srv, "/frame?h=30&v=20&dist=1.2&renderer=ray&pw=70&ph=70") as r:
+        data = r.read()
+    assert _png_shape(data) == (64, 64, 4)

@@ -113,14 +113,20 @@ class RenderService:
         self.lock = threading.Lock()
         self.frames = 0
 
-    def render(self, cam: Camera, params: RenderParams, backend: str):
+    def render(self, cam: Camera, params: RenderParams, backend: str,
+               height: int | None = None, width: int | None = None):
+        # live resize (reference: surface reconfigure on window resize,
+        # src/gpu_context.rs:68-75): the client sends its canvas size per
+        # request; each (height, width) is one cached jit key
+        height = self.height if height is None else height
+        width = self.width if width is None else width
         m = cam.matrices()
         with self.lock:
             t0 = time.perf_counter()
             if backend == "slab":
                 from volym_tpu.render import slab
 
-                img = slab.render(self.scene, m, params, self.height, self.width)
+                img = slab.render(self.scene, m, params, height, width)
             elif backend == "slab_pallas":
                 import jax
 
@@ -128,18 +134,18 @@ class RenderService:
                     from volym_tpu.ops import slab_kernel
 
                     img = slab_kernel.render(
-                        self.scene, m, params, self.height, self.width
+                        self.scene, m, params, height, width
                     )
                 else:  # same off-TPU fallback as parallel/mesh.py
                     from volym_tpu.render import slab
 
                     img = slab.render(
-                        self.scene, m, params, self.height, self.width
+                        self.scene, m, params, height, width
                     )
             else:
                 from volym_tpu.render import fast
 
-                img = fast.render(self.scene, m, params, self.height, self.width)
+                img = fast.render(self.scene, m, params, height, width)
             img = np.asarray(img)  # device->host fetch = frame fence
             ms = (time.perf_counter() - t0) * 1e3
             self.frames += 1
@@ -151,6 +157,18 @@ class RenderService:
         buf = _io.BytesIO()
         Image.fromarray(vio.to_uint8_image(img), mode="RGBA").save(buf, "PNG")
         return buf.getvalue()
+
+
+def size_from_query(q: dict, service: "RenderService") -> tuple[int, int]:
+    """Per-request render size (live resize): clamped to [64, 2048] and
+    rounded to a multiple of 8 (sane layouts; 32-divisible sizes keep the
+    tiled fast path)."""
+
+    def one(key, default):
+        v = int(float(q.get(key, [default])[0]))
+        return max(16, min(2048, (v // 8) * 8))
+
+    return one("ph", service.height), one("pw", service.width)
 
 
 def make_handler(service: RenderService, screenshot_dir: str = "."):
@@ -191,12 +209,11 @@ def make_handler(service: RenderService, screenshot_dir: str = "."):
                     ).encode()
                     self._send(200, body, "text/html; charset=utf-8")
                 elif url.path == "/frame":
-                    cam = camera_from_query(
-                        q, service.width / service.height
-                    )
+                    ph, pw = size_from_query(q, service)
+                    cam = camera_from_query(q, pw / ph)
                     params = params_from_query(q, service.base_params)
                     backend = q.get("renderer", ["ray"])[0]
-                    img, ms = service.render(cam, params, backend)
+                    img, ms = service.render(cam, params, backend, ph, pw)
                     png = service.png(img)
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")
@@ -210,10 +227,11 @@ def make_handler(service: RenderService, screenshot_dir: str = "."):
                     self.end_headers()
                     self.wfile.write(png)
                 elif url.path == "/screenshot":
-                    cam = camera_from_query(q, service.width / service.height)
+                    ph, pw = size_from_query(q, service)
+                    cam = camera_from_query(q, pw / ph)
                     params = params_from_query(q, service.base_params)
                     backend = q.get("renderer", ["ray"])[0]
-                    img, _ = service.render(cam, params, backend)
+                    img, _ = service.render(cam, params, backend, ph, pw)
                     path = vio.save_screenshot(img, screenshot_dir)
                     log.info("viewer screenshot: %s", path)
                     self._send(
@@ -330,8 +348,25 @@ const frame = document.getElementById("frame");
 const stats = document.getElementById("stats");
 const camEl = document.getElementById("cam");
 let pending = false, queued = false, lastT = performance.now(), lastPos = "";
+let view = {w: INIT.width, h: INIT.height};
+function fitView() {  // live resize: render at the canvas's own size
+  const r = frame.getBoundingClientRect();
+  const w = Math.max(64, Math.min(2048, Math.round(r.width / 8) * 8));
+  const h = Math.max(64, Math.min(2048, Math.round(r.height / 8) * 8));
+  if (w && h && (w !== view.w || h !== view.h)) {
+    view = {w: w, h: h};
+    return true;
+  }
+  return false;
+}
+let resizeT = null;
+window.onresize = () => {  // gpu_context.rs:68-75 surface reconfigure
+  clearTimeout(resizeT);
+  resizeT = setTimeout(() => { if (fitView()) request(); }, 250);
+};
 function url(path) {
   const p = new URLSearchParams();
+  p.set("pw", view.w); p.set("ph", view.h);
   p.set("h", st.h); p.set("v", st.v); p.set("dist", st.dist);
   p.set("renderer", st.renderer);
   p.set("ahead", st.ahead); p.set("step", st.step);
