@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from volym_tpu import Camera, RenderParams, Scene
-from volym_tpu.bench.harness import marginal_time
+from volym_tpu.bench.harness import device_frame_ms, marginal_time
 from volym_tpu.ops import slab_kernel
 
 HEIGHT = WIDTH = 256
@@ -141,11 +141,14 @@ def main() -> int:
     for name, fn, n_rays in wide:
         if want and not any(w in name for w in want):
             continue
-        ms = marginal_time(fn, iters=15) * 1e3
+        # device time for the wide rows: their ~12 MB result fetch is
+        # bandwidth-bound through the tunnel and its jitter swamps the
+        # wall-clock differencing (see bench.harness.device_frame_ms)
+        ms = device_frame_ms(fn, frames=4)
         rays = n_rays / (ms / 1e3)
         print(
             f"{name:32s}: {ms:7.2f} ms  {rays/1e6:6.2f} M rays/s"
-            f"  ({1e3/ms:.0f} FPS)",
+            f"  ({1e3/ms:.0f} FPS, device time)",
             flush=True,
         )
     return 0

@@ -66,15 +66,15 @@ IMPORTANT_AHEAD_THRESHOLD = 0.5
 #: (raw >= IMPORTANCE_OPAQUE = 1.0).  All levels and their one-hot box
 #: selections are bf16-exact, so the sampling matmuls stay single-pass.
 OPAQUE_LEVEL = 1.5
-#: static row-window width for the cone pre-pass's wide sampling matmul
-#: (one dynamic start + fits bit per slab BATCH over the 9-family union).
-#: Default OFF — a measured negative result: at 256³ the window halves
-#: only the y-contraction MACs while the unshrunk x-chain (boxk build +
-#: contraction over nc lanes of the 9R-wide colvals) is ~40% of a
-#: sampled step, and the per-batch branch duplication eats the rest
-#: (dense-importance cone 66 → 69 ms, empty 7.9 → 8.8 ms with win=128;
-#: fit rates 46%/28% dense/sparse).  Plumbing kept CI-pinned for
-#: architectures where the balance differs: VOLYM_CONE_WIN=128 enables.
+#: static row-window width for the cone pre-pass's sampling matmul (one
+#: dynamic start + fits bit per slab BATCH over the 9-family union).
+#: Default OFF — re-measured NEGATIVE on the packed-plane kernel too
+#: (r5): win=128 ballooned dense-importance cone 31.5 → 75-78 ms and
+#: sparse 4.8 → 57-59 ms, with 16-aligned starts (bf16 sublane tiling)
+#: no better — the windowed branch duplication + dynamic row slicing of
+#: the packed bf16 block dwarf the halved matmul.  Plumbing kept
+#: CI-pinned for architectures where the balance differs:
+#: VOLYM_CONE_WIN=128 enables.
 CONE_WIN_ROWS = int(__import__("os").environ.get("VOLYM_CONE_WIN", "0"))
 
 
@@ -272,6 +272,7 @@ def _cone_kernel(
     inverted: bool = False,
     subtexel: int = 0,
     win_rows: int = 0,
+    nc: int = 0,
 ):
     rest = list(rest)
     meta_ref = rest.pop(0) if occupancy else None
@@ -288,7 +289,6 @@ def _cone_kernel(
             ns_ref[:] = jnp.full_like(ns_ref, _FAR)
 
     mb = n_blocks - 1 - jb
-    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
 
     def steps(flags, win=0, r0=None):
         for i in reversed(range(slab_batch)):
@@ -302,6 +302,7 @@ def _cone_kernel(
                 subtexel=subtexel,
                 win_rows=win,
                 r0=r0,
+                nc=nc,
             )
 
     if not occupancy:
@@ -321,7 +322,7 @@ def _cone_kernel(
             # per-BATCH row window over the 9-family union (layout:
             # [block_occ, flags[0..sb), r0_b, fits_b]); the multiple_of
             # hint lets Mosaic accept the dynamic sublane start
-            r0_b = pl.multiple_of(meta_ref[0, 0, 0, 1 + slab_batch], 8)
+            r0_b = pl.multiple_of(meta_ref[0, 0, 0, 1 + slab_batch], 16)
             fits_b = meta_ref[0, 0, 0, 1 + slab_batch + 1] > 0
 
             @pl.when(block_occ & fits_b)
@@ -447,8 +448,11 @@ def build_cone_step_meta(cone_feats, occ, feats, *, n_slabs, sb, sign, nr, nc, w
             axis=2,
         )
         any_b = jnp.any(sh_b, axis=2)
+        # 16-aligned starts: the packed planes stream as bf16 whose
+        # sublane tiling is (16, 128) — an 8-aligned dynamic row offset
+        # forces a Mosaic realign copy per slice (measured catastrophic)
         r0_b = jnp.clip(
-            jnp.floor((lo_b - 1.0) / 8.0) * 8.0, 0.0, nr - win
+            jnp.floor((lo_b - 1.0) / 16.0) * 16.0, 0.0, nr - win
         )
         fits_b = any_b & (hi_b <= r0_b + win - 1.0) & (lo_b >= r0_b)
         cols.append(r0_b.astype(jnp.int32)[:, :, None])
@@ -456,13 +460,19 @@ def build_cone_step_meta(cone_feats, occ, feats, *, n_slabs, sb, sign, nr, nc, w
     return jnp.concatenate(cols, axis=2)[:, :, None, :]
 
 
-def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True, subtexel=0, win_rows=0, r0=None):
+def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, slice_row, occupied=None, sample=True, subtexel=0, win_rows=0, r0=None, nc=0):
     from volym_tpu.render import slab as slab_mod
 
     jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
     feat = feat_ref[0]
     cf = cfeat_ref[0]  # (CONE_FEATURES, R)
-    nr, nc = slice_ref.shape[1], slice_ref.shape[2]
+    # slice_ref holds the PACKED bit planes (sb, nr, 2*ncw): 8 importance
+    # columns per bf16 word (ints 0..255 — exactly representable), the
+    # ahead plane (raw >= 0.5) in words [0, ncw) and the opaque plane
+    # (raw >= IMPORTANCE_OPAQUE) in words [ncw, 2*ncw); nc is the
+    # UNPACKED column count (static)
+    nr, ncw2 = slice_ref.shape[1], slice_ref.shape[2]
+    ncw = ncw2 // 2
     rays = feat.shape[-1]
     rows_m, cols_m, t = _coords_t(feat, jf)
     # main-ray sampler coords, snapped like the march's (see _straight_step)
@@ -503,7 +513,20 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, sli
         # (see _boxhat_sample).  The extra main-ray lane block feeds the
         # COMBINED gate bit (current sample non-opaque), snapped like the
         # march's own sampler coords.
-        rows_s, cols_s, inbox_l = [], [], []
+        # Box selection commutes with thresholding, so sampling the packed
+        # BIT planes reproduces the ternary compares exactly: the box hat
+        # picks column k = floor(snapped + 0.5); its word floor(k/8) rides
+        # the single-pass bf16 row matmul (one-hot x 8-bit ints — exact in
+        # the f32 accumulator, 8x fewer MXU FLOPs AND an 8x narrower
+        # word-select chain than the unpacked x contraction), and the bit
+        # k mod 8 extracts with exact power-of-two float arithmetic.
+        rows_s, w_s, b_s, inbox_l = [], [], [], []
+
+        def wb(cols_snapped, plane):
+            k = jnp.floor(cols_snapped + 0.5)  # the box-selected column
+            w = jnp.floor(k * 0.125)
+            return w + jnp.float32(plane * ncw), k - 8.0 * w
+
         for c in range(n_dirs):
             base = c * CF_STRIDE
 
@@ -521,25 +544,57 @@ def _cone_step(feat_ref, cfeat_ref, slice_ref, ahead_ref, ns_ref, *, j, row, sli
             rows_s.append(
                 slab_mod.snap(jnp.clip(rows_u, 0.0, nr - 1.0), subtexel)
             )
-            cols_s.append(
-                slab_mod.snap(jnp.clip(cols_u, 0.0, nc - 1.0), subtexel)
+            w, b = wb(
+                slab_mod.snap(jnp.clip(cols_u, 0.0, nc - 1.0), subtexel), 0
             )
+            w_s.append(w)
+            b_s.append(b)
         rows_s.append(rows_m)
-        cols_s.append(cols_m)
+        w, b = wb(cols_m, 1)  # main lane reads the OPAQUE plane
+        w_s.append(w)
+        b_s.append(b)
         rows_all = jnp.concatenate(rows_s, axis=1)  # (1, (n_dirs+1)*R)
-        cols_all = jnp.concatenate(cols_s, axis=1)
-        s_all = _boxhat_sample(
-            slice_ref, slice_row, rows_all, cols_all, nr, nc,
-            (n_dirs + 1) * rays, win_rows, feat, t, r0=r0,
-        )  # (1, (n_dirs+1)*R)
+        w_all = jnp.concatenate(w_s, axis=1)
+        b_all = jnp.concatenate(b_s, axis=1)
+        lanes = (n_dirs + 1) * rays
+
+        def boxk(coords, idx):
+            d = coords - idx
+            return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+
+        def iota(n, base=None):
+            v = jax.lax.broadcasted_iota(jnp.int32, (n, lanes), 0).astype(
+                jnp.float32
+            )
+            return v if base is None else v + base.astype(jnp.float32)
+
+        if win_rows:
+            assert r0 is not None, "windowed sampling needs a precomputed r0"
+            hat_y = boxk(rows_all, iota(win_rows, r0))
+            sl = slice_ref[slice_row, pl.ds(r0, win_rows), :]
+        else:
+            hat_y = boxk(rows_all, iota(nr))
+            sl = slice_ref[slice_row]
+        words = jax.lax.dot_general(
+            sl, hat_y.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (2*ncw, lanes) — the selected rows' words, exact
+        wordv = jnp.sum(
+            words * boxk(w_all, iota(ncw2)), axis=0, keepdims=True
+        )
+        # 2^b via exact selects (libm exp2 rounding is not trusted here)
+        p2 = jnp.full_like(b_all, 1.0)
+        for i in range(1, 8):
+            p2 = jnp.where(b_all == jnp.float32(i), jnp.float32(2.0 ** i), p2)
+        bit = jnp.floor(wordv / p2) - 2.0 * jnp.floor(wordv / (2.0 * p2))
         for c in range(n_dirs):
-            s = s_all[:, c * rays : (c + 1) * rays]
-            hit = (s >= IMPORTANT_AHEAD_THRESHOLD) & inbox_l[c]
+            s = bit[:, c * rays : (c + 1) * rays]
+            hit = (s > 0.5) & inbox_l[c]
             ns_ref[c : c + 1, :] = jnp.where(hit, jf, ns_ref[c : c + 1, :])
-        s_main = s_all[:, n_dirs * rays :]
+        s_main = bit[:, n_dirs * rays :]
         ahead_ref[0, row] = (
-            (ahead & valid)
-            & jnp.logical_not(s_main >= OPAQUE_LEVEL)
+            (ahead & valid) & jnp.logical_not(s_main > 0.5)
         ).astype(jnp.float32)
 
     if occupied is None:
@@ -577,10 +632,38 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
     # single-pass bf16 and stay exact for BOTH compares
     from volym_tpu.render.slab import IMPORTANCE_OPAQUE
 
-    imp_perm = (
-        0.75 * (imp_perm >= IMPORTANT_AHEAD_THRESHOLD).astype(jnp.float32)
-        + 0.75 * (imp_perm >= IMPORTANCE_OPAQUE).astype(jnp.float32)
-    )
+    if cone_feats is not None and nc % 8 != 0:
+        raise NotImplementedError(
+            "the cone pre-pass packs importance columns 8-per-word; pad "
+            f"the grid to a multiple of 8 columns (got {nc})"
+        )
+    packed = cone_feats is not None
+    if packed:
+        # cone path: 8-bit-packed bit planes — ahead (raw >= 0.5) and
+        # opaque (raw >= IMPORTANCE_OPAQUE) — words 0..255 as bf16 ints
+        # (exact).  8x fewer sampling-matmul FLOPs, an 8x narrower word
+        # select in place of the per-lane column chain, and 16x less
+        # slice DMA than the ternary f32 stream (see _cone_step).
+        weights = jnp.asarray([2.0 ** i for i in range(8)], jnp.float32)
+
+        def pack(bits):
+            b = bits.reshape(n_slabs, nr, nc // 8, 8).astype(jnp.float32)
+            return jnp.einsum("srwb,b->srw", b, weights)
+
+        occ_src = imp_perm
+        imp_perm = jnp.concatenate(
+            [
+                pack(imp_perm >= IMPORTANT_AHEAD_THRESHOLD),
+                pack(imp_perm >= IMPORTANCE_OPAQUE),
+            ],
+            axis=2,
+        ).astype(jnp.bfloat16)
+    else:
+        occ_src = None
+        imp_perm = (
+            0.75 * (imp_perm >= IMPORTANT_AHEAD_THRESHOLD).astype(jnp.float32)
+            + 0.75 * (imp_perm >= IMPORTANCE_OPAQUE).astype(jnp.float32)
+        )
     inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
 
     W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
@@ -603,12 +686,18 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
             )
         )
         inputs.append(cone_feats)
-    in_specs.append(pl.BlockSpec((sb, nr, nc), slice_index))
+    in_specs.append(
+        pl.BlockSpec((sb, nr, imp_perm.shape[2]), slice_index)
+    )
     inputs.append(imp_perm)
     # footprint flags + window starts precomputed per frame, indexed by
     # the MARCH block mb = n_blocks - 1 - jb of the reverse sweep
+    # (occupancy from the UNPACKED values when the cone path packed them)
     occ = (
-        fwd_mod.occupancy_grid(imp_perm, IMPORTANT_AHEAD_THRESHOLD)
+        fwd_mod.occupancy_grid(
+            occ_src if occ_src is not None else imp_perm,
+            IMPORTANT_AHEAD_THRESHOLD,
+        )
         if occupancy
         else None
     )
@@ -644,7 +733,7 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
         kernel = partial(
             _cone_kernel, slab_batch=sb, march_sign=sign, n_blocks=n_blocks,
             occupancy=occupancy, inverted=inverted, subtexel=subtexel,
-            win_rows=cone_win,
+            win_rows=cone_win, nc=nc,
         )
     else:
         kernel = partial(
@@ -685,7 +774,9 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         compiler_params=fwd_mod.vmem_params(
-            False, slice_bytes=sb * nr * nc * 4
+            False,
+            slice_bytes=sb * nr * imp_perm.shape[2]
+            * (2 if imp_perm.dtype == jnp.bfloat16 else 4),
         ),
     )(*inputs)
     return res[0] if inverted else res
