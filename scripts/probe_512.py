@@ -60,23 +60,34 @@ def main() -> int:
         jax.block_until_ready(img)
         print(f"512^3 fwd {name:10s}: ok  max={float(jnp.max(img)):.3f}", flush=True)
     if not want or any("base" in w for w in want):
-        p = RenderParams(**base)
-        f = jax.jit(lambda s: slab_kernel.render(s, m, p, RES, RES))
-        t = marginal_time(lambda: f(scene), iters=10)
-        print(f"512^3 fwd base @{RES}^2: {t*1e3:.1f} ms  {RES*RES/t/1e6:.2f} M rays/s")
-
-        def loss(vol, lut):
-            img = slab_kernel.render_diff(
-                Scene(vol, scene.importance, lut), m, p, RES, RES
+        # 1/N step -> native 512 planes: the u8 integer-exact stream is
+        # eligible (no slab resample); the step mapping at the default
+        # 0.005 step resolves to a 256-plane ladder where u8 gates off
+        for tag, p in (
+            ("f32", RenderParams(**base)),
+            ("u8 ", RenderParams(**{**base, "u8_volume": True})),
+        ):
+            f = jax.jit(lambda s, p=p: slab_kernel.render(s, m, p, RES, RES))
+            jax.block_until_ready(f(scene))
+            t = marginal_time(lambda: f(scene), iters=10)
+            print(
+                f"512^3 fwd base {tag} @{RES}^2: {t*1e3:.1f} ms  "
+                f"{RES*RES/t/1e6:.2f} M rays/s"
             )
-            return jnp.sum(img)
 
-        step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-        t2 = marginal_time(lambda: step(scene.volume, scene.tf_lut), iters=10)
-        print(
-            f"512^3 fwd+bwd scene-grads @{RES}^2: {t2*1e3:.1f} ms  "
-            f"{RES*RES/t2/1e6:.2f} M rays/s"
-        )
+            def loss(vol, lut, p=p):
+                img = slab_kernel.render_diff(
+                    Scene(vol, scene.importance, lut), m, p, RES, RES
+                )
+                return jnp.sum(img)
+
+            step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+            jax.block_until_ready(step(scene.volume, scene.tf_lut))
+            t2 = marginal_time(lambda: step(scene.volume, scene.tf_lut), iters=10)
+            print(
+                f"512^3 fwd+bwd scene-grads {tag} @{RES}^2: {t2*1e3:.1f} ms  "
+                f"{RES*RES/t2/1e6:.2f} M rays/s"
+            )
     # the two working-set-gated backward paths (code-review findings)
     if not want or any("gated" in w for w in want):
         p_sh = RenderParams(**{**base, "use_shading": True})

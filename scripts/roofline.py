@@ -21,7 +21,7 @@ from volym_tpu.ops import slab_kernel as sk
 from volym_tpu.render import slab as sm
 
 H = W = 256
-N = 256
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 scene = Scene.synthetic("bonsai", side=N)
 m = Camera(aspect=1.0, distance=1.0).orbit(30.0, 20.0, 0.0).matrices()
 thr = 0.15
@@ -56,6 +56,10 @@ print(
 )
 
 R = sk.RAYS_PER_CHUNK
+# density y-contraction per executed step: (cols, win) x (win, R);
+# win_rows == 0 (no ladder window fits, e.g. 512 slabs) contracts full
+# slices
+win = win or N
 # density y-contraction per executed step: (cols, win) x (win, R)
 fit_frac = fit_blocks / max(live_blocks, 1)
 cols_eff = wc * fit_frac + N * (1 - fit_frac) if wc else N
@@ -68,7 +72,8 @@ print(
     f"TF lookup {tf_flops/1e9:.2f} GFLOP"
 )
 # HBM per frame: volume slices once, feats once, out once, meta, lut
-bytes_frame = (N * N * N + C * 16 * R + C * 4 * R) * 4 + meta.size * 4
+vol_bytes = N * N * N * 2  # u8 path: bf16 integer stream (f32: x2)
+bytes_frame = vol_bytes + (C * 16 * R + C * 4 * R) * 4 + meta.size * 4
 print(f"HBM traffic: {bytes_frame/1e6:.0f} MB/frame (volume stream dominates)")
 # v5e peaks
 peak_bf16 = 197e12

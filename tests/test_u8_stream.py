@@ -165,18 +165,45 @@ def test_u8_stored_density_backward_bitwise(scene, cam):
 
 
 def test_u8_gate_respects_exclusions(scene, cam):
-    """Smoothing / camera grads / unsnapped hats silently fall back to the
-    f32 path: identical results with the flag on or off."""
+    """Camera grads / unsnapped hats silently fall back to the f32 path:
+    identical results with the flag on or off."""
     m = cam.matrices()
-    assert not slab_kernel._u8_active(U8.replace(use_gaussian_smoothing=True))
+    assert slab_kernel._u8_active(U8.replace(use_gaussian_smoothing=True))
     assert not slab_kernel._u8_active(U8.replace(camera_grads=True))
     assert not slab_kernel._u8_active(U8.replace(subtexel_bits=0))
     assert slab_kernel._u8_active(U8.replace(subtexel_bits=0, interpolation="nearest"))
-    p8 = U8.replace(use_gaussian_smoothing=True)
-    p32 = PARAMS.replace(use_gaussian_smoothing=True)
+    p8 = U8.replace(camera_grads=True)
+    p32 = PARAMS.replace(camera_grads=True)
     out8, _ = _fwd(scene, m, p8)
     out32, _ = _fwd(scene, m, p32)
     np.testing.assert_array_equal(np.asarray(out8), np.asarray(out32))
+
+
+def test_u8_smoothed_matches_f32(scene, cam):
+    """Gaussian smoothing runs in the scaled domain (linear stencil with
+    scale-invariant normalisation): u8 vs f32 parity, fwd and bwd."""
+    m = cam.matrices()
+    p8 = U8.replace(use_gaussian_smoothing=True)
+    p32 = PARAMS.replace(use_gaussian_smoothing=True)
+    out8, (vol_perm, feats, _, major, sign) = _fwd(scene, m, p8)
+    out32, _ = _fwd(scene, m, p32)
+    _close(out32, out8, "smoothed forward image")
+    wvec = jnp.cos(
+        jnp.arange(
+            feats.shape[0] * 4 * slab_kernel.RAYS_PER_CHUNK, dtype=jnp.float32
+        )
+        * 0.1
+    ).reshape(feats.shape[0], 4, slab_kernel.RAYS_PER_CHUNK)
+    with emulate(slab_kernel, slab_bwd_kernel):
+        dv8, dl8, _ = slab_bwd_kernel.backward(
+            p8, major, sign, vol_perm, scene.tf_lut, feats, out8, wvec
+        )
+        dv32, dl32, _ = slab_bwd_kernel.backward(
+            p32, major, sign, vol_perm, scene.tf_lut, feats, out32, wvec
+        )
+    assert np.abs(np.asarray(dv32)).max() > 0
+    _close(dv32, dv8, "smoothed d_vol", bulk=5e-4)
+    _close(dl32, dl8, "smoothed d_lut", bulk=5e-4)
 
 
 def test_u8_shaded_grad_field_stays_f32(scene, cam):

@@ -124,8 +124,10 @@ class RenderParams:
     #: rounding class (knife-edge pixels only vs the f32 path).
     #: CONTRACT: the volume must be exactly u8-representable
     #: (``round(v*255)/255 == v``); the flag is auto-set by the CLI for
-    #: u8 raw sources and silently ignored (f32 path) under Gaussian
-    #: smoothing, camera cotangents, or a resampled slab ladder.
+    #: u8 raw sources and silently ignored (f32 path) under camera
+    #: cotangents or a resampled slab ladder.  Gaussian smoothing runs
+    #: in the scaled domain (linear stencil, scale-invariant
+    #: normalisation) and keeps the u8 stream.
     u8_volume: bool = False
 
     def __post_init__(self):

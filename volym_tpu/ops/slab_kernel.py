@@ -1446,16 +1446,19 @@ def _u8_active(params) -> bool:
     """Whether the integer-exact u8 streaming path applies (see
     RenderParams.u8_volume).  Must be evaluated IDENTICALLY by the forward
     and the backward (the replay reproduces the forward's scaled-domain
-    masks bit-for-bit): excluded under Gaussian smoothing (f32-specified
-    stencil prologue + pass 2b), camera cotangents (dhat chains read f32
-    slices), and un-snapped trilinear hats (the single-pass contraction
-    needs bf16-exact weights).  Callers additionally clear the flag for
+    masks bit-for-bit): excluded under camera cotangents (dhat chains
+    read f32 slices) and un-snapped trilinear hats (the single-pass
+    contraction needs bf16-exact weights).  Gaussian smoothing IS
+    covered: the stencil is a linear combination with scale-invariant
+    normalisation (total/wsum), so the smoothed scaled density is
+    exactly 255x the smoothed density and every consumer (threshold
+    x255, TF dscale, dilated occupancy, dd stencil transpose) is
+    already scale-consistent.  Callers additionally clear the flag for
     resampled slab ladders (lerped planes are not u8-representable)."""
     from volym_tpu.config import Interpolation
 
     return bool(
         params.u8_volume
-        and not params.use_gaussian_smoothing
         and not params.camera_grads
         and (
             params.subtexel_bits > 0
