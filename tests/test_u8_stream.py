@@ -235,3 +235,77 @@ def test_u8_shaded_grad_field_stays_f32(scene, cam):
     _close(dv32, dv8, "shaded d_vol", bulk=5e-4)
     _close(dg32, dg8, "d_grad", bulk=5e-4)
     _close(dl32, dl8, "shaded d_lut", bulk=5e-4)
+
+
+def _lookahead_scene():
+    side = 16
+    vol = np.full((side, side, side), 0.45, np.float32)
+    imp = np.zeros((side, side, side), np.float32)
+    vol[10:13, 4:12, 4:12] = 0.9
+    imp[10:13, 4:12, 4:12] = 1.0
+    vol = np.asarray(jnp.round(jnp.asarray(vol) * 255.0) / 255.0)
+    return Scene(
+        volume=jnp.asarray(vol),
+        importance=jnp.asarray(imp),
+        tf_lut=Scene.synthetic("sphere", side=8).tf_lut,
+    )
+
+
+@pytest.mark.parametrize(
+    "mode",
+    ["coloring", "lookahead", "cone"],
+)
+def test_u8_importance_modes_match_f32(cam, mode):
+    """u8 parity for the importance modes (the density grid is the only
+    scaled operand; importance grids / ahead bits stay unscaled)."""
+    from volym_tpu.ops import lookahead_kernel
+
+    sc = _lookahead_scene()
+    m = cam.matrices()
+    kw = dict(
+        coloring=dict(use_importance_coloring=True),
+        lookahead=dict(use_importance_rendering=True),
+        cone=dict(
+            use_importance_rendering=True, use_cone_importance_check=True
+        ),
+    )[mode]
+    p32 = PARAMS.replace(**kw)
+    p8 = U8.replace(**kw)
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(sc.volume, major)
+    imp_perm = slab.permute_volume(sc.importance, major)
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, RES, RES, vol_perm.shape[0], major, sign, layout
+    )
+
+    def run(p):
+        lookahead = p.use_importance_rendering and not p.use_importance_coloring
+        ahead = None
+        with emulate(slab_kernel, lookahead_kernel):
+            if lookahead:
+                cone_feats = (
+                    slab_kernel._chunk_rays(
+                        slab_kernel._pack_cone_features(
+                            m, RES, RES, vol_perm.shape[0], major, sign,
+                            layout,
+                        ),
+                        RES, RES,
+                    )
+                    if p.use_cone_importance_check
+                    else None
+                )
+                ahead = lookahead_kernel.lookahead_call(
+                    sign, imp_perm, feats, cone_feats, 0,
+                    subtexel=p.subtexel_bits,
+                )
+            return slab_kernel._forward_call(
+                p, sign, vol_perm, sc.tf_lut, feats,
+                imp_perm if (p.use_importance_coloring or lookahead) else None,
+                None, 0, ahead,
+            )
+
+    out32 = run(p32)
+    out8 = run(p8)
+    assert float(jnp.abs(jnp.asarray(out32)).max()) > 0.1
+    _close(out32, out8, f"{mode} forward")
