@@ -1828,3 +1828,31 @@ def test_smoothing_backward_subsampled_planes(scene, cam):
             a, b, atol=3e-3 * scale, rtol=2e-2, err_msg=name
         )
     assert np.abs(np.asarray(gg[0])).max() > 0
+
+
+def test_cone_nonmultiple8_columns():
+    """nc % 8 != 0: the packed cone bit planes pad columns to a word
+    multiple — clipped sampler coords never select the padded tail, so
+    the gate stays exact (regression for the r5 packed-plane rewrite)."""
+    side = 20
+    vol = np.full((side,) * 3, 0.45, np.float32)
+    imp = np.zeros((side,) * 3, np.float32)
+    vol[12:16, 5:15, 5:15] = 0.9
+    imp[12:16, 5:15, 5:15] = 1.0
+    from volym_tpu.scene import Scene as S
+
+    sc = S(
+        volume=jnp.asarray(vol),
+        importance=jnp.asarray(imp),
+        tf_lut=Scene.synthetic("sphere", side=8).tf_lut,
+    )
+    m = Camera(aspect=1.0, distance=1.3).orbit(10.0, 5.0, 0.0).matrices()
+    p = PARAMS.replace(
+        use_importance_rendering=True,
+        use_cone_importance_check=True,
+        raymarching_step_size=1.0 / side,
+    )
+    got = _emu_lookahead_forward(sc, m, p)
+    want = np.asarray(slab.render(sc, m, p, RES, RES))
+    err = np.abs(got - want).max(-1)
+    assert (err > 1e-3).mean() <= 0.01, f"max err {err.max()}"

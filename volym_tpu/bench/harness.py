@@ -162,14 +162,21 @@ def device_frame_ms(fn, frames: int = 3, prefix: str = "jit") -> float:
     np.asarray(leaves[0])  # fence: warm + compiled before tracing
     from volym_tpu.bench import trace as trace_mod
 
+    import shutil
+
     d = tempfile.mkdtemp(prefix="volym_devtime_")
-    with jax.profiler.trace(d):
-        for _ in range(frames):
-            out = fn()
-        leaves = jax.tree_util.tree_leaves(out)
-        jax.block_until_ready(leaves)
-        np.asarray(leaves[0])  # real fence (see marginal_time docstring)
-    planes = trace_mod.parse_xspace(trace_mod.find_xplane(d))
+    try:
+        with jax.profiler.trace(d):
+            for _ in range(frames):
+                out = fn()
+            leaves = jax.tree_util.tree_leaves(out)
+            jax.block_until_ready(leaves)
+            np.asarray(leaves[0])  # real fence (see marginal_time docstring)
+        planes = trace_mod.parse_xspace(trace_mod.find_xplane(d))
+    finally:
+        # a 1024^2 XSpace dump is tens of MB; repeated benchmarking would
+        # otherwise accumulate gigabytes of dead trace data in $TMPDIR
+        shutil.rmtree(d, ignore_errors=True)
     best = 0.0
     for p in planes:
         nm = p.name.lower()

@@ -234,8 +234,15 @@ def cmd_fit(args) -> int:
 
     target_scene = _default_scene(args)
     cam = _camera(args)
-    # scene-only fit: skip the camera-cotangent chains in the backward
-    params = _params(args).replace(adaptive_stepping=False, camera_grads=False)
+    # scene-only fit: skip the camera-cotangent chains in the backward.
+    # u8 streaming is a RENDERING mode for u8-representable volumes; a
+    # FITTED volume is a free f32 parameter that leaves the u8 grid on
+    # the first optimizer step, and the in-kernel round() would silently
+    # quantize it with gradients inconsistent with the forward — force
+    # the f32 path for fitting.
+    params = _params(args).replace(
+        adaptive_stepping=False, camera_grads=False, u8_volume=False
+    )
     target = golden.render(target_scene, cam.matrices(), params, args.height, args.width)
 
     # init must clear the hard density threshold or the renderer masks every

@@ -452,7 +452,11 @@ def build_cone_step_meta(cone_feats, occ, feats, *, n_slabs, sb, sign, nr, nc, w
         # sublane tiling is (16, 128) — an 8-aligned dynamic row offset
         # forces a Mosaic realign copy per slice (measured catastrophic)
         r0_b = jnp.clip(
-            jnp.floor((lo_b - 1.0) / 16.0) * 16.0, 0.0, nr - win
+            jnp.floor((lo_b - 1.0) / 16.0) * 16.0,
+            0.0,
+            # keep the multiple_of(16) promise: the upper clamp must also
+            # be 16-aligned (nr - win need not be)
+            float(((nr - win) // 16) * 16),
         )
         fits_b = any_b & (hi_b <= r0_b + win - 1.0) & (lo_b >= r0_b)
         cols.append(r0_b.astype(jnp.int32)[:, :, None])
@@ -632,11 +636,6 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
     # single-pass bf16 and stay exact for BOTH compares
     from volym_tpu.render.slab import IMPORTANCE_OPAQUE
 
-    if cone_feats is not None and nc % 8 != 0:
-        raise NotImplementedError(
-            "the cone pre-pass packs importance columns 8-per-word; pad "
-            f"the grid to a multiple of 8 columns (got {nc})"
-        )
     packed = cone_feats is not None
     if packed:
         # cone path: 8-bit-packed bit planes — ahead (raw >= 0.5) and
@@ -645,9 +644,14 @@ def lookahead_call(sign: int, imp_perm, feats, cone_feats=None, win_rows: int = 
         # select in place of the per-lane column chain, and 16x less
         # slice DMA than the ternary f32 stream (see _cone_step).
         weights = jnp.asarray([2.0 ** i for i in range(8)], jnp.float32)
+        # pad columns to a word multiple: clipped sampler coords never
+        # select a column >= nc, so zero-padded tail bits are never read
+        ncp = ((nc + 7) // 8) * 8
 
         def pack(bits):
-            b = bits.reshape(n_slabs, nr, nc // 8, 8).astype(jnp.float32)
+            if ncp != nc:
+                bits = jnp.pad(bits, ((0, 0), (0, 0), (0, ncp - nc)))
+            b = bits.reshape(n_slabs, nr, ncp // 8, 8).astype(jnp.float32)
             return jnp.einsum("srwb,b->srw", b, weights)
 
         occ_src = imp_perm

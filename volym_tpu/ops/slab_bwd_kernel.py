@@ -1457,10 +1457,11 @@ def _backward_call(
             next_index = lambda c, j: (
                 n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
             )
+        # halo streams match the main stream's dtype (see fwd_mod)
         in_specs.append(pl.BlockSpec((sb, nr, nc), W(prev_index)))
-        inputs.append(vol_perm)
+        inputs.append(vol_stream)
         in_specs.append(pl.BlockSpec((sb, nr, nc), W(next_index)))
-        inputs.append(vol_perm)
+        inputs.append(vol_stream)
     if coloring:
         in_specs.append(pl.BlockSpec((sb, nr, nc), slab_index))
         inputs.append(imp_perm)

@@ -1179,10 +1179,10 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     # u8 integer-exact streaming (see RenderParams.u8_volume): the march
     # runs in the SCALED density domain — volume as raw 0..255 integers in
     # bf16 (exact), threshold knob x255, TF coordinate scale ln/255.  The
-    # sampling matmul then runs single-pass (kernel_dot's bf16 path).
-    # Gaussian smoothing keeps the f32 path (stencil prologue + its
-    # backward are f32-specified); callers clear the flag for resampled
-    # ladders / camera cotangents.  (Placed after the chunk-group
+    # sampling matmul then runs single-pass (kernel_dot's bf16 path);
+    # Gaussian smoothing's stencil is linear + scale-invariantly
+    # normalised, so it runs in the scaled domain unchanged (see
+    # _u8_active for the real exclusions).  (Placed after the chunk-group
     # recursion so groups receive the UNSCALED operands.)
     u8 = _u8_active(params)
     if u8:
@@ -1287,14 +1287,18 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
             next_index = lambda c, j: (
                 n_blocks - 1 - jnp.minimum(j + 1, n_blocks - 1), 0, 0,
             )
+        # the halo streams carry the SAME (possibly u8/bf16) values as
+        # the main stream — mixing f32 halos with a bf16 main stream
+        # would forfeit 2/3 of the DMA win AND undercut the slice-bytes
+        # VMEM budget below
         in_specs.append(
             pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), W(prev_index))
         )
-        inputs.append(vol_perm)
+        inputs.append(vol_stream)
         in_specs.append(
             pl.BlockSpec((sb, vol_perm.shape[1], vol_perm.shape[2]), W(next_index))
         )
-        inputs.append(vol_perm)
+        inputs.append(vol_stream)
     if occupancy or win_rows or win_cols:
         occ = None
         if occupancy:

@@ -45,7 +45,11 @@ def fit_scene(
     """Gradient-descend selected scene leaves to match ``target`` (H, W, 4).
 
     Voxel densities and LUT entries are kept in [0, 1] by projection after
-    each update (the r8unorm range)."""
+    each update (the r8unorm range).  The u8 streaming mode is force-
+    cleared: a fitted volume is a free f32 parameter that leaves the u8
+    grid on the first update, and the in-kernel round() would silently
+    quantize it with gradients inconsistent with the forward."""
+    params = params.replace(u8_volume=False)
     height, width = target.shape[:2]
     target = jnp.asarray(target)
     opt = optax.adam(learning_rate)

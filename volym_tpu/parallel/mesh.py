@@ -411,7 +411,10 @@ def make_train_step(
     dominant-axis choice (pass the training camera; the step itself still
     takes per-call matrices for pose refinement around it).
     """
-    fixed = params.replace(adaptive_stepping=False)
+    # a TRAIN step optimizes the volume: it leaves the u8 grid on the
+    # first update, so the u8 streaming mode (a rendering mode for
+    # u8-representable volumes) is force-cleared here like optim.fit_scene
+    fixed = params.replace(adaptive_stepping=False, u8_volume=False)
     if not (params.use_opacity or params.use_importance_coloring):
         # same guard as render/diff.py:336 and slab.render_diff: the replay
         # VJPs reconstruct per-step transmittance from the alpha-compositing
@@ -512,7 +515,11 @@ def make_train_step(
             (grads.importance, grads.tf_lut),
         )
         s = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(small))
-        d_vol = jax.lax.psum(grads.volume + (s - s), axes) / n_pixels
+        # nan_to_num: exactly +0.0 even if a small-grad entry is inf/NaN
+        # (plain s - s would poison the whole volume gradient then), while
+        # remaining a REAL data dependency XLA cannot fold away
+        zero = jnp.nan_to_num(s - s, nan=0.0, posinf=0.0, neginf=0.0)
+        d_vol = jax.lax.psum(grads.volume + zero, axes) / n_pixels
         grads = Scene(volume=d_vol, importance=small[0], tf_lut=small[1])
         return loss, grads
 

@@ -160,7 +160,7 @@ class RenderService:
 
 
 def size_from_query(q: dict, service: "RenderService") -> tuple[int, int]:
-    """Per-request render size (live resize): clamped to [64, 2048] and
+    """Per-request render size (live resize): clamped to [16, 2048] and
     rounded to a multiple of 8 (sane layouts; 32-divisible sizes keep the
     tiled fast path)."""
 
