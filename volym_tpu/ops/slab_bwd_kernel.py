@@ -146,7 +146,7 @@ def _smooth_row_dts(feat, jf, d_rows, i, num_steps, bilinear, nr=None, nc=None):
     for tap in range(-GAUSSIAN_KERNEL_SIZE, GAUSSIAN_KERNEL_SIZE + 1):
         delta = tap * GAUSSIAN_STEP
         w = _math.exp(-(delta * delta) / (2.0 * GAUSSIAN_SIGMA * GAUSSIAN_SIGMA))
-        u = delta / ts
+        u = delta / jnp.where(ts == 0.0, 1.0, ts)  # padded-lane guard (see fwd _smooth_row)
         rt = rows_raw + u * rs
         ct = cols_raw + u * cs
         st = jf + u
@@ -910,7 +910,7 @@ def _smooth_dd_transpose(feats, dd, n_slabs, bilinear, nr=None, nc=None):
     for tap in range(-GAUSSIAN_KERNEL_SIZE, GAUSSIAN_KERNEL_SIZE + 1):
         delta = tap * GAUSSIAN_STEP
         w = _math.exp(-(delta * delta) / (2.0 * GAUSSIAN_SIGMA * GAUSSIAN_SIGMA))
-        u = delta / ts  # (C, 1, R)
+        u = delta / jnp.where(ts == 0.0, 1.0, ts)  # padded-lane guard (see fwd _smooth_row)  # (C, 1, R)
         rt = rows_raw + u * rs
         ct = cols_raw + u * cs
         st = jf + u

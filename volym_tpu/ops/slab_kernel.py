@@ -41,7 +41,16 @@ from volym_tpu.render import slab as slab_mod
 #: per-step footprint (tighter y windows, tighter occupancy flags) at the
 #: cost of more grid iterations; env-overridable for experiments.
 TILE = int(__import__("os").environ.get("VOLYM_TILE", "32"))
-RAYS_PER_CHUNK = TILE * TILE
+#: chunk tile WIDTH (pixels): a rectangular TILE x TILE_W chunk keeps the
+#: row-window footprint of a TILE-row tile while packing more rays per
+#: grid iteration.  Measured NEGATIVE (r5): 32x64 halves both grids'
+#: iteration counts but fwd+bwd regressed 10.0 -> 13.6 ms at 256^2 —
+#: the wider column footprint forfeits the column window and the
+#: 2048-lane step bodies pipeline worse, echoing the TILE=64/16
+#: negatives.  sb=8 / 32x32 remains the measured optimum of this
+#: landscape; the knob stays for other cameras/architectures.
+TILE_W = int(__import__("os").environ.get("VOLYM_TILE_W", str(TILE)))
+RAYS_PER_CHUNK = TILE * TILE_W
 N_FEATURES = 16  # padded to a sublane tile multiple
 #: slack the y-window must carry beyond the rows spread: 1 texel for the
 #: hat support + up to 8 for sublane alignment of the window start + 1
@@ -712,7 +721,14 @@ def _smooth_row(feat, jf, d_rows, i, num_steps, bilinear, nr=None, nc=None):
         GAUSSIAN_STEP,
     )
 
-    ts = feat[F_TS : F_TS + 1, :]
+    # PADDED lanes (a ray count that does not fill the last chunk —
+    # _chunk_rays zero-pads) carry ts == 0 exactly; delta/0 would inject
+    # inf/NaN that survives the downstream masks (NaN * 0 = NaN) and
+    # poisons the stored density / voxel scatter.  Guard to a finite
+    # dummy — padded lanes are invalid (sign_ok == 0) and contribute
+    # nothing anyway.
+    ts_raw = feat[F_TS : F_TS + 1, :]
+    ts = jnp.where(ts_raw == 0.0, 1.0, ts_raw)
     rs = feat[F_RS : F_RS + 1, :]
     cs = feat[F_CS : F_CS + 1, :]
     rows_raw = rs * jf + feat[F_RB : F_RB + 1, :]
@@ -1678,7 +1694,7 @@ def window_rows(camera_matrices, height, width, n_slabs, major, sign, halo=0, n_
     every ray whose smoothing stencil reads a given slab's plain row.
     Returns 0 (contract full slices) when the image does not tile or no
     window smaller than the slice exists."""
-    if height % TILE or width % TILE:
+    if height % TILE or width % TILE_W:
         return 0
     n_plane = n_slabs if n_plane is None else n_plane
     key = (
@@ -1809,9 +1825,11 @@ def _tile_order(height, width):
     """Ray permutation putting each TILE x TILE pixel tile contiguous, so a
     chunk's slab footprint is compact in both axes (the windowed
     contraction's fits-condition).  None when the image doesn't tile."""
-    if height % TILE or width % TILE:
+    if height % TILE or width % TILE_W:
         return None
-    idx = np.arange(height * width).reshape(height // TILE, TILE, width // TILE, TILE)
+    idx = np.arange(height * width).reshape(
+        height // TILE, TILE, width // TILE_W, TILE_W
+    )
     return idx.transpose(0, 2, 1, 3).reshape(-1)
 
 
@@ -1851,9 +1869,9 @@ def _chunk_rays(mat, height, width):
     backward is equally gather-free (this also retires the _perm_gather
     custom-VJP workaround on this path)."""
     rows, r = mat.shape
-    if height % TILE == 0 and width % TILE == 0 and r == height * width:
-        m = mat.reshape(rows, height // TILE, TILE, width // TILE, TILE)
-        m = m.transpose(1, 3, 0, 2, 4)  # (H/T, W/T, rows, T, T)
+    if height % TILE == 0 and width % TILE_W == 0 and r == height * width:
+        m = mat.reshape(rows, height // TILE, TILE, width // TILE_W, TILE_W)
+        m = m.transpose(1, 3, 0, 2, 4)  # (H/T, W/Tw, rows, T, Tw)
         return m.reshape(-1, rows, RAYS_PER_CHUNK)
     if r % RAYS_PER_CHUNK:
         pad = RAYS_PER_CHUNK - r % RAYS_PER_CHUNK
@@ -1934,9 +1952,9 @@ def _unchunk_tiled(out, r, height, width):
     reshape/transpose — see _chunk_rays; identity layout when the image
     does not tile)."""
     ch = out.shape[1]
-    if height % TILE == 0 and width % TILE == 0 and r == height * width:
-        m = out.reshape(height // TILE, width // TILE, ch, TILE, TILE)
-        m = m.transpose(0, 3, 1, 4, 2)  # (H/T, T, W/T, T, ch)
+    if height % TILE == 0 and width % TILE_W == 0 and r == height * width:
+        m = out.reshape(height // TILE, width // TILE_W, ch, TILE, TILE_W)
+        m = m.transpose(0, 3, 1, 4, 2)  # (H/T, T, W/Tw, Tw, ch)
         return m.reshape(r, ch)
     return out.transpose(0, 2, 1).reshape(-1, ch)[:r]
 

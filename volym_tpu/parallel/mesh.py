@@ -122,7 +122,7 @@ def _shard_layout(scene, camera_matrices, params, height, width, mesh, planes, m
     n_dev = int(np.prod(mesh.devices.shape))
     r_shard = (height * width) // n_dev
     shard_h = r_shard // width if r_shard % width == 0 else 0
-    if shard_h % sk.TILE or width % sk.TILE:
+    if shard_h % sk.TILE or width % sk.TILE_W:
         shard_h = 0
     win_rows = sk.window_rows(
         camera_matrices, height, width, planes, major, sign,
