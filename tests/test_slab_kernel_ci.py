@@ -1856,3 +1856,33 @@ def test_cone_nonmultiple8_columns():
     want = np.asarray(slab.render(sc, m, p, RES, RES))
     err = np.abs(got - want).max(-1)
     assert (err > 1e-3).mean() <= 0.01, f"max err {err.max()}"
+
+
+def test_smoothed_padded_lanes_stay_finite(scene, cam):
+    """A ray count that does not fill the last chunk zero-pads the feats;
+    the smoothing stencil's delta/ts must not divide by the padded lanes'
+    ts == 0 (latent NaN found in r5: it survived the masks via NaN*0 and
+    poisoned the stored density and voxel scatter)."""
+    m = cam.matrices()
+    p = PARAMS.replace(use_gaussian_smoothing=True, camera_grads=False)
+    major, sign = slab.dominant_axis(m)
+    layout = slab._AXIS_LAYOUT[major]
+    vol_perm = slab.permute_volume(scene.volume, major)
+    # 40x40 = 1600 rays -> pads to the next RAYS_PER_CHUNK multiple
+    feats, miss, r = slab_kernel._chunked_feats(
+        m, 40, 40, vol_perm.shape[0], major, sign, layout
+    )
+    assert feats.shape[0] * slab_kernel.RAYS_PER_CHUNK > r  # padding active
+    wvec = jnp.ones(
+        (feats.shape[0], 4, slab_kernel.RAYS_PER_CHUNK), jnp.float32
+    )
+    with emulate(slab_kernel, slab_bwd_kernel):
+        out, dens = slab_kernel._forward_call(
+            p, sign, vol_perm, scene.tf_lut, feats, emit_density=True
+        )
+        dv, dl, df = slab_bwd_kernel.backward(
+            p, major, sign, vol_perm, scene.tf_lut, feats, out, wvec,
+            dens=dens,
+        )
+    for name, x in (("out", out), ("dens", dens), ("d_vol", dv), ("d_lut", dl)):
+        assert bool(jnp.isfinite(jnp.asarray(x)).all()), f"{name} non-finite"
