@@ -1808,8 +1808,11 @@ def window_rows(camera_matrices, height, width, n_slabs, major, sign, halo=0, n_
 
 #: fixed ladder of static y-window sizes: every camera maps onto one of
 #: these (or 0 = full slices), bounding the number of Mosaic compilations
-#: an orbit sweep can mint to |ladder| per (major, sign)
-WIN_LADDER = (32, 64, 128, 192)
+#: an orbit sweep can mint to |ladder| per (major, sign).  The 256/384
+#: steps only apply to >256-slab grids (bucket_window requires w <
+#: n_slabs): at 512^3 the bench camera's tight window is 248 rows, so
+#: 256 halves the y contraction that previously ran full-width there.
+WIN_LADDER = (32, 64, 128, 192, 256, 384)
 
 
 def bucket_window(win: int, n_slabs: int) -> int:
