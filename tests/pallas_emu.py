@@ -122,14 +122,27 @@ class _SubRef:
         return _AtHelper(self)
 
 
-def _emu_pallas_call(kernel, grid, in_specs, out_specs, out_shape,
-                     scratch_shapes=(), input_output_aliases=None, **_kw):
+def _emu_pallas_call(kernel, grid=None, in_specs=None, out_specs=None,
+                     out_shape=None, scratch_shapes=(),
+                     input_output_aliases=None, grid_spec=None, **_kw):
+    nsp = 0
+    if grid_spec is not None:
+        # PrefetchScalarGridSpec: the first nsp inputs are scalar-prefetch
+        # arrays, handed to the index maps and to the kernel (as leading
+        # refs) — the compacted-grid plumbing (slab_kernel.build_pairs)
+        nsp = grid_spec.num_scalar_prefetch
+        grid = grid_spec.grid
+        in_specs = grid_spec.in_specs
+        out_specs = grid_spec.out_specs
+        scratch_shapes = grid_spec.scratch_shapes
     out_list = isinstance(out_shape, (list, tuple))
     out_shapes = list(out_shape) if out_list else [out_shape]
     out_specs_l = list(out_specs) if isinstance(out_specs, (list, tuple)) else [out_specs]
     aliases = dict(input_output_aliases or {})
 
     def run(*inputs):
+        scalar_refs = [FakeRef(a) for a in inputs[:nsp]]
+        inputs = inputs[nsp:]
         outs = [jnp.zeros(o.shape, o.dtype) for o in out_shapes]
         # an aliased output shares the input's HBM buffer: it starts as the
         # input's contents, and aliased-input reads observe prior writes
@@ -141,9 +154,9 @@ def _emu_pallas_call(kernel, grid, in_specs, out_specs, out_shape,
             _IDS[:] = idx
 
             def block(spec, arr):
-                bi = spec.index_map(*idx)
+                bi = spec.index_map(*idx, *scalar_refs)
                 sl = tuple(
-                    slice(b * s, (b + 1) * s)
+                    slice(int(b) * s, (int(b) + 1) * s)
                     for b, s in zip(bi, spec.block_shape)
                 )
                 return sl, arr[sl]
@@ -157,7 +170,7 @@ def _emu_pallas_call(kernel, grid, in_specs, out_specs, out_shape,
                 sl, blk = block(spec, arr)
                 out_sls.append(sl)
                 out_refs.append(FakeRef(blk))
-            kernel(*in_refs, *out_refs, *scratch)
+            kernel(*scalar_refs, *in_refs, *out_refs, *scratch)
             for k, (sl, ref) in enumerate(zip(out_sls, out_refs)):
                 outs[k] = outs[k].at[sl].set(ref.arr)
         return outs if out_list else outs[0]
@@ -190,11 +203,21 @@ EMU_PL = SimpleNamespace(
     BlockSpec=real_pl.BlockSpec,
 )
 
+def _emu_prefetch_grid_spec(num_scalar_prefetch, grid=(), in_specs=None,
+                            out_specs=None, scratch_shapes=()):
+    return SimpleNamespace(
+        num_scalar_prefetch=num_scalar_prefetch, grid=grid,
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+
+
 EMU_PLTPU = SimpleNamespace(
     VMEM=lambda shape, dtype: SimpleNamespace(shape=shape, dtype=dtype),
     CompilerParams=lambda **kw: SimpleNamespace(**kw),
     # memory-space tag only (BlockSpec carries it through unexamined)
     SMEM=real_pltpu.SMEM,
+    PrefetchScalarGridSpec=_emu_prefetch_grid_spec,
 )
 
 

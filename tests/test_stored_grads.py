@@ -108,7 +108,7 @@ def test_shaded_custom_vjp_uses_stored_and_matches_golden(scene, cam):
 
     def loss(vp, gp, lut):
         out = slab_kernel.march_pallas_shaded(
-            PARAMS, major, sign, 0, vp, gp, lut, feats, PARAMS.knobs()
+            PARAMS, major, sign, 0, (), vp, gp, lut, feats, PARAMS.knobs()
         )
         return jnp.sum(out * wvec)
 

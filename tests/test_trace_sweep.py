@@ -138,7 +138,7 @@ def test_backward_traces_camera():
         )
         fc = slab_kernel._chunk_flat(feats)
         out = slab_kernel.march_pallas(
-            params, major, sign, 0, vol_perm, scene.tf_lut, fc, params.knobs()
+            params, major, sign, 0, (), vol_perm, scene.tf_lut, fc, params.knobs()
         )
         return jnp.sum(out)
 

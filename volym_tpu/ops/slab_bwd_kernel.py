@@ -196,7 +196,15 @@ def _replay_kernel(
     nr: int = 0,
     nc: int = 0,
     u8: bool = False,
+    compact: bool = False,
 ):
+    if compact:
+        # compacted live-pair grid (fwd_mod.build_pairs): the prefetched
+        # pair table replaces the 2-D grid; see fwd_mod._march_kernel
+        pairs_ref, feat_ref = feat_ref, slice_ref
+        rest = list(rest)
+        slice_ref = rest.pop(0)
+        rest = tuple(rest)
     if stored_density:
         # the second positional ref is the forward's per-step density
         # block (1, sb, 1, R) — the volume slice never enters the kernel
@@ -235,7 +243,13 @@ def _replay_kernel(
         assert not rest2
     else:
         lut_ref, fin_all, gimg_all, dd_ref, dlut_ref, dfeat_all, acc_all = rest
-    if inverted:
+    if compact:
+        i = pl.program_id(0)
+        C, jb = pairs_ref[fwd_mod.P_C, i], pairs_ref[fwd_mod.P_J, i]
+        pair_first_c = pairs_ref[fwd_mod.P_FIRST_C, i] > 0
+        pair_first_b = pairs_ref[fwd_mod.P_FIRST_B, i] > 0
+        pair_live = pairs_ref[fwd_mod.P_LIVE, i] > 0
+    elif inverted:
         jb, C = pl.program_id(0), pl.program_id(1)
     else:
         C, jb = pl.program_id(0), pl.program_id(1)
@@ -249,18 +263,25 @@ def _replay_kernel(
     dfeat_ref = dfeat_all.at[pl.ds(C, 1)]
     acc_ref = acc_all.at[C]
 
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    @pl.when(
+        pl.program_id(0) == 0
+        if compact
+        else (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    )
     def _init_lut():
         dlut_ref[:] = jnp.zeros_like(dlut_ref)
 
     if fuse_scatter:
-        @pl.when(pl.program_id(1) == 0)
+        # compacted: the block's first TAKEN pair zeroes its d_vol output
+        # block — for a block with no live chunk that is its pad pair,
+        # whose only job is exactly this init (build_pairs)
+        @pl.when(pair_first_b if compact else pl.program_id(1) == 0)
         def _init_dvol():
             dvol_ref[:] = jnp.zeros_like(dvol_ref)
             if dgrad_out_ref is not None:
                 dgrad_out_ref[:] = jnp.zeros_like(dgrad_out_ref)
 
-    @pl.when(jb == 0)
+    @pl.when(pair_first_c if compact else jb == 0)
     def _init_acc():
         acc_ref[:] = jnp.zeros_like(acc_ref[:])
         dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
@@ -294,6 +315,10 @@ def _replay_kernel(
             & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
         )
         chunk_active = jnp.any(can_contribute)
+    if compact:
+        # pad pairs alias a real (chunk, block)'s meta — their liveness
+        # bit is the authority (see fwd_mod._march_kernel)
+        chunk_active = chunk_active & pair_live
 
     # the dd block is written every iteration: pre-zero it once (cheap
     # vector store) so skipped batches/steps need no zeroing branches
@@ -1248,7 +1273,7 @@ def _voxel_grad_shaded_kernel(
 def _backward_call(
     params, sign, vol_perm, lut, feats, fin, g_img, *,
     win_rows=0, imp_perm=None, ahead=None, grad_perm=None, coloring=False,
-    knobs=None, dens=None,
+    knobs=None, dens=None, pairs=(),
 ):
     """Shared driver behind :func:`backward` / :func:`backward_shaded` /
     :func:`backward_coloring`.
@@ -1272,7 +1297,7 @@ def _backward_call(
         n = feats.shape[0]
         acc = None
         dfeats = []
-        for g0 in range(0, n, G):
+        for gi, g0 in enumerate(range(0, n, G)):
             g1 = min(g0 + G, n)
             res = _backward_call(
                 params, sign, vol_perm, lut, feats[g0:g1], fin[g0:g1],
@@ -1280,6 +1305,7 @@ def _backward_call(
                 ahead=None if ahead is None else ahead[g0:g1],
                 grad_perm=grad_perm, coloring=coloring, knobs=knobs,
                 dens=None if dens is None else dens[g0:g1],
+                pairs=pairs[gi : gi + 1],
             )
             d_scatter, d_grad, d_lut, d_feats_g = res
             dfeats.append(d_feats_g)
@@ -1370,9 +1396,23 @@ def _backward_call(
     )
     dd_w = 4 if shading else 1  # density (or d_imp) + 3 grad-field channels
 
+    # compacted live-pair grid (fwd_mod.build_pairs/pair_buckets) — fused
+    # layout only: unfused pass 2 reads the dd OUTPUT blocks of every
+    # pair, and a compacted pass 1 leaves never-visited blocks
+    # uninitialised (in the fused layout dd is scratch and the scatter
+    # blocks are pad-initialised, so the pair list is self-contained)
+    n_pairs = int(pairs[0]) if pairs else 0
+    compact = (
+        fwd_mod.COMPACT and fuse and 0 < n_pairs < n_blocks * n_chunks
+    )
+
     # index maps below are written in (chunk, block) order; W re-orders the
-    # arguments for the inverted (slab-outer) grid — see INVERT_MIN_CHUNKS
-    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
+    # arguments for the inverted (slab-outer) grid — see INVERT_MIN_CHUNKS —
+    # or reads (c, j) from the prefetched pair table on the compacted grid
+    if compact:
+        W = lambda f: (lambda i, p: f(p[fwd_mod.P_C, i], p[fwd_mod.P_J, i]))
+    else:
+        W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
     slab_index = W(
         (lambda c, j: (j, 0, 0)) if sign > 0 else (
             lambda c, j: (n_blocks - 1 - j, 0, 0)
@@ -1426,6 +1466,7 @@ def _backward_call(
         nr=nr,
         nc=nc,
         u8=u8,
+        compact=compact,
     )
     # inputs in the replay kernel's pop order (see _replay_kernel *rest).
     # With stored density the forward's per-step density output replaces
@@ -1533,32 +1574,56 @@ def _backward_call(
                 jax.ShapeDtypeStruct((3, n_slabs, nr, nc), jnp.float32)
             )
         scratch.append(pltpu.VMEM((1, sb, dd_w, RAYS_PER_CHUNK), jnp.float32))
-    res = pl.pallas_call(
-        replay,
-        grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        compiler_params=fwd_mod.vmem_params(
-            smoothing or fuse or (coloring and shading),
-            resident_bytes=n_chunks * (2 * N_FEATURES + 12)
-            * RAYS_PER_CHUNK * 4,
-            # stored density removes only the VOLUME slice stream; the
-            # shading gradient field (3 channels) and the coloring
-            # importance slice still ride the grid at full block size —
-            # and so do the FUSED scatter OUTPUT blocks (d_vol/d_imp
-            # slice + the 3-channel d_grad), which Mosaic double-buffers
-            # against the same scoped limit
-            slice_bytes=sb * nr * nc * 4,
-            n_streams=(
-                (0 if stored_density else (3 if smoothing else 1))
-                + (0 if stored_grads else (3 if shading else 0))
-                + (1 if coloring else 0)
-                + ((1 + (3 if shading else 0)) if fuse else 0)
-            ),
+    compiler_params = fwd_mod.vmem_params(
+        smoothing or fuse or (coloring and shading),
+        resident_bytes=n_chunks * (2 * N_FEATURES + 12)
+        * RAYS_PER_CHUNK * 4,
+        # stored density removes only the VOLUME slice stream; the
+        # shading gradient field (3 channels) and the coloring
+        # importance slice still ride the grid at full block size —
+        # and so do the FUSED scatter OUTPUT blocks (d_vol/d_imp
+        # slice + the 3-channel d_grad), which Mosaic double-buffers
+        # against the same scoped limit
+        slice_bytes=sb * nr * nc * 4,
+        n_streams=(
+            (0 if stored_density else (3 if smoothing else 1))
+            + (0 if stored_grads else (3 if shading else 0))
+            + (1 if coloring else 0)
+            + ((1 + (3 if shading else 0)) if fuse else 0)
         ),
-    )(*inputs)
+    )
+    if compact:
+        pair_tab, chunk_visited, overflow = fwd_mod.build_pairs(
+            feats, n_slabs, sb, n_pairs
+        )
+        res = pl.pallas_call(
+            replay,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_pairs,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+        )(pair_tab, *inputs)
+        # never-visited chunks' resident d_feats blocks are uninitialised
+        # (their true cotangent is exactly zero: no active ray); a bucket
+        # overflow poisons every output loudly (see fwd_mod.build_pairs)
+        res = list(res)
+        res[1] = jnp.where(chunk_visited[:, None, None], res[1], 0.0)
+        res = [fwd_mod._poison_on_overflow(x, overflow) for x in res]
+    else:
+        res = pl.pallas_call(
+            replay,
+            grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=compiler_params,
+        )(*inputs)
 
     def fold(dlx):
         return None if coloring else fwd_mod.fold_lut_groups_grad(dlx, lut.shape[0])
@@ -1692,7 +1757,7 @@ def _backward_call(
     return d_scatter, d_grad, d_lut, d_feats
 
 
-def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, imp_perm=None, ahead=None, knobs=None, dens=None):
+def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, imp_perm=None, ahead=None, knobs=None, dens=None, pairs=()):
     """Run both backward passes.
 
     Args:
@@ -1709,14 +1774,14 @@ def backward(params, major, sign, vol_perm, lut, feats, fin, g_img, win_rows=0, 
     d_vol, _d_grad, d_lut, d_feats = _backward_call(
         params, sign, vol_perm, lut, feats, fin, g_img,
         win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, knobs=knobs,
-        dens=dens,
+        dens=dens, pairs=pairs,
     )
     return d_vol, d_lut, d_feats
 
 
 def backward_shaded(
     params, major, sign, vol_perm, grad_perm, lut, feats, fin, g_img,
-    win_rows=0, imp_perm=None, ahead=None, knobs=None, dens=None,
+    win_rows=0, imp_perm=None, ahead=None, knobs=None, dens=None, pairs=(),
 ):
     """Both backward passes for the Blinn-Phong-shaded mode.
 
@@ -1731,11 +1796,11 @@ def backward_shaded(
     return _backward_call(
         params, sign, vol_perm, lut, feats, fin, g_img,
         win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, grad_perm=grad_perm,
-        knobs=knobs, dens=dens,
+        knobs=knobs, dens=dens, pairs=pairs,
     )
 
 
-def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0, grad_perm=None, knobs=None, dens=None):
+def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img, win_rows=0, grad_perm=None, knobs=None, dens=None, pairs=()):
     """Both backward passes for the importance-coloring mode.
 
     Returns ``(d_imp_perm, d_feats)`` — or, with ``grad_perm`` (the
@@ -1750,7 +1815,7 @@ def backward_coloring(params, major, sign, vol_perm, imp_perm, feats, fin, g_img
     d_imp, d_grad, _d_lut, d_feats = _backward_call(
         params, sign, vol_perm, None, feats, fin, g_img,
         win_rows=win_rows, imp_perm=imp_perm, grad_perm=grad_perm,
-        coloring=True, knobs=knobs, dens=dens,
+        coloring=True, knobs=knobs, dens=dens, pairs=pairs,
     )
     if grad_perm is None:
         return d_imp, d_feats

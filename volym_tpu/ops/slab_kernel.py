@@ -89,7 +89,7 @@ CF_RS, CF_RB, CF_CS, CF_CB, CF_TS, CF_TB, CF_RATE = range(7)
 
 
 def _march_kernel(
-    feat_ref,  # (C, 16, RAYS) whole-array resident
+    feat_ref,  # [pairs_ref if compact] (C, 16, RAYS) whole-array resident
     slice_ref,  # (sb, NR, NC) volume slices for this march block
     *rest,  # knobs_ref, [meta_ref if occupancy|win] [imp_ref if coloring] [grad_ref if shading] lut_ref, out_ref (C, 4, RAYS) resident
     num_steps: int,
@@ -109,8 +109,15 @@ def _march_kernel(
     subtexel: int = 0,
     emit_density: bool = False,
     u8: bool = False,
+    compact: bool = False,
 ):
     rest = list(rest)
+    if compact:
+        # compacted live-pair grid (build_pairs): the scalar-prefetch pair
+        # table replaces the 2-D grid — (C, J) come from the table, the
+        # out-init fires on the chunk's FIRST visited pair, and pad pairs
+        # (live=0) fall through every gate in one scalar branch
+        pairs_ref, feat_ref, slice_ref = feat_ref, slice_ref, rest.pop(0)
     # live-mutation knobs (density threshold, early-termination alpha) ride
     # as SMEM scalars — the TPU analog of the reference's per-frame uniform
     # update (src/gpu_resources/parameters.rs:68-83): a slider drag changes
@@ -129,7 +136,12 @@ def _march_kernel(
     else:
         (lut_ref, out_all) = rest
         dens_all = None
-    if inverted:
+    if compact:
+        i = pl.program_id(0)
+        C, J = pairs_ref[P_C, i], pairs_ref[P_J, i]
+        pair_first_c = pairs_ref[P_FIRST_C, i] > 0
+        pair_live = pairs_ref[P_LIVE, i] > 0
+    elif inverted:
         J, C = pl.program_id(0), pl.program_id(1)
     else:
         C, J = pl.program_id(0), pl.program_id(1)
@@ -143,7 +155,7 @@ def _march_kernel(
     feat_ref = feat_ref.at[pl.ds(C, 1)]
     out_ref = out_all.at[pl.ds(C, 1)]
 
-    @pl.when(J == 0)
+    @pl.when(pair_first_c if compact else J == 0)
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
@@ -152,8 +164,16 @@ def _march_kernel(
         # backward replay) is written every iteration: pre-zero it once so
         # skipped batches/steps publish exactly-zero density (-> zero mask,
         # zero contribution in the replay), mirroring the replay's dd
-        # pre-zero
-        dens_all[0] = jnp.zeros_like(dens_all[0])
+        # pre-zero.  Compacted: only LIVE pairs zero their block — a tail
+        # pad aliases an already-written (0, n_blocks-1) block and must
+        # not clobber it; never-visited pairs' blocks stay garbage but the
+        # (equally compacted, equally gated) replay never reads them.
+        if compact:
+            @pl.when(pair_live)
+            def _zero_dens():
+                dens_all[0] = jnp.zeros_like(dens_all[0])
+        else:
+            dens_all[0] = jnp.zeros_like(dens_all[0])
 
     # Block-level empty-space gate: per-step footprint flags and window
     # starts PRECOMPUTED once per frame on the XLA side (build_step_meta)
@@ -188,6 +208,10 @@ def _march_kernel(
             & (feat0[F_SIGNOK : F_SIGNOK + 1, :] > 0.5)
         )
         chunk_active = jnp.any(can_contribute)
+    if compact:
+        # pad pairs alias a real (chunk, block)'s meta/feats — their own
+        # liveness bit is the authority
+        chunk_active = chunk_active & pair_live
 
     def _steps():
         feat = feat_ref[0]
@@ -612,6 +636,103 @@ def window_cols(nc: int, smoothing: bool, heavy: bool = False) -> int:
     if nc % WIN_COLS == 0 and nc > WIN_COLS:
         return WIN_COLS
     return 0
+
+
+#: rows of the compacted-grid pair table (see build_pairs)
+P_C, P_J, P_FIRST_C, P_FIRST_B, P_LIVE = range(5)
+
+#: kill switch for the compacted (live-pair) grid; the full
+#: (n_blocks, n_chunks) grid is always available for A/B
+COMPACT = __import__("os").environ.get("VOLYM_COMPACT", "1") == "1"
+
+
+def build_pairs(feats, n_slabs: int, sb: int, n_pairs: int):
+    """Compacted-grid pair table: the (chunk, march-block) pairs with any
+    geometrically active ray, j-sorted, padded to the static ``n_pairs``.
+
+    The production grids iterate ALL (chunk, slab-block) pairs and skip
+    dead ones with a scalar branch — but the per-iteration Mosaic scaffold
+    (~0.7 us fwd / ~1.5 us bwd) still runs, and at the bench camera only
+    47% of pairs are even geometrically reachable (any ray of the chunk
+    with the right sign whose t-window [entry, exit) meets the block's
+    march steps).  A scalar-prefetch grid over just the live pairs removes
+    the dead iterations entirely; occupancy-dead (but geometric) pairs
+    keep their one-branch skip via the existing meta gate.
+
+    The pair COUNT must be static (it is the grid size): the caller
+    derives a conservative host-side bucket from the camera
+    (:func:`pair_buckets`, same per-camera ladder idea as
+    :func:`window_rows`) and this builder packs the traced table:
+
+    - live pairs in (j, c) order — j-major keeps the slice-block index
+      map non-decreasing, so each volume slab block still streams at most
+      once per call, exactly like the inverted full grid;
+    - one pad pair ``(c=0, j)`` for every march block with NO live chunk,
+      so its fused d_volume output block (and its forward out revisit
+      bookkeeping) is still zero-initialised — pads carry ``live=0`` and
+      do no other work;
+    - tail pads at ``(0, n_blocks-1)`` (an already-streamed block: no
+      extra slice DMA) up to ``n_pairs``.
+
+    Rows (int32): ``[c, j, first_visit_of_chunk, first_visit_of_block,
+    live]``.  Returns ``(pairs, chunk_visited, overflow)``:
+    ``chunk_visited`` masks outputs of never-visited chunks (their VMEM
+    blocks are uninitialised), and ``overflow`` is True iff the static
+    bucket was too small — the caller turns the frame into NaNs rather
+    than silently dropping work (the host bound is widened by ±1 slab
+    precisely so this never fires; tests/test_compact_pairs.py sweeps
+    cameras against it).
+    """
+    C = feats.shape[0]
+    nb = n_slabs // sb
+
+    def row(i):
+        return feats[:, i, :][:, None, :]  # (C, 1, R)
+
+    jf = jnp.arange(n_slabs, dtype=jnp.float32)[None, :, None]
+    t = row(F_TS) * jf + row(F_TB)
+    active = (
+        (row(F_SIGNOK) > 0.5) & (t >= row(F_ENTRY)) & (t < row(F_EXIT))
+    )  # (C, S, R)
+    geo = jnp.any(active, axis=2).reshape(C, nb, sb).any(axis=2)  # (C, NB)
+
+    g = geo.T  # (NB, C): j-major
+    jb_dead = ~jnp.any(g, axis=1)  # (NB,)
+    take = g | (jb_dead[:, None] & (jnp.arange(C) == 0)[None, :])
+    flat = take.reshape(-1)
+    n_taken = jnp.sum(flat)
+    idx = jnp.arange(nb * C, dtype=jnp.int32)
+    # stable compaction: taken pairs keep (j, c) order, rest pushed back
+    order = jnp.argsort(jnp.where(flat, idx, idx + nb * C))
+    sel = order[:n_pairs]
+    valid = jnp.arange(n_pairs, dtype=jnp.int32) < n_taken
+    jsel = jnp.where(valid, (sel // C).astype(jnp.int32), nb - 1)
+    csel = jnp.where(valid, (sel % C).astype(jnp.int32), 0)
+    live = valid & geo.T.reshape(-1)[sel]
+    # first LIVE pair of each chunk (out/acc/d_feats init); argmax = first
+    # True along the j axis
+    jfirst = jnp.argmax(geo, axis=1).astype(jnp.int32)  # (C,)
+    first_c = live & (jsel == jfirst[csel])
+    # first TAKEN pair of each block (fused d_vol block init — pads count:
+    # a dead block's pad is exactly what zeroes its output block)
+    cfirst = jnp.argmax(take, axis=1).astype(jnp.int32)  # (NB,)
+    first_b = valid & (csel == cfirst[jsel])
+    pairs = jnp.stack(
+        [
+            csel,
+            jsel,
+            first_c.astype(jnp.int32),
+            first_b.astype(jnp.int32),
+            live.astype(jnp.int32),
+        ]
+    )
+    return pairs, jnp.any(geo, axis=1), n_taken > n_pairs
+
+
+def _poison_on_overflow(arr, overflow):
+    """NaN-poison an output if the static pair bucket overflowed: a loud
+    wrong-by-construction frame instead of silently dropped march work."""
+    return jnp.where(overflow, jnp.float32(jnp.nan), arr)
 
 
 def occupancy_grid(vol_perm, threshold: float):
@@ -1145,7 +1266,7 @@ def features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout,
     return feats
 
 
-def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None, knobs=None, emit_density=False):
+def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None, knobs=None, emit_density=False, pairs=()):
     """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba.
 
     ``ahead``: (C, n_slabs, 1, R) look-ahead bits from
@@ -1176,7 +1297,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         # nothing next to the per-chunk streaming the inverted grid
         # replaced — and every resident-block win is preserved per group.
         outs = []
-        for g0 in range(0, n_chunks, CHUNK_GROUP):
+        for gi, g0 in enumerate(range(0, n_chunks, CHUNK_GROUP)):
             g1 = min(g0 + CHUNK_GROUP, n_chunks)
             outs.append(
                 _forward_call(
@@ -1184,6 +1305,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
                     imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
                     ahead=None if ahead is None else ahead[g0:g1],
                     knobs=knobs, emit_density=emit_density,
+                    pairs=pairs[gi : gi + 1],
                 )
             )
         if emit_density:
@@ -1249,6 +1371,11 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         )
     n_blocks = n_slabs // sb
     inverted = n_chunks >= INVERT_MIN_CHUNKS
+    # compacted live-pair grid (build_pairs/pair_buckets): needs the
+    # inverted regime's chunk count (same slice-streaming argument) and a
+    # host-derived static bucket smaller than the full grid
+    n_pairs = int(pairs[0]) if pairs else 0
+    compact = COMPACT and inverted and 0 < n_pairs < n_blocks * n_chunks
     win_cols = window_cols(nc, smoothing, heavy=shading and not params.fast_math)
     kernel = partial(
         _march_kernel,
@@ -1271,10 +1398,15 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         first_hit=not (params.use_opacity or params.use_importance_coloring),
         emit_density=emit_density,
         u8=u8,
+        compact=compact,
     )
     # index maps below are written in (chunk, block) order; W re-orders the
-    # arguments for the inverted (slab-outer) grid
-    W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
+    # arguments for the inverted (slab-outer) grid, or reads (c, j) from
+    # the prefetched pair table on the compacted grid
+    if compact:
+        W = lambda f: (lambda i, p: f(p[P_C, i], p[P_J, i]))
+    else:
+        W = (lambda f: (lambda j, c: f(c, j))) if inverted else (lambda f: f)
     slab_index = W(
         (lambda c, j: (j, 0, 0)) if sign > 0 else (
             lambda c, j: (n_blocks - 1 - j, 0, 0)
@@ -1376,19 +1508,42 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
                 (n_chunks, n_slabs, dw, RAYS_PER_CHUNK), jnp.float32
             ),
         ]
+    compiler_params = vmem_params(
+        smoothing or shading,
+        resident_bytes=n_chunks * (N_FEATURES + 4) * RAYS_PER_CHUNK * 4,
+        slice_bytes=sb * vol_perm.shape[1] * vol_perm.shape[2] * (2 if u8 else 4),
+        n_streams=(3 if smoothing else 1) + (3 if shading else 0)
+        + (1 if coloring else 0),
+    )
+    if compact:
+        pair_tab, chunk_visited, overflow = build_pairs(
+            feats, n_slabs, sb, n_pairs
+        )
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_pairs,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+        )(pair_tab, *inputs)
+        out = res[0] if emit_density else res
+        # never-visited chunks' resident VMEM blocks are uninitialised
+        # (their golden output is exactly zero: no active ray anywhere);
+        # a bucket overflow poisons the frame loudly (see build_pairs)
+        out = jnp.where(chunk_visited[:, None, None], out, 0.0)
+        out = _poison_on_overflow(out, overflow)
+        return (out, res[1]) if emit_density else out
     res = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks) if inverted else (n_chunks, n_blocks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        compiler_params=vmem_params(
-            smoothing or shading,
-            resident_bytes=n_chunks * (N_FEATURES + 4) * RAYS_PER_CHUNK * 4,
-            slice_bytes=sb * vol_perm.shape[1] * vol_perm.shape[2] * (2 if u8 else 4),
-            n_streams=(3 if smoothing else 1) + (3 if shading else 0)
-            + (1 if coloring else 0),
-        ),
+        compiler_params=compiler_params,
     )(*inputs)
     return tuple(res) if emit_density else res
 
@@ -1433,21 +1588,24 @@ def _vmem_cap_bytes() -> int:
     return (mb - 2) * 1024 * 1024
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, vol_perm, lut, feats, knobs):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def march_pallas(params: RenderParams, major: int, sign: int, win_rows: int, pairs, vol_perm, lut, feats, knobs):
     """Differentiable Pallas slab march (chunked layout).
 
     Gradients w.r.t. the permuted volume, the LUT, AND the packed feats
     (-> camera pose, via autodiff of the jnp ``_pack_features`` chain)
     through the two-pass backward kernels
     (:mod:`volym_tpu.ops.slab_bwd_kernel`).  ``win_rows`` is the static
-    per-camera y-window size (:func:`window_rows`; 0 = full slices).
+    per-camera y-window size (:func:`window_rows`; 0 = full slices);
+    ``pairs`` the static per-group live-pair buckets for the compacted
+    grid (:func:`pair_buckets`; ``()`` = full grid).
     ``knobs`` is the traced (1, 2) [threshold, early-alpha] vector (see
     :func:`_forward_call`); its cotangent is zero (both appear only in
     comparison masks, zero-gradient a.e.).
     """
     return _forward_call(
-        params, sign, vol_perm, lut, feats, win_rows=win_rows, knobs=knobs
+        params, sign, vol_perm, lut, feats, win_rows=win_rows, knobs=knobs,
+        pairs=pairs,
     )
 
 
@@ -1507,23 +1665,23 @@ def _use_stored_density(params, feats=None, n_slabs=None):
     return True
 
 
-def _mp_fwd(params, major, sign, win_rows, vol_perm, lut, feats, knobs):
+def _mp_fwd(params, major, sign, win_rows, pairs, vol_perm, lut, feats, knobs):
     stored = _use_stored_density(params, feats, vol_perm.shape[0])
     res = _forward_call(
         params, sign, vol_perm, lut, feats, win_rows=win_rows, knobs=knobs,
-        emit_density=stored,
+        emit_density=stored, pairs=pairs,
     )
     out, dens = res if stored else (res, None)
     return out, (vol_perm, lut, feats, out, knobs, dens)
 
 
-def _mp_bwd(params, major, sign, win_rows, res, g):
+def _mp_bwd(params, major, sign, win_rows, pairs, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
     vol_perm, lut, feats, out, knobs, dens = res
     d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
         params, major, sign, vol_perm, lut, feats, out, g, win_rows=win_rows,
-        knobs=knobs, dens=dens,
+        knobs=knobs, dens=dens, pairs=pairs,
     )
     return d_vol, d_lut, d_feats, jnp.zeros_like(knobs)
 
@@ -1531,8 +1689,8 @@ def _mp_bwd(params, major, sign, win_rows, res, g):
 march_pallas.defvjp(_mp_fwd, _mp_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def march_pallas_lookahead(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm, knobs):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def march_pallas_lookahead(params, major, sign, win_rows, pairs, vol_perm, imp_perm, lut, feats, ahead, grad_perm, knobs):
     """Differentiable Pallas slab march with the importance-driven
     look-ahead gate (straight or cone — the gate semantics live in the
     precomputed ``ahead`` bits from
@@ -1548,15 +1706,16 @@ def march_pallas_lookahead(params, major, sign, win_rows, vol_perm, imp_perm, lu
     return _forward_call(
         params, sign, vol_perm, lut, feats, imp_perm=imp_perm,
         grad_perm=grad_perm, win_rows=win_rows, ahead=ahead, knobs=knobs,
+        pairs=pairs,
     )
 
 
-def _mpl_fwd(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahead, grad_perm, knobs):
+def _mpl_fwd(params, major, sign, win_rows, pairs, vol_perm, imp_perm, lut, feats, ahead, grad_perm, knobs):
     stored = _use_stored_density(params, feats, vol_perm.shape[0])
     res = _forward_call(
         params, sign, vol_perm, lut, feats, imp_perm=imp_perm,
         grad_perm=grad_perm, win_rows=win_rows, ahead=ahead, knobs=knobs,
-        emit_density=stored,
+        emit_density=stored, pairs=pairs,
     )
     out, dens = res if stored else (res, None)
     return out, (
@@ -1564,7 +1723,7 @@ def _mpl_fwd(params, major, sign, win_rows, vol_perm, imp_perm, lut, feats, ahea
     )
 
 
-def _mpl_bwd(params, major, sign, win_rows, res, g):
+def _mpl_bwd(params, major, sign, win_rows, pairs, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
     vol_perm, imp_perm, lut, feats, ahead, grad_perm, out, knobs, dens = res
@@ -1572,14 +1731,14 @@ def _mpl_bwd(params, major, sign, win_rows, res, g):
         d_vol, d_lut, d_feats = slab_bwd_kernel.backward(
             params, major, sign, vol_perm, lut, feats, out, g,
             win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, knobs=knobs,
-            dens=dens,
+            dens=dens, pairs=pairs,
         )
         d_grad = None
     else:
         d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
             params, major, sign, vol_perm, grad_perm, lut, feats, out, g,
             win_rows=win_rows, imp_perm=imp_perm, ahead=ahead, knobs=knobs,
-            dens=dens,
+            dens=dens, pairs=pairs,
         )
     return (
         d_vol, jnp.zeros_like(imp_perm), d_lut, d_feats,
@@ -1590,8 +1749,8 @@ def _mpl_bwd(params, major, sign, win_rows, res, g):
 march_pallas_lookahead.defvjp(_mpl_fwd, _mpl_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def march_pallas_shaded(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats, knobs):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def march_pallas_shaded(params, major, sign, win_rows, pairs, vol_perm, grad_perm, lut, feats, knobs):
     """Differentiable Pallas slab march, Blinn-Phong-shaded mode.
 
     Gradients w.r.t. the permuted volume, the precomputed gradient field
@@ -1600,27 +1759,27 @@ def march_pallas_shaded(params, major, sign, win_rows, vol_perm, grad_perm, lut,
     half-vector rows)."""
     return _forward_call(
         params, sign, vol_perm, lut, feats, grad_perm=grad_perm,
-        win_rows=win_rows, knobs=knobs,
+        win_rows=win_rows, knobs=knobs, pairs=pairs,
     )
 
 
-def _mps_fwd(params, major, sign, win_rows, vol_perm, grad_perm, lut, feats, knobs):
+def _mps_fwd(params, major, sign, win_rows, pairs, vol_perm, grad_perm, lut, feats, knobs):
     stored = _use_stored_density(params, feats, vol_perm.shape[0])
     res = _forward_call(
         params, sign, vol_perm, lut, feats, grad_perm=grad_perm,
-        win_rows=win_rows, knobs=knobs, emit_density=stored,
+        win_rows=win_rows, knobs=knobs, emit_density=stored, pairs=pairs,
     )
     out, dens = res if stored else (res, None)
     return out, (vol_perm, grad_perm, lut, feats, out, knobs, dens)
 
 
-def _mps_bwd(params, major, sign, win_rows, res, g):
+def _mps_bwd(params, major, sign, win_rows, pairs, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
     vol_perm, grad_perm, lut, feats, out, knobs, dens = res
     d_vol, d_grad, d_lut, d_feats = slab_bwd_kernel.backward_shaded(
         params, major, sign, vol_perm, grad_perm, lut, feats, out, g,
-        win_rows=win_rows, knobs=knobs, dens=dens,
+        win_rows=win_rows, knobs=knobs, dens=dens, pairs=pairs,
     )
     return d_vol, d_grad, d_lut, d_feats, jnp.zeros_like(knobs)
 
@@ -1628,8 +1787,8 @@ def _mps_bwd(params, major, sign, win_rows, res, g):
 march_pallas_shaded.defvjp(_mps_fwd, _mps_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm, knobs):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def march_pallas_coloring(params, major, sign, win_rows, pairs, vol_perm, imp_perm, feats, grad_perm, knobs):
     """Differentiable Pallas slab march, importance-coloring mode —
     optionally Blinn-Phong shaded (``grad_perm`` non-None: the combined
     coloring+shading mode).
@@ -1644,35 +1803,36 @@ def march_pallas_coloring(params, major, sign, win_rows, vol_perm, imp_perm, fea
     return _forward_call(
         params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
         imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
-        knobs=knobs,
+        knobs=knobs, pairs=pairs,
     )
 
 
-def _mpc_fwd(params, major, sign, win_rows, vol_perm, imp_perm, feats, grad_perm, knobs):
+def _mpc_fwd(params, major, sign, win_rows, pairs, vol_perm, imp_perm, feats, grad_perm, knobs):
     stored = _use_stored_density(params, feats, vol_perm.shape[0])
     res = _forward_call(
         params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
         imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
-        knobs=knobs, emit_density=stored,
+        knobs=knobs, emit_density=stored, pairs=pairs,
     )
     out, dens = res if stored else (res, None)
     return out, (vol_perm, imp_perm, feats, grad_perm, out, knobs, dens)
 
 
-def _mpc_bwd(params, major, sign, win_rows, res, g):
+def _mpc_bwd(params, major, sign, win_rows, pairs, res, g):
     from volym_tpu.ops import slab_bwd_kernel
 
     vol_perm, imp_perm, feats, grad_perm, out, knobs, dens = res
     if grad_perm is None:
         d_imp, d_feats = slab_bwd_kernel.backward_coloring(
             params, major, sign, vol_perm, imp_perm, feats, out, g,
-            win_rows=win_rows, knobs=knobs, dens=dens,
+            win_rows=win_rows, knobs=knobs, dens=dens, pairs=pairs,
         )
         d_grad = None
     else:
         d_imp, d_grad, d_feats = slab_bwd_kernel.backward_coloring(
             params, major, sign, vol_perm, imp_perm, feats, out, g,
             win_rows=win_rows, grad_perm=grad_perm, knobs=knobs, dens=dens,
+            pairs=pairs,
         )
     return jnp.zeros_like(vol_perm), d_imp, d_feats, d_grad, jnp.zeros_like(knobs)
 
@@ -1824,6 +1984,110 @@ def bucket_window(win: int, n_slabs: int) -> int:
     return 0
 
 
+_pair_cache: dict = {}
+
+
+def pair_buckets(camera_matrices, height, width, n_slabs, major, sign):
+    """Host-side (pure numpy) static live-pair bucket per chunk group, for
+    the compacted grid (:func:`build_pairs`).
+
+    Counts, per chunk group, the (chunk, march-block) pairs with any
+    geometrically active ray — the same per-ray affine activity the
+    kernels' feats encode (``t(j) = ts*j + tb`` inside ``[entry, exit)``
+    with the correct sign; math identical to :func:`window_rows`'s numpy
+    replica of :func:`_pack_features`) — with each ray's active j-interval
+    widened by ±1 slab so TPU-vs-host float wobble can never flip a
+    boundary pair out of the bound (build_pairs NaN-poisons the frame on
+    overflow rather than dropping work; the widening makes that
+    unreachable).  Adds ``n_blocks`` headroom for the dead-block pads,
+    then rounds up to a coarse ladder (multiples of total/8) so an orbit
+    sweep mints a handful of jit keys, mirroring :func:`bucket_window`.
+
+    Returns a tuple with one bucket per CHUNK_GROUP chunk group (the
+    grouped calls compact independently); an entry is 0 (= compaction
+    off) when the group's bucket would not beat the full grid.  Returns
+    ``()`` when the image does not tile or compaction is disabled.
+    """
+    if not COMPACT or height % TILE or width % TILE_W:
+        return ()
+    key = (
+        np.asarray(camera_matrices.inverse_view_proj).tobytes(),
+        np.asarray(camera_matrices.position).tobytes(),
+        height, width, n_slabs, major, sign,
+    )
+    if key in _pair_cache:
+        return _pair_cache[key]
+    sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
+    nb = n_slabs // sb
+    live = _host_pair_live(camera_matrices, height, width, n_slabs, major, sign, sb)
+    n_chunks = live.shape[0]
+    quantum = max(128, (nb * min(n_chunks, CHUNK_GROUP)) // 8)
+    out = []
+    for g0 in range(0, n_chunks, CHUNK_GROUP):
+        g = live[g0 : g0 + CHUNK_GROUP]
+        total = nb * g.shape[0]
+        n = int(g.sum()) + nb  # + dead-block pad headroom
+        bucket = -(-n // quantum) * quantum
+        # a near-full bucket can't beat the full grid's simpler scaffold
+        out.append(bucket if bucket <= 0.9 * total else 0)
+    res = tuple(out)
+    if len(_pair_cache) > 256:
+        _pair_cache.clear()
+    _pair_cache[key] = res
+    return res
+
+
+def _host_pair_live(camera_matrices, height, width, n_slabs, major, sign, sb):
+    """(C, NB) conservative geometric pair liveness, pure numpy (see
+    :func:`pair_buckets`): each ray's active march interval, widened by
+    ±1 slab against TPU-vs-host float wobble, intersected with each
+    block's step range.  A strict superset of the kernels' exact activity
+    (tests/test_compact_pairs.py pins the containment on swept cameras)."""
+    nb = n_slabs // sb
+    _, row_comp, _ = slab_mod._AXIS_LAYOUT[major]
+    ivp = np.asarray(camera_matrices.inverse_view_proj, np.float32)
+    cam = np.asarray(camera_matrices.position, np.float32)
+
+    xs = np.arange(width, dtype=np.float32) / width * 2.0 - 1.0
+    ys = 1.0 - np.arange(height, dtype=np.float32) / height * 2.0
+    u, v = np.meshgrid(xs, ys, indexing="xy")
+    world = u[..., None] * ivp[:, 0] + v[..., None] * ivp[:, 1] + ivp[:, 3]
+    pos = world[..., :3] / world[..., 3:4]
+    d = pos - cam
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d.reshape(-1, 3)
+    d_m = d[:, major]
+    sign_ok = (d_m * sign) > 0
+    safe_dm = np.where(np.abs(d_m) > 1e-12, d_m, 1e-12)
+    sz = (1.0 / n_slabs) * sign
+    z0 = (0.5 / n_slabs) if sign > 0 else ((n_slabs - 0.5) / n_slabs)
+    ts = sz / safe_dm
+    tb = (z0 - cam[major]) / safe_dm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (0.0 - cam) / d
+        t2 = (1.0 - cam) / d
+    entry = np.maximum(np.max(np.minimum(t1, t2), axis=-1), 0.0)
+    exit_ = np.maximum(np.min(np.maximum(t1, t2), axis=-1), 0.0)
+
+    order = np.asarray(_tile_order(height, width))
+    shape = (-1, RAYS_PER_CHUNK)
+    ts_o, tb_o = ts[order].reshape(shape), tb[order].reshape(shape)
+    sign_ok = sign_ok[order].reshape(shape)
+    entry, exit_ = entry[order].reshape(shape), exit_[order].reshape(shape)
+    # per-ray active march interval: a correctly-signed ray has ts > 0, so
+    # t(j) in [entry, exit) <=> j in [ja, jb); widen by +-1 slab
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ja = (entry - tb_o) / ts_o - 1.0
+        jb = (exit_ - tb_o) / ts_o + 1.0
+    blk_lo = (np.arange(nb, dtype=np.float32) * sb)[None, :, None]
+    blk_hi = blk_lo + (sb - 1)
+    return (
+        sign_ok[:, None, :]
+        & (ja[:, None, :] <= blk_hi)
+        & (jb[:, None, :] >= blk_lo)
+    ).any(axis=2)  # (C, NB)
+
+
 def _tile_order(height, width):
     """Ray permutation putting each TILE x TILE pixel tile contiguous, so a
     chunk's slab footprint is compact in both axes (the windowed
@@ -1973,11 +2237,12 @@ def _assemble(out, miss, r, height, width):
     jax.jit,
     static_argnames=(
         "params", "height", "width", "major", "sign", "win_rows", "planes",
+        "pairs",
     ),
 )
 def _render_pallas_jit(
     scene, camera_matrices, params, height, width, major, sign, win_rows=0,
-    knobs=None, planes=None,
+    knobs=None, planes=None, pairs=(),
 ):
     layout = slab_mod._AXIS_LAYOUT[major]
     vol_perm = slab_mod.permute_volume(scene.volume, major)
@@ -2031,7 +2296,7 @@ def _render_pallas_jit(
         )
     out = _forward_call(
         params, sign, vol_perm, scene.tf_lut, feats, imp_perm, grad_perm,
-        win_rows, ahead, knobs=knobs,
+        win_rows, ahead, knobs=knobs, pairs=pairs,
     )
     return _assemble(out, miss, r, height, width)
 
@@ -2040,11 +2305,12 @@ def _render_pallas_jit(
     jax.jit,
     static_argnames=(
         "params", "height", "width", "major", "sign", "win_rows", "planes",
+        "pairs",
     ),
 )
 def _render_pallas_diff_jit(
     scene, camera_matrices, params, height, width, major, sign, win_rows=0,
-    knobs=None, planes=None,
+    knobs=None, planes=None, pairs=(),
 ):
     if knobs is None:
         knobs = params.knobs()
@@ -2078,7 +2344,7 @@ def _render_pallas_diff_jit(
         )
         grad_perm = shaded_grad_perm()
         out = march_pallas_coloring(
-            params, major, sign, win_rows, vol_perm, imp_perm, feats,
+            params, major, sign, win_rows, pairs, vol_perm, imp_perm, feats,
             grad_perm, knobs,
         )
     elif lookahead:
@@ -2109,19 +2375,19 @@ def _render_pallas_diff_jit(
         )
         grad_perm = shaded_grad_perm()
         out = march_pallas_lookahead(
-            params, major, sign, win_rows, vol_perm, imp_perm,
+            params, major, sign, win_rows, pairs, vol_perm, imp_perm,
             scene.tf_lut, feats, ahead, grad_perm, knobs,
         )
     elif params.use_shading:
         grad_perm = shaded_grad_perm()
         out = march_pallas_shaded(
-            params, major, sign, win_rows, vol_perm, grad_perm,
+            params, major, sign, win_rows, pairs, vol_perm, grad_perm,
             scene.tf_lut, feats, knobs,
         )
     else:
         out = march_pallas(
-            params, major, sign, win_rows, vol_perm, scene.tf_lut, feats,
-            knobs,
+            params, major, sign, win_rows, pairs, vol_perm, scene.tf_lut,
+            feats, knobs,
         )
     return _assemble(out, miss, r, height, width)
 
@@ -2151,9 +2417,10 @@ def render_diff(scene, camera_matrices, params: RenderParams, height: int, width
     if planes != n:
         # resampled slab ladder: lerped planes are not u8-representable
         params = params.replace(u8_volume=False)
+    pairs = pair_buckets(camera_matrices, height, width, planes, major, sign)
     return _render_pallas_diff_jit(
         scene, camera_matrices, params.pallas_static(), height, width, major,
-        sign, win, knobs=params.knobs(), planes=planes,
+        sign, win, knobs=params.knobs(), planes=planes, pairs=pairs,
     )
 
 
@@ -2177,7 +2444,8 @@ def render(scene, camera_matrices, params: RenderParams, height: int, width: int
     params = params.replace(camera_grads=False)
     if planes != n:
         params = params.replace(u8_volume=False)
+    pairs = pair_buckets(camera_matrices, height, width, planes, major, sign)
     return _render_pallas_jit(
         scene, camera_matrices, params.pallas_static(), height, width, major,
-        sign, win, knobs=params.knobs(), planes=planes,
+        sign, win, knobs=params.knobs(), planes=planes, pairs=pairs,
     )

@@ -339,27 +339,31 @@ def _pallas_shard_march(params, major, sign, scene, origin, dirs, entry, exit_, 
             subtexel=params.subtexel_bits,
         )
     knobs = params.knobs()
+    # the compacted grid (sk.pair_buckets) is a per-shard static the SPMD
+    # program cannot vary per device; shards run the full (blocks, chunks)
+    # grid (pairs=()) — the measured sharded overhead stays within the
+    # BASELINE budget either way
     if differentiable:
         if params.use_importance_coloring:
             # grad_perm non-None = the combined coloring+shading mode
             out = sk.march_pallas_coloring(
-                params, major, sign, win_rows, vol_perm, imp_perm, fc,
+                params, major, sign, win_rows, (), vol_perm, imp_perm, fc,
                 grad_perm, knobs,
             )
         elif lookahead:
             out = sk.march_pallas_lookahead(
-                params, major, sign, win_rows, vol_perm, imp_perm,
+                params, major, sign, win_rows, (), vol_perm, imp_perm,
                 scene.tf_lut, fc, ahead, grad_perm, knobs,
             )
         elif params.use_shading:
             out = sk.march_pallas_shaded(
-                params, major, sign, win_rows, vol_perm, grad_perm,
+                params, major, sign, win_rows, (), vol_perm, grad_perm,
                 scene.tf_lut, fc, knobs,
             )
         else:
             out = sk.march_pallas(
-                params, major, sign, win_rows, vol_perm, scene.tf_lut, fc,
-                knobs,
+                params, major, sign, win_rows, (), vol_perm, scene.tf_lut,
+                fc, knobs,
             )
     else:
         out = sk._forward_call(
