@@ -1270,10 +1270,38 @@ def _voxel_grad_shaded_kernel(
                     ] + outer(dd4[ch + 1 : ch + 2])
 
 
+def will_fuse(n_chunks, sb, nr, nc, *, smoothing, shading, coloring,
+              stored_density, u8):
+    """Whether the backward runs the FUSED single-pass layout (the dd
+    cotangents live in scratch and the voxel scatter rides the outer grid
+    axis — see _replay_kernel).  The forward calls this too, to choose the
+    stored-density residual layout the replay will read
+    (fwd_mod._forward_call), so the predicate must stay the single source
+    of truth for both sides."""
+    inverted = n_chunks >= fwd_mod.INVERT_MIN_CHUNKS
+    stored_grads = stored_density and shading
+    slice_bytes = sb * nr * nc * (2 if u8 else 4)
+    fused_streams = (
+        (0 if stored_density else 1)
+        + (0 if stored_grads else (3 if shading else 0))
+        + (1 if coloring else 0)                          # input streams
+        + 1 + (3 if shading else 0)                       # scatter outputs
+    )
+    fused_working = (
+        48 * 1024 * 1024
+        + n_chunks * (2 * N_FEATURES + 12) * RAYS_PER_CHUNK * 4
+        + 2 * fused_streams * slice_bytes
+    )
+    return (
+        inverted and not smoothing
+        and fused_working <= 110 * 1024 * 1024
+    )
+
+
 def _backward_call(
     params, sign, vol_perm, lut, feats, fin, g_img, *,
     win_rows=0, imp_perm=None, ahead=None, grad_perm=None, coloring=False,
-    knobs=None, dens=None, pairs=(),
+    knobs=None, dens=None, pairs=(), dens_pair=None,
 ):
     """Shared driver behind :func:`backward` / :func:`backward_shaded` /
     :func:`backward_coloring`.
@@ -1287,25 +1315,41 @@ def _backward_call(
     coloring (its rgba never reads the LUT).  The grid/alias/out-spec
     bookkeeping — historically triplicated and a proven drift hazard —
     lives HERE once; the wrappers only select arguments and unpack."""
+    if dens_pair is None:
+        # the stored-density residual's layout was fixed by the forward —
+        # re-derive it from the same whole-image statics
+        # (fwd_mod._dens_pair_layout is the single source of truth)
+        dens_pair = dens is not None and fwd_mod._dens_pair_layout(
+            params, feats.shape[0], vol_perm.shape[0], vol_perm.shape[1],
+            vol_perm.shape[2], pairs, fwd_mod._u8_active(params),
+        )
     if feats.shape[0] > fwd_mod.CHUNK_GROUP:
         # chunk grouping, as in fwd_mod._forward_call: the resident
         # per-chunk state (feats/fin/g_img/d_feats/accumulator — 152 KB
         # per chunk) must fit VMEM, so large images run as sequential
         # group calls; the scatter grids/LUT gradients SUM over groups,
-        # the per-chunk d_feats concatenate.
+        # the per-chunk d_feats concatenate.  A pair-layout residual is
+        # sliced by each group's pair-bucket span, not its chunk span.
         G = fwd_mod.CHUNK_GROUP
         n = feats.shape[0]
         acc = None
         dfeats = []
+        pair_off = 0
         for gi, g0 in enumerate(range(0, n, G)):
             g1 = min(g0 + G, n)
+            if dens is None:
+                dens_g = None
+            elif dens_pair:
+                dens_g = dens[pair_off : pair_off + int(pairs[gi])]
+                pair_off += int(pairs[gi])
+            else:
+                dens_g = dens[g0:g1]
             res = _backward_call(
                 params, sign, vol_perm, lut, feats[g0:g1], fin[g0:g1],
                 g_img[g0:g1], win_rows=win_rows, imp_perm=imp_perm,
                 ahead=None if ahead is None else ahead[g0:g1],
                 grad_perm=grad_perm, coloring=coloring, knobs=knobs,
-                dens=None if dens is None else dens[g0:g1],
-                pairs=pairs[gi : gi + 1],
+                dens=dens_g, pairs=pairs[gi : gi + 1], dens_pair=dens_pair,
             )
             d_scatter, d_grad, d_lut, d_feats_g = res
             dfeats.append(d_feats_g)
@@ -1378,21 +1422,9 @@ def _backward_call(
     # field (see _replay_step_body g_override)
     stored_grads = stored_density and shading
     dens_w = 4 if shading else 1
-    slice_bytes = sb * nr * nc * (2 if u8 else 4)
-    fused_streams = (
-        (0 if stored_density else 1)
-        + (0 if stored_grads else (3 if shading else 0))
-        + (1 if coloring else 0)                          # input streams
-        + 1 + (3 if shading else 0)                       # scatter outputs
-    )
-    fused_working = (
-        48 * 1024 * 1024
-        + n_chunks * (2 * N_FEATURES + 12) * RAYS_PER_CHUNK * 4
-        + 2 * fused_streams * slice_bytes
-    )
-    fuse = (
-        inverted and not smoothing
-        and fused_working <= 110 * 1024 * 1024
+    fuse = will_fuse(
+        n_chunks, sb, nr, nc, smoothing=smoothing, shading=shading,
+        coloring=coloring, stored_density=stored_density, u8=u8,
     )
     dd_w = 4 if shading else 1  # density (or d_imp) + 3 grad-field channels
 
@@ -1472,14 +1504,23 @@ def _backward_call(
     # With stored density the forward's per-step density output replaces
     # the volume-slice stream entirely (the replay neither re-samples nor
     # reads the volume — only the XLA-side occupancy meta below does).
+    if stored_density and dens_pair:
+        # pair-layout residual (fwd_mod._dens_pair_layout): sequential
+        # grid-index blocks, matching the compacted forward's store
+        assert compact, "pair-layout dens requires the compacted replay"
+        dens_spec = pl.BlockSpec(
+            (1, sb, dens_w, RAYS_PER_CHUNK), lambda i, p: (i, 0, 0, 0)
+        )
+    else:
+        dens_spec = pl.BlockSpec(
+            (1, sb, dens_w, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))
+        )
     in_specs = [
         pl.BlockSpec(
             (n_chunks, N_FEATURES, RAYS_PER_CHUNK), W(lambda c, j: (0, 0, 0))
         ),
         (
-            pl.BlockSpec(
-                (1, sb, dens_w, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))
-            )
+            dens_spec
             if stored_density
             else pl.BlockSpec((sb, nr, nc), slab_index)
         ),

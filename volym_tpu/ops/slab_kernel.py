@@ -735,6 +735,52 @@ def _poison_on_overflow(arr, overflow):
     return jnp.where(overflow, jnp.float32(jnp.nan), arr)
 
 
+def _dens_pair_layout(params, n_chunks, n_slabs, nr, nc, pairs, u8) -> bool:
+    """Whether the stored-density residual rides the compacted PAIR layout
+    ``(n_pairs, sb, w, R)`` instead of the chunk layout
+    ``(C, n_slabs, w, R)``.
+
+    On the compacted grid the chunk layout's dens OUTPUT block index is
+    data-dependent ``(c, j)``; a pair-indexed residual makes it the
+    sequential grid index — a statically pipelinable store — writes only
+    live pairs' blocks, and halves the residual HBM at the bench
+    occupancy.  The replay reads it back with the same sequential index.
+
+    Must evaluate IDENTICALLY in the forward and the backward (the layout
+    is baked into the residual array), so it is a pure function of the
+    static config: every chunk group must run the compacted grid
+    (otherwise a full-grid group would emit chunk-layout blocks and the
+    group concat would mix layouts), and the backward must take the FUSED
+    compacted replay (:func:`slab_bwd_kernel.will_fuse` — the unfused
+    pass 1 runs the full grid, which cannot address pair-indexed blocks).
+    """
+    if not (COMPACT and pairs):
+        return False
+    sb = SLAB_BATCH if n_slabs % SLAB_BATCH == 0 else 1
+    nb = n_slabs // sb
+    groups = [
+        min(CHUNK_GROUP, n_chunks - g0)
+        for g0 in range(0, n_chunks, CHUNK_GROUP)
+    ]
+    if len(pairs) != len(groups):
+        return False
+    for p, g in zip(pairs, groups):
+        if not (g >= INVERT_MIN_CHUNKS and 0 < int(p) < nb * g):
+            return False
+    from volym_tpu.ops import slab_bwd_kernel
+
+    # fused_working is increasing in the group's chunk count, so if the
+    # largest group fuses every group does
+    return slab_bwd_kernel.will_fuse(
+        max(groups), sb, nr, nc,
+        smoothing=params.use_gaussian_smoothing,
+        shading=params.use_shading,
+        coloring=params.use_importance_coloring,
+        stored_density=True,
+        u8=u8,
+    )
+
+
 def occupancy_grid(vol_perm, threshold: float):
     """(N, NR, NC) permuted volume -> (N, NR/32, NC/32) block occupancy at
     the density threshold.  Interpolated (bilinear or nearest) values never
@@ -1266,7 +1312,7 @@ def features_from_rays(origin, dirs, entry, exit_, n_slabs, major, sign, layout,
     return feats
 
 
-def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None, knobs=None, emit_density=False, pairs=()):
+def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_perm=None, grad_perm=None, win_rows=0, ahead=None, knobs=None, emit_density=False, pairs=(), dens_pair=None):
     """The raw forward pallas_call: (C, 16, R) feats -> (C, 4, R) rgba.
 
     ``ahead``: (C, n_slabs, 1, R) look-ahead bits from
@@ -1289,6 +1335,13 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
         knobs = params.knobs()
     thr = knobs[0, 0]
     n_chunks = feats.shape[0]
+    if dens_pair is None:
+        # decided ONCE over the whole image (all groups or none — the
+        # grouped residual concatenates along its leading axis)
+        dens_pair = emit_density and _dens_pair_layout(
+            params, n_chunks, vol_perm.shape[0], vol_perm.shape[1],
+            vol_perm.shape[2], pairs, _u8_active(params),
+        )
     if n_chunks > CHUNK_GROUP:
         # Chunk grouping: the resident feats/output VMEM blocks scale with
         # the chunk count (64 KB + 16 KB per chunk), so large images run
@@ -1305,7 +1358,7 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
                     imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
                     ahead=None if ahead is None else ahead[g0:g1],
                     knobs=knobs, emit_density=emit_density,
-                    pairs=pairs[gi : gi + 1],
+                    pairs=pairs[gi : gi + 1], dens_pair=dens_pair,
                 )
             )
         if emit_density:
@@ -1496,18 +1549,27 @@ def _forward_call(params: RenderParams, sign: int, vol_perm, lut, feats, imp_per
     out_shape = jax.ShapeDtypeStruct((n_chunks, 4, RAYS_PER_CHUNK), jnp.float32)
     if emit_density:
         dw = 4 if shading else 1  # +3 gradient-field sample rows (see body)
-        out_specs = [
-            out_specs,
-            pl.BlockSpec(
+        if dens_pair:
+            # pair-layout residual (see _dens_pair_layout): block index =
+            # the sequential grid index — a statically pipelinable store,
+            # written only at live pairs; the compacted replay reads it
+            # with the same index map
+            assert compact, "pair-layout dens requires the compacted grid"
+            dens_spec = pl.BlockSpec(
+                (1, sb, dw, RAYS_PER_CHUNK), lambda i, p: (i, 0, 0, 0)
+            )
+            dens_shape = jax.ShapeDtypeStruct(
+                (n_pairs, sb, dw, RAYS_PER_CHUNK), jnp.float32
+            )
+        else:
+            dens_spec = pl.BlockSpec(
                 (1, sb, dw, RAYS_PER_CHUNK), W(lambda c, j: (c, j, 0, 0))
-            ),
-        ]
-        out_shape = [
-            out_shape,
-            jax.ShapeDtypeStruct(
+            )
+            dens_shape = jax.ShapeDtypeStruct(
                 (n_chunks, n_slabs, dw, RAYS_PER_CHUNK), jnp.float32
-            ),
-        ]
+            )
+        out_specs = [out_specs, dens_spec]
+        out_shape = [out_shape, dens_shape]
     compiler_params = vmem_params(
         smoothing or shading,
         resident_bytes=n_chunks * (N_FEATURES + 4) * RAYS_PER_CHUNK * 4,
@@ -1645,7 +1707,7 @@ def _u8_active(params) -> bool:
     )
 
 
-def _use_stored_density(params, feats=None, n_slabs=None):
+def _use_stored_density(params, feats=None, n_slabs=None, vol_perm=None, pairs=()):
     """Stored-density backward applies (see STORE_DENSITY) whenever camera
     cotangents are off: their dhat chain needs the volume slice and the
     density colvals anyway (and, under smoothing, the d/dF_TS tap-offset
@@ -1653,20 +1715,30 @@ def _use_stored_density(params, feats=None, n_slabs=None):
     density, which lets the replay skip the whole sb+2·halo-row stencil
     prologue (the scatter's stencil transpose runs outside the kernel on
     dd and never needed the slices).  When the caller passes the chunked
-    feats + slab count, the (C, n_slabs, 1, R) f32 residual is also
-    size-gated against :data:`STORE_DENSITY_BUDGET_MB`."""
+    feats + slab count, the residual is also size-gated against
+    :data:`STORE_DENSITY_BUDGET_MB` — at its PAIR-layout size when the
+    compacted grid would store it that way (:func:`_dens_pair_layout`:
+    ~the live fraction of the chunk layout, which keeps big frames under
+    the budget that the dense layout would blow)."""
     if not (STORE_DENSITY and not params.camera_grads):
         return False
     if feats is not None and n_slabs is not None:
         width = 4 if params.use_shading else 1  # +3 stored g-sample rows
-        resid = feats.shape[0] * int(n_slabs) * RAYS_PER_CHUNK * 4 * width
+        sb = SLAB_BATCH if int(n_slabs) % SLAB_BATCH == 0 else 1
+        if vol_perm is not None and _dens_pair_layout(
+            params, feats.shape[0], int(n_slabs), vol_perm.shape[1],
+            vol_perm.shape[2], pairs, _u8_active(params),
+        ):
+            resid = sum(int(p) for p in pairs) * sb * RAYS_PER_CHUNK * 4 * width
+        else:
+            resid = feats.shape[0] * int(n_slabs) * RAYS_PER_CHUNK * 4 * width
         if resid > STORE_DENSITY_BUDGET_MB * 1024 * 1024:
             return False
     return True
 
 
 def _mp_fwd(params, major, sign, win_rows, pairs, vol_perm, lut, feats, knobs):
-    stored = _use_stored_density(params, feats, vol_perm.shape[0])
+    stored = _use_stored_density(params, feats, vol_perm.shape[0], vol_perm, pairs)
     res = _forward_call(
         params, sign, vol_perm, lut, feats, win_rows=win_rows, knobs=knobs,
         emit_density=stored, pairs=pairs,
@@ -1711,7 +1783,7 @@ def march_pallas_lookahead(params, major, sign, win_rows, pairs, vol_perm, imp_p
 
 
 def _mpl_fwd(params, major, sign, win_rows, pairs, vol_perm, imp_perm, lut, feats, ahead, grad_perm, knobs):
-    stored = _use_stored_density(params, feats, vol_perm.shape[0])
+    stored = _use_stored_density(params, feats, vol_perm.shape[0], vol_perm, pairs)
     res = _forward_call(
         params, sign, vol_perm, lut, feats, imp_perm=imp_perm,
         grad_perm=grad_perm, win_rows=win_rows, ahead=ahead, knobs=knobs,
@@ -1764,7 +1836,7 @@ def march_pallas_shaded(params, major, sign, win_rows, pairs, vol_perm, grad_per
 
 
 def _mps_fwd(params, major, sign, win_rows, pairs, vol_perm, grad_perm, lut, feats, knobs):
-    stored = _use_stored_density(params, feats, vol_perm.shape[0])
+    stored = _use_stored_density(params, feats, vol_perm.shape[0], vol_perm, pairs)
     res = _forward_call(
         params, sign, vol_perm, lut, feats, grad_perm=grad_perm,
         win_rows=win_rows, knobs=knobs, emit_density=stored, pairs=pairs,
@@ -1808,7 +1880,7 @@ def march_pallas_coloring(params, major, sign, win_rows, pairs, vol_perm, imp_pe
 
 
 def _mpc_fwd(params, major, sign, win_rows, pairs, vol_perm, imp_perm, feats, grad_perm, knobs):
-    stored = _use_stored_density(params, feats, vol_perm.shape[0])
+    stored = _use_stored_density(params, feats, vol_perm.shape[0], vol_perm, pairs)
     res = _forward_call(
         params, sign, vol_perm, jnp.zeros((256, 4), jnp.float32), feats,
         imp_perm=imp_perm, grad_perm=grad_perm, win_rows=win_rows,
